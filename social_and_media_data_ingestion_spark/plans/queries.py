@@ -1,0 +1,1106 @@
+"""The graded query registry: every implemented operator from SURVEY §2
+(plus the LLM-data-pipeline layer) as a (PySpark builder, DuckDB oracle
+SQL) pair. The driver hash-matches them at sf=0.01.
+
+Conventions for cross-engine hash equality:
+- every computed column is aliased identically on both sides;
+- doubles that aggregate are rounded (2-6 dp) on both sides;
+- counts/ids are BIGINT on both sides (DuckDB hugeint sums cast down);
+- timestamps compared as native timestamps (session TZ pinned to UTC);
+- rankings always carry a deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.functions.datetime_funcs import (
+    GERMAN_MONTHS,
+    dotted_date_to_iso,
+    german_date_to_iso,
+    lenient_timestamp,
+)
+from social_and_media_data_ingestion_spark.operators import dedup as D
+from social_and_media_data_ingestion_spark.operators import filters as FL
+from social_and_media_data_ingestion_spark.operators import keyword_match as KM
+from social_and_media_data_ingestion_spark.operators import projections as PR
+from social_and_media_data_ingestion_spark.operators import similarity as SIM
+from social_and_media_data_ingestion_spark.operators import text_analysis as TA
+from social_and_media_data_ingestion_spark.plans.tables import t
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> rows-only check (non-SQL-expressible)
+
+
+REGISTRY: list[QueryDef] = []
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY.append(QueryDef(name, fn, oracle))
+        return fn
+
+    return deco
+
+
+# Shared plan-time literals ----------------------------------------------------
+FLAGSHIP_SOURCES = ["src0", "src1"]
+FLAGSHIP_KEYWORDS = ["spark", "vector"]
+# 'par' shows the substring-vs-word-boundary split: substring hits 'part',
+# word-boundary does not (SURVEY §7 hard part #1).
+SEMANTIC_KEYWORDS = ["par", "stream"]
+
+# DuckDB fragment: whitespace tokens of lowercased text
+_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+
+# =============================================================================
+# Flagship — reference Reddit submission extraction recast (SURVEY §3.1):
+# broadcast semi-join on lowered dim + substring keyword filter + defaulted
+# projection. Ref: reddit_subm_extraction.py:52-59,88. Shuffle-free map plan.
+# =============================================================================
+@q(
+    "flagship_submission_extract",
+    f"""
+    SELECT doc_id,
+           coalesce(CAST(text AS VARCHAR), '')   AS text,
+           coalesce(CAST(lang AS VARCHAR), '')   AS lang,
+           coalesce(CAST(source AS VARCHAR), '') AS source
+    FROM documents
+    WHERE lower(source) IN ({",".join(repr(s) for s in FLAGSHIP_SOURCES)})
+      AND regexp_matches(lower(text), '{KM.substring_any_pattern(FLAGSHIP_KEYWORDS)}')
+    """,
+)
+def flagship_submission_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    dim = spark.createDataFrame([(s,) for s in FLAGSHIP_SOURCES], ["src"])
+    filtered = FL.semi_join_lowered(docs, "source", dim, "src").filter(
+        KM.contains_any(["text"], FLAGSHIP_KEYWORDS)
+    )
+    return PR.project_fields_defaulted(
+        filtered, ["text", "lang", "source"], keep=["doc_id"]
+    )
+
+
+# =============================================================================
+# P1 — fixed-field projection, missing field -> "" column
+# =============================================================================
+@q(
+    "p1_project_defaults",
+    """
+    SELECT doc_id,
+           coalesce(CAST(text AS VARCHAR), '') AS text,
+           coalesce(CAST(lang AS VARCHAR), '') AS lang,
+           '' AS missing_field
+    FROM documents
+    """,
+)
+def p1_project_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return PR.project_fields_defaulted(
+        docs, ["text", "lang", "missing_field"], keep=["doc_id"]
+    )
+
+
+# =============================================================================
+# P4 — derived concat column with URL stripping
+# (ref parser_media_articles.py:83). URLs synthesized deterministically so
+# the strip is observable.
+# =============================================================================
+@q(
+    "p4_concat_strip_urls",
+    """
+    SELECT doc_id,
+           coalesce(regexp_replace('see https://ex.com/' || CAST(doc_id AS VARCHAR) || ' ok', 'https?://\\S+', '', 'g'), '')
+           || chr(10)
+           || coalesce(regexp_replace(text, 'https?://\\S+', '', 'g'), '') AS text1
+    FROM documents
+    """,
+)
+def p4_concat_strip_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    title = F.concat(
+        F.lit("see https://ex.com/"), F.col("doc_id").cast("string"), F.lit(" ok")
+    )
+    return docs.select(
+        "doc_id", PR.concat_title_text(title, F.col("text")).alias("text1")
+    )
+
+
+# =============================================================================
+# P5 — nested-array head extraction with ""-default
+# (ref tweet_download.py:37-40). Array-of-struct synthesized from doc_id.
+# =============================================================================
+@q(
+    "p5_nested_head",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 3 = 0 THEN [{'type': 'retweeted', 'id': CAST(doc_id AS VARCHAR)}]
+               WHEN doc_id % 3 = 1 THEN [{'type': 'quoted', 'id': CAST(doc_id AS VARCHAR)},
+                                         {'type': 'replied_to', 'id': CAST(doc_id + 1 AS VARCHAR)}]
+               ELSE []::STRUCT("type" VARCHAR, id VARCHAR)[]
+             END AS refs
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(refs[1]."type", '') AS ref_type,
+           coalesce(refs[1].id, '')     AS ref_id
+    FROM d
+    """,
+)
+def p5_nested_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    mk = lambda ty, idc: F.struct(F.lit(ty).alias("type"), idc.cast("string").alias("id"))
+    refs = (
+        F.when(F.col("doc_id") % 3 == 0, F.array(mk("retweeted", F.col("doc_id"))))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.array(mk("quoted", F.col("doc_id")), mk("replied_to", F.col("doc_id") + 1)),
+        )
+        .otherwise(F.array().cast("array<struct<type:string,id:string>>"))
+    )
+    d = docs.select("doc_id", refs.alias("refs"))
+    return d.select(
+        "doc_id",
+        PR.nested_array_head("refs", "type").alias("ref_type"),
+        PR.nested_array_head("refs", "id").alias("ref_id"),
+    )
+
+
+# =============================================================================
+# F2 — substring any-match (NO word boundary): 'par' matches 'part'
+# (ref reddit_subm_extraction.py:57-59)
+# =============================================================================
+@q(
+    "f2_keyword_substring",
+    f"""
+    SELECT doc_id
+    FROM documents
+    WHERE regexp_matches(lower(text), '{KM.substring_any_pattern(SEMANTIC_KEYWORDS)}')
+    """,
+)
+def f2_keyword_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return KM.filter_keyword_substring(docs, ["text"], SEMANTIC_KEYWORDS).select("doc_id")
+
+
+# =============================================================================
+# F3 — word-boundary regex match: 'par' does NOT match 'part'
+# (ref parser_media_articles.py:73-76)
+# =============================================================================
+@q(
+    "f3_keyword_word_boundary",
+    rf"""
+    SELECT doc_id
+    FROM documents
+    WHERE regexp_matches(text, '{KM.word_boundary_pattern(SEMANTIC_KEYWORDS)}')
+    """,
+)
+def f3_keyword_word_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return KM.filter_keyword_word(docs, ["text"], SEMANTIC_KEYWORDS).select("doc_id")
+
+
+# =============================================================================
+# F4 — date-range filter (ref reddit_image_scraper.py:15-16,56-57)
+# =============================================================================
+@q(
+    "f4_date_range",
+    """
+    SELECT event_id, ts
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-01 06:00:00' AND TIMESTAMP '2024-01-02 00:00:00'
+    """,
+)
+def f4_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(
+        FL.date_range("ts", "2024-01-01 06:00:00", "2024-01-02 00:00:00")
+    ).select("event_id", "ts")
+
+
+# =============================================================================
+# F5 — lenient timestamp parse (null-on-fail) + null-drop
+# (ref reddit_image_scraper.py:56-58)
+# =============================================================================
+@q(
+    "f5_lenient_parse_null_drop",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             try_cast(CASE WHEN doc_id % 5 = 0 THEN 'not-a-date'
+                           ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' 00:00:00'
+                      END AS TIMESTAMP) AS created
+      FROM documents
+    )
+    SELECT doc_id, created FROM d WHERE created IS NOT NULL
+    """,
+)
+def f5_lenient_parse_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    raw = F.when(F.col("doc_id") % 5 == 0, F.lit("not-a-date")).otherwise(
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit(" 00:00:00"),
+        )
+    )
+    d = docs.select("doc_id", lenient_timestamp(raw).alias("created"))
+    return FL.drop_null_rows(d, ["created"])
+
+
+# =============================================================================
+# F6 — URL-shape predicate (image extension | imgur)
+# (ref reddit_image_scraper.py:26-27); URLs synthesized from doc_id
+# =============================================================================
+@q(
+    "f6_url_shape",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             'http://ex.com/i/' || CAST(doc_id AS VARCHAR) ||
+             CASE WHEN doc_id % 5 = 0 THEN '.JPG'
+                  WHEN doc_id % 5 = 1 THEN '.png'
+                  WHEN doc_id % 5 = 2 THEN '.html'
+                  WHEN doc_id % 5 = 3 THEN '' ELSE '.gif' END AS url
+      FROM documents
+    ),
+    d2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'https://imgur.com/x' || CAST(doc_id AS VARCHAR) ELSE url END AS url FROM d)
+    SELECT doc_id, url FROM d2
+    WHERE regexp_matches(lower(url), '\.(jpg|jpeg|png|gif)$') OR contains(lower(url), 'imgur.com')
+    """,
+)
+def f6_url_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ext = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(".JPG"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(".png"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(".html"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(""))
+        .otherwise(F.lit(".gif"))
+    )
+    url = F.concat(F.lit("http://ex.com/i/"), F.col("doc_id").cast("string"), ext)
+    url = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("https://imgur.com/x"), F.col("doc_id").cast("string")),
+    ).otherwise(url)
+    d = docs.select("doc_id", url.alias("url"))
+    return d.filter(FL.is_image_url("url"))
+
+
+# =============================================================================
+# F7 + scalar regexp_extract_all — matched-terms array, non-empty filter
+# (ref parser_media_articles.py:87,103)
+# =============================================================================
+@q(
+    "f7_terms_extract",
+    rf"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{KM.word_boundary_pattern(FLAGSHIP_KEYWORDS)}', 1) AS terms_arr
+      FROM documents
+    )
+    SELECT doc_id, array_to_string(terms_arr, ',') AS terms, len(terms_arr)::BIGINT AS n_terms
+    FROM d WHERE len(terms_arr) > 0
+    """,
+)
+def f7_terms_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", KM.extract_matched_terms("text", FLAGSHIP_KEYWORDS).alias("terms_arr")
+    )
+    return d.filter(FL.non_empty_array("terms_arr")).select(
+        "doc_id",
+        F.array_join("terms_arr", ",").alias("terms"),
+        F.size("terms_arr").cast("long").alias("n_terms"),
+    )
+
+
+# =============================================================================
+# J1 — semi-join set-membership (ref reddit_subm_extraction.py:53-55)
+# =============================================================================
+@q(
+    "j1_semi_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 2))
+    """,
+)
+def j1_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    dim = t(spark, sf_dir, "nation").filter(F.col("n_regionkey").isin(0, 2))
+    return cust.join(
+        F.broadcast(dim), cust.c_nationkey == dim.n_nationkey, "left_semi"
+    ).select("c_custkey")
+
+
+# =============================================================================
+# J2 — broadcast FK join chain + agg (tweets<->users analog on TPC-H dims)
+# =============================================================================
+@q(
+    "j2_fk_join_agg",
+    """
+    SELECT n_name,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def j2_fk_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# =============================================================================
+# J3 — self-join (comment-tree analog: next line item of the same order)
+# (ref reddit_comm_extraction.py:10 id/parent_id schema)
+# =============================================================================
+@q(
+    "j3_self_join_next_line",
+    """
+    SELECT a.l_orderkey AS l_orderkey,
+           a.l_linenumber AS l_linenumber,
+           b.l_quantity AS next_qty
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+    """,
+)
+def j3_self_join_next_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("l_linenumber"),
+        F.col("b.l_quantity").alias("next_qty"),
+    )
+
+
+# =============================================================================
+# A2 — keep-first exact dedup (deterministic: min id per text)
+# (ref parser_media_articles.py:84)
+# =============================================================================
+@q(
+    "a2_dedup_keep_first",
+    """
+    SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text
+    """,
+)
+def a2_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.exact_dedup_keep_first(docs, "text", "doc_id")
+
+
+# =============================================================================
+# A3 — last-wins dedup via window (ref tweet_download.py:50-52)
+# =============================================================================
+@q(
+    "a3_keep_latest",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a3_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return D.keep_latest(ev, "user_id", "ts", "event_id").select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+# =============================================================================
+# A4 — distinct dimension values, lowered (ref reddit_subm_extraction.py:23-24)
+# =============================================================================
+@q(
+    "a4_distinct_dim",
+    "SELECT DISTINCT lower(source) AS source FROM documents WHERE source IS NOT NULL",
+)
+def a4_distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(F.lower("source").alias("source")).na.drop().distinct()
+
+
+# =============================================================================
+# A6 — max high-watermark (ref tweet_download.py:91, made order-independent)
+# =============================================================================
+@q("a6_max_watermark", "SELECT max(ts) AS max_ts, count(*)::BIGINT AS n FROM events")
+def a6_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(F.max("ts").alias("max_ts"), F.count("*").alias("n"))
+
+
+# =============================================================================
+# Aggregations — TPC-H Q1 shape (SURVEY §2.5 extension layer)
+# =============================================================================
+@q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4)      AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4)      AS avg_disc,
+           count(*)::BIGINT               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# =============================================================================
+# Rollup aggregation (grouping-sets family)
+# =============================================================================
+@q(
+    "agg_rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+        )
+    )
+
+
+# =============================================================================
+# Window — top-k per group with deterministic tie-break
+# =============================================================================
+@q(
+    "window_topk_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# =============================================================================
+# Set op — union by name (ref parser_media_articles.py:81,97,113 pd.concat)
+# =============================================================================
+@q(
+    "union_events_orders",
+    """
+    SELECT event_id AS id, ts, 'event' AS kind FROM events
+    UNION ALL
+    SELECT o_orderkey AS id, o_orderdate AS ts, 'order' AS kind FROM orders
+    """,
+)
+def union_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"), F.col("ts"), F.lit("event").alias("kind")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit("order").alias("kind"),
+    )
+    return ev.unionByName(orders)
+
+
+# =============================================================================
+# Scalars — epoch round-trip + date formatting (SURVEY §2.7)
+# =============================================================================
+@q(
+    "scalar_datetime_roundtrip",
+    """
+    SELECT event_id,
+           floor(date_part('epoch', ts))::BIGINT AS epoch_s,
+           to_timestamp(floor(date_part('epoch', ts))::BIGINT)::TIMESTAMP AS ts_trunc,
+           strftime(ts, '%Y-%m-%d') AS day_str
+    FROM events
+    """,
+)
+def scalar_datetime_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        epoch.alias("epoch_s"),
+        F.timestamp_seconds(epoch).alias("ts_trunc"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+    )
+
+
+# =============================================================================
+# Scalar — dotted German date dd.mm.yyyy -> ISO via backref regexp_replace
+# (ref parser_media_articles.py:15)
+# =============================================================================
+@q(
+    "scalar_dotted_date",
+    r"""
+    SELECT event_id,
+           regexp_replace(strftime(ts, '%d.%m.%Y'), '(\d{2})\.(\d{2})\.(\d{4})', '\3-\2-\1') AS iso_date
+    FROM events
+    """,
+)
+def scalar_dotted_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    dotted = F.date_format("ts", "dd.MM.yyyy")
+    return ev.select("event_id", dotted_date_to_iso(dotted).alias("iso_date"))
+
+
+# =============================================================================
+# Scalar — German month-name date -> ISO (explicit map, zero-padded day)
+# (ref parser_media_articles.py:25-26,35-38)
+# =============================================================================
+_GM_CASE = " ".join(
+    f"WHEN {i} THEN '{name}'" for i, name in enumerate(GERMAN_MONTHS, start=1)
+)
+
+
+@q(
+    "scalar_german_date",
+    f"""
+    WITH d AS (
+      SELECT event_id,
+             CAST(day(ts) AS VARCHAR) || '. ' ||
+             (CASE month(ts) {_GM_CASE} END) || ' ' ||
+             CAST(year(ts) AS VARCHAR) AS de_date,
+             strftime(ts, '%Y-%m-%d') AS expect
+      FROM events
+    )
+    SELECT event_id, expect AS iso_date FROM d
+    """,
+)
+def scalar_german_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    month_name = F.element_at(
+        F.array(*[F.lit(m) for m in GERMAN_MONTHS]), F.month("ts")
+    )
+    de_date = F.concat(
+        F.dayofmonth("ts").cast("string"),
+        F.lit(". "),
+        month_name,
+        F.lit(" "),
+        F.year("ts").cast("string"),
+    )
+    return ev.select("event_id", german_date_to_iso(de_date).alias("iso_date"))
+
+
+# =============================================================================
+# LLM layer — exact dedup by normalized md5 fingerprint
+# =============================================================================
+@q(
+    "dedup_fingerprint",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id)::BIGINT AS doc_id,
+           count(*)::BIGINT AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.exact_dedup_by_fingerprint(docs, "text", "doc_id")
+
+
+# =============================================================================
+# LLM layer — rolling-hash document fingerprint (pure integer arithmetic)
+# =============================================================================
+@q(
+    "text_rolling_fingerprint",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+                            x -> ascii(x)::BIGINT) AS cs
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(cs) = 0 THEN 0
+                ELSE list_reduce(cs, (acc, x) -> (acc * 31 + x) % 1000000007)
+           END::BIGINT AS fp
+    FROM d
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.rolling_fingerprint("text").alias("fp"))
+
+
+# =============================================================================
+# LLM layer — token counting (whitespace + BPE-ish regex)
+# =============================================================================
+@q(
+    "text_token_counts",
+    rf"""
+    SELECT doc_id,
+           len({_TOKS})::BIGINT AS n_tokens_ws,
+           len(regexp_extract_all(text, '{TA.BPE_ISH_PATTERN}'))::BIGINT AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.ws_token_count("text").cast("long").alias("n_tokens_ws"),
+        TA.bpe_ish_token_count("text").cast("long").alias("n_tokens_bpe"),
+    )
+
+
+# =============================================================================
+# LLM layer — language-ID heuristic (stopword argmax)
+# =============================================================================
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TA.STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"x -> list_contains([{words}], x)))"
+    )
+
+
+@q(
+    "text_language_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_lang_hits_sql("en")} AS h_en,
+             {_lang_hits_sql("de")} AS h_de,
+             {_lang_hits_sql("es")} AS h_es,
+             {_lang_hits_sql("fr")} AS h_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'unk'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+                WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.language_id("text").alias("lang_pred"))
+
+
+# =============================================================================
+# LLM layer — quality score
+# =============================================================================
+_SW_EN = ", ".join(f"'{w}'" for w in TA.STOPWORDS["en"])
+
+
+@q(
+    "text_quality_score",
+    rf"""
+    WITH d AS (
+      SELECT doc_id,
+             len({_TOKS})::DOUBLE AS n_tok,
+             len(list_filter(string_split_regex(lower(text), '\s+'), x -> list_contains([{_SW_EN}], x)))::DOUBLE AS sw,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             least(n_tok / 50.0, 1.0) * 0.4
+             + least(CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END * 5.0, 1.0) * 0.4
+             + (1.0 - least(CASE WHEN n > 0 THEN punct::DOUBLE / n ELSE 0.0 END * 2.0, 1.0)) * 0.2,
+           6) AS quality
+    FROM d
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.quality_score("text").alias("quality"))
+
+
+# =============================================================================
+# LLM layer — MinHash signatures (cross-engine-deterministic hash family)
+# =============================================================================
+_MINHASH_N = 3
+_MINHASH_K = 8
+_SHINGLE_SQL = (
+    "list_transform(range(greatest(len(toks) - 2, 0)), "
+    "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
+)
+_HASH_MINS = ", ".join(
+    f"min(({a} * sid + {b}) % 2147483647) AS h{i}"
+    for i, (a, b) in enumerate(D._HASH_AB[:_MINHASH_K])
+)
+
+
+@q(
+    "dedup_minhash_signatures",
+    f"""
+    WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, unnest({_SHINGLE_SQL}) AS shingle FROM docs
+    ),
+    ids AS (
+      SELECT shingle, dense_rank() OVER (ORDER BY shingle)::BIGINT AS sid
+      FROM (SELECT DISTINCT shingle FROM sh)
+    ),
+    j AS (SELECT id, sid FROM sh JOIN ids USING (shingle)),
+    sigs AS (SELECT id, {_HASH_MINS} FROM j GROUP BY id)
+    SELECT id, array_to_string([{", ".join(f"h{i}" for i in range(_MINHASH_K))}], ',') AS sig
+    FROM sigs
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n=_MINHASH_N, num_hashes=_MINHASH_K)
+    return sigs.select("id", F.array_join("sig", ",").alias("sig"))
+
+
+# =============================================================================
+# LLM layer — MinHash-LSH candidate pairs (banded buckets, unigram shingles
+# so the tiny synthetic vocabulary actually produces candidates)
+# =============================================================================
+_LSH_BANDS = 4
+_LSH_ROWS = 2
+_UNIGRAM_SQL = "toks"
+_LSH_BUCKETS = ", ".join(
+    "(" + " || '_' || ".join(f"CAST(h{b * _LSH_ROWS + r} AS VARCHAR)" for r in range(_LSH_ROWS)) + f") AS bucket{b}"
+    for b in range(_LSH_BANDS)
+)
+
+
+@q(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 300),
+    sh AS (SELECT DISTINCT doc_id AS id, unnest(toks) AS shingle FROM docs),
+    ids AS (
+      SELECT shingle, dense_rank() OVER (ORDER BY shingle)::BIGINT AS sid
+      FROM (SELECT DISTINCT shingle FROM sh)
+    ),
+    j AS (SELECT id, sid FROM sh JOIN ids USING (shingle)),
+    sigs AS (SELECT id, {_HASH_MINS} FROM j GROUP BY id),
+    banded AS (SELECT id, {_LSH_BUCKETS} FROM sigs),
+    longf AS (
+      {" UNION ALL ".join(f"SELECT id, {b} AS band, bucket{b} AS bucket FROM banded" for b in range(_LSH_BANDS))}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM longf a JOIN longf b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=_MINHASH_K)
+    return D.minhash_lsh_candidates(sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+
+
+# =============================================================================
+# LLM layer — exact n-gram Jaccard near-dup pairs (inverted-index join)
+# =============================================================================
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 300),
+    sh AS (SELECT DISTINCT doc_id AS id, unnest(toks) AS shingle FROM docs),
+    sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.75
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.75)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# =============================================================================
+# LLM layer — SimHash signatures (12-bit, universal-hash bit planes)
+# =============================================================================
+_SIMHASH_BITS = 12
+_SIM_SUMS = ", ".join(
+    f"sum(w * ((({a} * tid + {b}) % 2147483647) % 2 * 2 - 1)) AS s{j}"
+    for j, (a, b) in enumerate(D._HASH_AB[:_SIMHASH_BITS])
+)
+_SIM_BITS = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+)
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (SELECT id, tok, count(*)::BIGINT AS w FROM tok GROUP BY 1, 2),
+    dim AS (
+      SELECT tok, dense_rank() OVER (ORDER BY tok)::BIGINT AS tid
+      FROM (SELECT DISTINCT tok FROM cnt)
+    ),
+    j AS (SELECT id, w, tid FROM cnt JOIN dim USING (tok)),
+    s AS (SELECT id, {_SIM_SUMS} FROM j GROUP BY id)
+    SELECT id, ({_SIM_BITS})::BIGINT AS simhash FROM s
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS).select(
+        "id", F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+# =============================================================================
+# LLM layer — brute-force cosine top-k similarity search
+# =============================================================================
+@q(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+    s AS (
+      SELECT qid AS query_id, nid AS neighbor_id,
+             list_sum(list_transform(range(len(qe)), i -> qe[i+1]::DOUBLE * ce[i+1]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(len(qe)), i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(len(ce)), i -> ce[i+1]::DOUBLE * ce[i+1]::DOUBLE)))) AS cos
+      FROM c, q WHERE nid <> qid
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = SIM.cosine_topk(emb, queries, k=5)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# =============================================================================
+# Streaming-shape analytics — tumbling-window aggregate over events
+# (batch spelling of the Structured Streaming windowed agg; SURVEY §2.9)
+# =============================================================================
+@q(
+    "events_windowed_agg",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+# =============================================================================
+# Sessionization — 30-min-gap sessions per user (lag + cumulative sum)
+# =============================================================================
+@q(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# =============================================================================
+# Multi-join analytics — TPC-H Q3/Q5 shapes (bench headliners)
+# =============================================================================
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def registry() -> dict[str, QueryDef]:
+    return {d.name: d for d in REGISTRY}
