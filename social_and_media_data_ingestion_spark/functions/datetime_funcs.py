@@ -43,7 +43,7 @@ def _c(col):
 def epoch_to_timestamp(col: Column | str) -> Column:
     """Epoch seconds (long OR string digits) -> UTC timestamp
     (ref reddit_subm_extraction.py:85 int(...) tolerance)."""
-    return F.timestamp_seconds(F.try_cast(_c(col), "long"))
+    return F.timestamp_seconds(_c(col).try_cast("long"))
 
 
 def lenient_timestamp(col: Column | str) -> Column:

@@ -27,20 +27,30 @@ def read_ndjson(
     """NDJSON (optionally .zst/.gz — decompressed by Hadoop codec by
     extension) with corrupt-record capture. Parity with the reference's
     json.loads-with-skip loop (reddit_subm_extraction.py:83-93), but the
-    JSON parse is JVM-side and schema-pruned by Catalyst."""
-    return (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    JSON parse is JVM-side and field-pruned by Catalyst (OptimizeJsonExprs).
+
+    Implementation: `text` scan + `from_json` rather than the json reader —
+    the json reader's internal corrupt-record column cannot be referenced
+    on its own (Spark restriction), which breaks bad-row accounting plans;
+    with from_json the corrupt column is an ordinary computed column."""
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.from_json(
+            F.col("value"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("j")
     )
+    return parsed.select("j.*")
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good_rows, bad_rows). Replaces the reference's `bad` counter with a
-    side output; count(bad_rows) reproduces the metric."""
+    side output; count(bad_rows) reproduces the metric. The bad side keeps
+    the full schema: Spark forbids plans referencing ONLY the internal
+    corrupt-record column of a JSON scan."""
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return good, bad
 
 

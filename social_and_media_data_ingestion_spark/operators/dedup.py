@@ -99,10 +99,14 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     sliding zip over the token array, entirely JVM-side."""
     toks = _tokens(text_col)
     # shingle i = tokens[i .. i+n-1] joined by space, for i in 0..len-n
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # (guard: sequence(0, -1) would generate a DESCENDING sequence)
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
         .distinct()

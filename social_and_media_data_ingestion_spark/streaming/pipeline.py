@@ -1,0 +1,92 @@
+"""Structured Streaming pipelines (SURVEY §2.9 T1-T8).
+
+The reference's Twitter loop is a hand-rolled micro-batch stream; here the
+same semantics ride Structured Streaming proper:
+- T2 offset checkpointing  -> checkpointLocation WAL
+- T3 event-time watermark  -> withWatermark
+- T4 incremental append    -> outputMode("append")
+- T5 fixed inter-batch gap -> trigger(processingTime=...)
+- T8 (beyond parity) duplicate suppression within the watermark
+  -> dropDuplicates on id — the reference re-appends duplicates on rerun.
+
+All builders accept any streaming DataFrame; tests drive them with a
+file source + memory sink via processAllAvailable().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_stream(
+    spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet"
+) -> DataFrame:
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def dedup_within_watermark(
+    df: DataFrame, id_col: str, ts_col: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """T8: exactly-once-per-id within the watermark horizon. State is
+    bounded by the watermark — safe for unbounded streams."""
+    return df.withWatermark(ts_col, delay).dropDuplicates([id_col, ts_col])
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "5 minutes",
+    delay: str = "10 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window count + sum over an event stream with late-data
+    tolerance `delay`. Append-mode-compatible (watermarked)."""
+    keys = [F.window(ts_col, window).alias("w")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *[F.col(c) for c in (group_cols or [])],
+            "n",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    trigger_seconds: float | None = None,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Start -> drain available input -> return query (caller stops it).
+    The synchronous local harness for streaming tests."""
+    writer = df.writeStream.outputMode(output_mode).format("memory").queryName(
+        query_name
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    q = writer.start()
+    q.processAllAvailable()
+    return q
+
+
+def append_to_parquet(
+    df: DataFrame, out_path: str, checkpoint_path: str, available_now: bool = True
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """T2+T4: append sink with offset WAL; availableNow drains and stops
+    (the reference's run-to-exhaustion loop, resumable by checkpoint)."""
+    writer = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,60 @@
+"""Download sink: URL-shape filter, retry envelope, success/error split."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.operators.filters import is_image_url
+from social_and_media_data_ingestion_spark.sinks.image_download import (
+    download_images,
+)
+
+POSTS = [
+    ("p1", "http://ex.com/a.jpg"),
+    ("p2", "http://ex.com/b.PNG"),
+    ("p3", "https://imgur.com/xyz"),
+    ("p4", "http://ex.com/page.html"),
+    ("p5", "http://ex.com/fail.gif"),
+    ("p6", "http://ex.com/flaky.gif"),
+]
+
+
+def test_url_shape_filter(spark):
+    df = spark.createDataFrame(POSTS, ["id", "url"])
+    kept = {r.id for r in df.filter(is_image_url("url")).collect()}
+    assert kept == {"p1", "p2", "p3", "p5", "p6"}
+
+
+def test_download_split_and_retry(spark, tmp_path):
+    df = spark.createDataFrame(POSTS, ["id", "url"]).filter(is_image_url("url"))
+    attempts: dict[str, int] = {}
+
+    def fake_fetch(url: str) -> bytes:
+        n = attempts.get(url, 0) + 1
+        attempts[url] = n
+        if "fail" in url:
+            raise OSError("boom")
+        if "flaky" in url and n < 3:
+            raise OSError("transient")
+        return b"\xff\xd8bytes"
+
+    out = str(tmp_path / "imgs")
+    res = download_images(
+        df.repartition(1),  # shared attempts dict needs one worker
+        out,
+        fetcher=fake_fetch,
+        backoff_base_s=0,
+        politeness_s=(0, 0),
+    ).cache()
+    ok = {r.id: r for r in res.filter(F.col("ok")).collect()}
+    err = {r.id: r for r in res.filter(~F.col("ok")).collect()}
+    assert set(ok) == {"p1", "p2", "p3", "p6"}
+    assert set(err) == {"p5"}
+    assert err["p5"].attempts == 3 and "boom" in err["p5"].error
+    assert ok["p6"].attempts == 3  # flaky succeeded on 3rd try
+    for r in ok.values():
+        assert os.path.exists(r.path)
+        with open(r.path, "rb") as f:
+            assert f.read() == b"\xff\xd8bytes"

@@ -1,0 +1,101 @@
+"""Keyword-matcher semantics: the reference's two DISTINCT match modes
+(substring vs word-boundary) proven against a naive Python model
+(SURVEY §5 item 3: property-based equivalence)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from social_and_media_data_ingestion_spark.operators.keyword_match import (
+    contains_any,
+    contains_any_large,
+    expand_hyphen_variants,
+    matches_any_word,
+)
+
+KWS = ["spark", "data-set", "über"]
+
+
+def naive_substring(text: str, kws: list[str]) -> bool:
+    low = text.lower()
+    return any(k.lower() in low for k in kws)
+
+
+def naive_word(text: str, kws: list[str]) -> bool:
+    pats = [
+        r"\b(" + "|".join(re.escape(k) for k in expand_hyphen_variants(kws)) + r")\b"
+    ]
+    return any(re.search(p, text, re.IGNORECASE) for p in pats)
+
+
+def run_filter(spark, texts: list[str], pred) -> set[str]:
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    return {r.text for r in df.filter(pred).collect()}
+
+
+CASES = [
+    "SPARK is here",
+    "sparkling water",       # substring hit, word-boundary miss
+    "no match at all",
+    "the data-set is big",
+    "a data set indeed",     # hyphen-variant word match
+    "dataset unbroken",      # neither (no boundary, no hyphen/space form)
+    "über alles",
+    "",
+]
+
+
+def test_substring_vs_word_boundary_semantics(spark):
+    got_sub = run_filter(spark, CASES, contains_any(["text"], KWS))
+    got_word = run_filter(spark, CASES, matches_any_word(["text"], KWS))
+    exp_sub = {t for t in CASES if naive_substring(t, KWS)}
+    exp_word = {t for t in CASES if naive_word(t, KWS)}
+    assert got_sub == exp_sub
+    assert got_word == exp_word
+    # the two semantics genuinely differ on these cases
+    assert "sparkling water" in got_sub and "sparkling water" not in got_word
+    assert "a data set indeed" in got_word
+
+
+def test_multi_column_any(spark):
+    df = spark.createDataFrame(
+        [("spark here", ""), ("", "also spark"), ("none", "none")],
+        ["title", "selftext"],
+    )
+    got = df.filter(contains_any(["title", "selftext"], ["spark"])).count()
+    assert got == 2
+
+
+def test_large_keyword_set_pandas_path(spark):
+    texts = ["alpha beta", "gamma delta", "epsilon zeta"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    kws = [f"kw{i}" for i in range(50)] + ["gamma"]
+    got = {r.text for r in df.filter(contains_any_large(["text"], kws)).collect()}
+    assert got == {"gamma delta"}
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd", "Zs"), max_codepoint=0x24F
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_property_substring_equivalence(spark, texts):
+    got = run_filter(spark, list(set(texts)), contains_any(["text"], KWS))
+    exp = {t for t in set(texts) if naive_substring(t, KWS)}
+    assert got == exp
+
+
+def test_hyphen_variant_expansion():
+    assert expand_hyphen_variants(["a-b", "c"]) == ["a-b", "a b", "c"]

@@ -1,0 +1,153 @@
+"""Operator unit tests: dedup determinism/idempotence, union conservation,
+datetime round-trips, near-dup building blocks (SURVEY §5 item 3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.functions.datetime_funcs import (
+    dotted_date_to_iso,
+    epoch_to_timestamp,
+    german_date_to_iso,
+)
+from social_and_media_data_ingestion_spark.operators.dedup import (
+    exact_dedup_keep_first,
+    keep_latest,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from social_and_media_data_ingestion_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+
+
+def test_dedup_keep_first_deterministic_and_idempotent(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y"), (5, "x")], ["id", "text"]
+    )
+    once = exact_dedup_keep_first(df, "text", "id")
+    assert {(r.id, r.text) for r in once.collect()} == {(1, "x"), (2, "y")}
+    twice = exact_dedup_keep_first(once, "text", "id")
+    assert sorted(twice.collect()) == sorted(once.collect())
+
+
+def test_keep_latest(spark):
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("u1", base, "old"), ("u1", base + dt.timedelta(1), "new"),
+         ("u2", base, "only")],
+        ["id", "ts", "name"],
+    )
+    got = {r.id: r.name for r in keep_latest(df, "id", "ts", "name").collect()}
+    assert got == {"u1": "new", "u2": "only"}
+
+
+def test_union_conserves_rows(spark):
+    a = spark.createDataFrame([(1, "a")], ["id", "v"])
+    b = spark.createDataFrame([("b", 2)], ["v", "id"])
+    u = a.unionByName(b)
+    assert u.count() == 2
+    assert {tuple(r) for r in u.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_epoch_roundtrip(spark):
+    df = spark.createDataFrame([("1600000000",), ("oops",), (None,)], ["e"])
+    got = df.select(epoch_to_timestamp("e").alias("ts")).collect()
+    assert got[0].ts == dt.datetime(2020, 9, 13, 12, 26, 40)
+    assert got[1].ts is None and got[2].ts is None
+
+
+def test_german_and_dotted_dates(spark):
+    df = spark.createDataFrame(
+        [("7. März 2021",), ("15. Dezember 1999",), ("garbage",)], ["d"]
+    )
+    got = [r.iso for r in df.select(german_date_to_iso("d").alias("iso")).collect()]
+    assert got == ["2021-03-07", "1999-12-15", None]
+    df2 = spark.createDataFrame([("01.02.2021 rest",)], ["d"])
+    assert df2.select(dotted_date_to_iso("d").alias("x")).first().x == "2021-02-01 rest"
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "completely different words entirely here now"),
+    (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["id", "text"])
+    got = {r.shingle for r in word_shingles(df, "id", "text", 3).collect()}
+    assert got == {"a b c", "b c d"}
+    # shorter than n -> no shingles
+    df2 = spark.createDataFrame([(1, "a b")], ["id", "text"])
+    assert word_shingles(df2, "id", "text", 3).count() == 0
+
+
+def test_minhash_identical_docs_same_sig(spark):
+    df = spark.createDataFrame(DOCS, ["id", "text"])
+    sigs = {r.id: tuple(r.sig) for r in minhash_signatures(df, "id", "text").collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = spark.createDataFrame(DOCS, ["id", "text"])
+    sigs = minhash_signatures(df, "id", "text", n=2)
+    pairs = {
+        (r.id_a, r.id_b) for r in minhash_lsh_candidates(sigs).collect()
+    }
+    assert (1, 4) in pairs           # exact dups always collide
+    assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(DOCS, ["id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "id", "text", n=1, threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 <= pairs[(1, 2)] < 1.0
+    assert (1, 3) not in pairs
+
+
+def test_simhash_clusters_exact_dups(spark):
+    df = spark.createDataFrame(DOCS, ["id", "text"])
+    sigs = {r.id: r.simhash for r in simhash(df, "id", "text").collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+
+
+EMB = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0]),
+    (3, [0.0, 1.0, 0.0]),
+    (4, [0.0, 0.0, 1.0]),
+]
+
+
+def test_cosine_topk(spark):
+    df = spark.createDataFrame(EMB, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 1)
+    got = [
+        (r.neighbor_id, r.rank)
+        for r in cosine_topk(df, q, k=2).orderBy("rank").collect()
+    ]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_lsh_and_ivf_rank_nearest_first(spark):
+    df = spark.createDataFrame(EMB, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 1)
+    lsh = lsh_bucketed_topk(df, q, k=2, planes=2).orderBy("rank").collect()
+    assert lsh and lsh[0].neighbor_id == 2  # nearest survives bucketing
+    ivf = ivf_topk(df, q, k=2, n_centroids=2, nprobe=2).orderBy("rank").collect()
+    assert ivf and ivf[0].neighbor_id == 2
