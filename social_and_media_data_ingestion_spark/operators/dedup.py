@@ -7,20 +7,22 @@ row_number, which is order-independent and reproducible.
 
 Cross-engine determinism for near-dup: MinHash/SimHash usually use a
 native hash (xxhash64) whose exact value differs between engines. To make
-results verifiable against a SQL oracle, the hash family here is the
-classic universal hash h_i(x) = (a_i * x + b_i) mod P over a token id
-assigned by dense_rank over the distinct shingles — pure integer
-arithmetic, identical in any engine. At 100 TB you'd swap `_token_ids`'s
-rank join for `xxhash64(shingle)` (no shuffle, no global dim) via
-`use_xxhash=True`; semantics are the same, values differ.
+results verifiable against a SQL oracle, the token hash here is a
+polynomial rolling hash over the shingle's characters (pure integer
+arithmetic — identical in any engine), fed into the classic universal
+hash family h_i(x) = (a_i * x + b_i) mod P. Pass hash_fn="xxhash64" to
+swap in Spark's native hash (faster JVM path, not oracle-comparable).
 
 Scale notes:
 - Exact dedup: hash-aggregate on a fingerprint (one shuffle on a short
   key, not the full text).
-- MinHash-LSH: shuffle cost is O(#shingles) for the explode + one
-  aggregate per doc + one self-join on (band, band_hash) buckets —
+- MinHash / SimHash signatures: MAP-ONLY — signatures are computed from
+  the token array within each row (higher-order array functions), no
+  explode, no shuffle, no global dictionary. This is the property that
+  survives a 100 TB corpus: signature cost is O(tokens/doc) per row and
+  partitions never exchange data.
+- MinHash-LSH candidates: one self-join on (band, band_hash) buckets —
   candidate pairs only, never the n^2 cross join.
-- SimHash: one explode + aggregate; clustering by exact signature equality.
 """
 
 from __future__ import annotations
@@ -87,6 +89,10 @@ def keep_latest(df: DataFrame, key: str, order_col: str, tiebreak: str) -> DataF
 # --- Shingling ----------------------------------------------------------------
 
 
+_POLY_BASE = 31
+_POLY_MOD = 1_000_000_007
+
+
 def _tokens(text_col: str):
     """Whitespace tokens of lowercased text; empty strings removed."""
     return F.filter(
@@ -94,32 +100,37 @@ def _tokens(text_col: str):
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) — distinct word n-grams per document. Built with a
-    sliding zip over the token array, entirely JVM-side."""
+def _polyhash(s):
+    """Polynomial rolling hash of a string column/lambda-var — the
+    cross-engine-deterministic token hash (pure integer arithmetic)."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * _POLY_BASE + F.ascii(ch)) % _POLY_MOD,
+    )
+
+
+def _shingle_array(text_col: str, n: int):
+    """Array of word n-grams (with multiplicity) of a text column —
+    evaluated row-local, never exploded."""
     toks = _tokens(text_col)
-    # shingle i = tokens[i .. i+n-1] joined by space, for i in 0..len-n
-    # (guard: sequence(0, -1) would generate a DESCENDING sequence)
-    shingles = F.when(
+    if n == 1:
+        return toks
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
 
 
-def _token_ids(shingled: DataFrame) -> DataFrame:
-    """Assign a deterministic integer id to each distinct shingle via
-    dense_rank over the sorted distinct shingles. Cross-engine reproducible
-    (vs xxhash64). Global sort over the distinct-shingle dim only."""
-    dim = shingled.select("shingle").distinct()
-    w = Window.orderBy("shingle")
-    return dim.withColumn("sid", F.dense_rank().over(w).cast("long"))
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document, exploded for
+    inverted-index joins (Jaccard verify stage)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(_shingle_array(text_col, n)).alias("shingle")
+    ).distinct()
 
 
 def minhash_signatures(
@@ -128,20 +139,29 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     num_hashes: int = 8,
-    use_xxhash: bool = False,
+    hash_fn: str = "poly",
 ) -> DataFrame:
-    """(id, sig: array<long>) MinHash signature per document."""
-    sh = word_shingles(df, id_col, text_col, n)
-    if use_xxhash:
-        ids = sh.select("id", (F.pmod(F.xxhash64("shingle"), F.lit(_P))).alias("sid"))
+    """(id, sig: array<long>) MinHash signature per document.
+
+    MAP-ONLY: h_i = min over shingles of (a_i * hash(shingle) + b_i) % P,
+    computed inside the row via transform + array_min — no explode, no
+    shuffle, no token dictionary. hash_fn: "poly" (cross-engine
+    deterministic) or "xxhash64" (native JVM, fastest)."""
+    shingles = _shingle_array(text_col, n)
+    if hash_fn == "xxhash64":
+        sid = lambda s: F.pmod(F.xxhash64(s), F.lit(_P))  # noqa: E731
     else:
-        ids = sh.join(_token_ids(sh), "shingle").select("id", "sid")
-    aggs = [
-        F.min((F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+        sid = _polyhash
+    hashed = F.transform(shingles, sid)
+    mins = [
+        F.array_min(
+            F.transform(hashed, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_P))
+        ).alias(f"h{i}")
         for i, (a, b) in enumerate(_HASH_AB[:num_hashes])
     ]
-    sigs = ids.groupBy("id").agg(*aggs)
-    return sigs.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    return df.select(F.col(id_col).alias("id"), *mins).select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -225,39 +245,37 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 12
+    df: DataFrame, id_col: str, text_col: str, bits: int = 12, hash_fn: str = "poly"
 ) -> DataFrame:
     """(id, simhash) — bit j of the signature is the sign of the sum over
-    tokens of (2 * bit_j(token) - 1), where bit_j(token) = universal-hash
-    parity. Identical-signature groups are near-dup clusters."""
+    token INSTANCES of (2 * bit_j(token) - 1), where bit_j(token) =
+    universal-hash parity of the token hash. Summing over instances is
+    count-weighting, so the whole signature is computed row-local from the
+    token array: MAP-ONLY, no explode/shuffle/dictionary.
+    Identical-signature groups are near-dup clusters."""
     assert bits <= len(_HASH_AB)
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
-    )
-    sh = toks.groupBy("id", "tok").agg(F.count("*").alias("w"))
-    dim = sh.select("tok").distinct()
-    w_rank = Window.orderBy("tok")
-    tok_ids = dim.withColumn("tid", F.dense_rank().over(w_rank).cast("long"))
-    sh = sh.join(tok_ids, "tok")
+    toks = _tokens(text_col)
+    if hash_fn == "xxhash64":
+        tid = lambda s: F.pmod(F.xxhash64(s), F.lit(_P))  # noqa: E731
+    else:
+        tid = _polyhash
+    hashed = F.transform(toks, tid)
     bit_sums = [
-        F.sum(
-            F.col("w")
-            * (
-                ((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(_P)) % 2 * 2
-                - 1
-            )
-        ).alias(f"s{j}")
-        for j, (a, b) in enumerate(_HASH_AB[:bits])
+        F.aggregate(
+            F.transform(
+                hashed,
+                lambda x: ((F.lit(a) * x + F.lit(b)) % F.lit(_P)) % 2 * 2 - 1,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for (a, b) in _HASH_AB[:bits]
     ]
-    sums = sh.groupBy("id").agg(*bit_sums)
-    sig = sums.select(
-        "id",
-        sum(
-            [
-                F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-                for j in range(bits)
-            ],
-            F.lit(0),
-        ).alias("simhash"),
+    sig_expr = sum(
+        [
+            F.when(bit_sums[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(bits)
+        ],
+        F.lit(0),
     )
-    return sig
+    return df.select(F.col(id_col).alias("id"), sig_expr.cast("long").alias("simhash"))

@@ -782,7 +782,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
-# LLM layer — MinHash signatures (cross-engine-deterministic hash family)
+# LLM layer — MinHash signatures. Map-only on both engines: token hash =
+# polynomial rolling hash (pure integer arithmetic), h_i = min over
+# shingles of the universal hash family.
 # =============================================================================
 _MINHASH_N = 3
 _MINHASH_K = 8
@@ -790,8 +792,13 @@ _SHINGLE_SQL = (
     "list_transform(range(greatest(len(toks) - 2, 0)), "
     "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
 )
+_POLYHASH_SQL = (
+    "list_transform({arr}, s -> list_reduce("
+    "list_transform(string_split(s, ''), x -> ascii(x)::BIGINT), "
+    "(acc, x) -> (acc * 31 + x) % 1000000007))"
+)
 _HASH_MINS = ", ".join(
-    f"min(({a} * sid + {b}) % 2147483647) AS h{i}"
+    f"list_min(list_transform(hs, x -> ({a} * x + {b}) % 2147483647)) AS h{i}"
     for i, (a, b) in enumerate(D._HASH_AB[:_MINHASH_K])
 )
 
@@ -800,15 +807,10 @@ _HASH_MINS = ", ".join(
     "dedup_minhash_signatures",
     f"""
     WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id AS id, unnest({_SHINGLE_SQL}) AS shingle FROM docs
+    hashed AS (
+      SELECT doc_id AS id, {_POLYHASH_SQL.format(arr=_SHINGLE_SQL)} AS hs FROM docs
     ),
-    ids AS (
-      SELECT shingle, dense_rank() OVER (ORDER BY shingle)::BIGINT AS sid
-      FROM (SELECT DISTINCT shingle FROM sh)
-    ),
-    j AS (SELECT id, sid FROM sh JOIN ids USING (shingle)),
-    sigs AS (SELECT id, {_HASH_MINS} FROM j GROUP BY id)
+    sigs AS (SELECT id, {_HASH_MINS} FROM hashed)
     SELECT id, array_to_string([{", ".join(f"h{i}" for i in range(_MINHASH_K))}], ',') AS sig
     FROM sigs
     """,
@@ -825,7 +827,6 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 _LSH_BANDS = 4
 _LSH_ROWS = 2
-_UNIGRAM_SQL = "toks"
 _LSH_BUCKETS = ", ".join(
     "(" + " || '_' || ".join(f"CAST(h{b * _LSH_ROWS + r} AS VARCHAR)" for r in range(_LSH_ROWS)) + f") AS bucket{b}"
     for b in range(_LSH_BANDS)
@@ -836,13 +837,10 @@ _LSH_BUCKETS = ", ".join(
     "dedup_minhash_lsh_pairs",
     f"""
     WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 300),
-    sh AS (SELECT DISTINCT doc_id AS id, unnest(toks) AS shingle FROM docs),
-    ids AS (
-      SELECT shingle, dense_rank() OVER (ORDER BY shingle)::BIGINT AS sid
-      FROM (SELECT DISTINCT shingle FROM sh)
+    hashed AS (
+      SELECT doc_id AS id, {_POLYHASH_SQL.format(arr="toks")} AS hs FROM docs
     ),
-    j AS (SELECT id, sid FROM sh JOIN ids USING (shingle)),
-    sigs AS (SELECT id, {_HASH_MINS} FROM j GROUP BY id),
+    sigs AS (SELECT id, {_HASH_MINS} FROM hashed),
     banded AS (SELECT id, {_LSH_BUCKETS} FROM sigs),
     longf AS (
       {" UNION ALL ".join(f"SELECT id, {b} AS band, bucket{b} AS bucket FROM banded" for b in range(_LSH_BANDS))}
@@ -890,7 +888,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 _SIMHASH_BITS = 12
 _SIM_SUMS = ", ".join(
-    f"sum(w * ((({a} * tid + {b}) % 2147483647) % 2 * 2 - 1)) AS s{j}"
+    f"list_sum(list_transform(hs, x -> (({a} * x + {b}) % 2147483647) % 2 * 2 - 1)) AS s{j}"
     for j, (a, b) in enumerate(D._HASH_AB[:_SIMHASH_BITS])
 )
 _SIM_BITS = " + ".join(
@@ -901,16 +899,11 @@ _SIM_BITS = " + ".join(
 @q(
     "dedup_simhash",
     f"""
-    WITH tok AS (
-      SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents
+    WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hashed AS (
+      SELECT doc_id AS id, {_POLYHASH_SQL.format(arr="toks")} AS hs FROM docs
     ),
-    cnt AS (SELECT id, tok, count(*)::BIGINT AS w FROM tok GROUP BY 1, 2),
-    dim AS (
-      SELECT tok, dense_rank() OVER (ORDER BY tok)::BIGINT AS tid
-      FROM (SELECT DISTINCT tok FROM cnt)
-    ),
-    j AS (SELECT id, w, tid FROM cnt JOIN dim USING (tok)),
-    s AS (SELECT id, {_SIM_SUMS} FROM j GROUP BY id)
+    s AS (SELECT id, {_SIM_SUMS} FROM hashed)
     SELECT id, ({_SIM_BITS})::BIGINT AS simhash FROM s
     """,
 )
