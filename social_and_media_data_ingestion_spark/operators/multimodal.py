@@ -1,0 +1,190 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design for 100 TB of media:
+- payload is an opaque `binary` column; metadata is a typed struct column
+  (never re-derived by decoding twice);
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  pandas functions inside `mapInPandas` — one Python boundary, whole
+  batches per crossing;
+- partitioning: media rows are heavy, so operators preserve the incoming
+  partitioning and never shuffle; repartition by size upstream if batches
+  overflow Arrow limits (`spark.sql.execution.arrow.maxRecordsPerBatch`).
+
+The real codec libraries (PIL / torchaudio / pyav) are NOT in this
+container, so the actual decoders are STUBS that raise NotImplementedError
+with a clear message; every operator also ships a deterministic fake
+(`fake=True`, the default) so the Spark-side plumbing — schema, UDF
+signature, batch shape, metadata contract — is real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),       # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_offset_ms", T.IntegerType()),
+    ]
+)
+
+_STUB_MSG = (
+    "real {what} decoding requires {lib}, which is not installed in this "
+    "environment; use fake=True for the deterministic stand-in"
+)
+
+
+def attach_meta(df: DataFrame, payload_col: str, kind: str, mime: str) -> DataFrame:
+    """Stamp the typed metadata struct for an opaque payload column."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(mime).alias("mime"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _fake_dims(n: int) -> tuple[int, int, int]:
+    """Deterministic pseudo-dimensions from payload length — pure
+    arithmetic, reproducible in any engine (used by the oracle too)."""
+    return (n % 256 + 1, n // 256 % 256 + 1, 3)
+
+
+def decode_images(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload", fake: bool = True
+) -> DataFrame:
+    """payload -> (width, height, channels). Arrow-batched mapInPandas."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(_STUB_MSG.format(what="image", lib="Pillow"))
+            dims = [_fake_dims(len(bytes(p))) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, IMAGE_DECODE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """payload -> resized payload (stub: truncated/padded byte budget
+    proportional to target area — keeps batch/byte plumbing honest)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = target_w * target_h * 3
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(_STUB_MSG.format(what="image", lib="Pillow"))
+            out = [
+                bytes(p)[:budget].ljust(budget, b"\0") for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "payload": out})
+
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """payload -> float feature vector (stub: first `dim` bytes / 255)."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    _STUB_MSG.format(what="media-embedding", lib="torch/PIL")
+                )
+            feats = [
+                [b / 255.0 for b in bytes(p)[:dim].ljust(dim, b"\0")]
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "feature": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(_feat, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    duration_ms_col: str = "duration_ms",
+    fake: bool = True,
+) -> DataFrame:
+    """video metadata -> one row per sampled frame (1-file -> N-rows UDTF
+    shape; stub needs only duration, no codec)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(_STUB_MSG.format(what="video", lib="pyav"))
+            ids, idxs, offs = [], [], []
+            for mid, dur in zip(pdf[id_col], pdf[duration_ms_col]):
+                for i, off in enumerate(range(0, int(dur), every_ms)):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    offs.append(off)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_offset_ms": offs}
+            )
+
+    return df.select(id_col, duration_ms_col).mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)

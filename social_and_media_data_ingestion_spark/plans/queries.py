@@ -1095,5 +1095,468 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =============================================================================
+# J4 — anti join (NOT EXISTS)
+# =============================================================================
+@q(
+    "j4_anti_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+# =============================================================================
+# J5 — as-of semantics: for every event, the most recent prior-or-same
+# 'login' time of the same user (carry-forward window — the shuffle-light
+# spelling of an as-of join against the login sub-stream)
+# =============================================================================
+@q(
+    "j5_asof_last_login",
+    """
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'login' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_login_ts
+    FROM events
+    """,
+)
+def j5_asof_last_login(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    login_ts = F.when(F.col("event_type") == "login", F.col("ts"))
+    return ev.select(
+        "event_id", F.last(login_ts, ignorenulls=True).over(w).alias("last_login_ts")
+    )
+
+
+# =============================================================================
+# J6 — range (band) join: orders binned into price bands
+# =============================================================================
+_BANDS = [(0.0, 1000.0, "small"), (1000.0, 5000.0, "mid"), (5000.0, 1e9, "large")]
+
+
+@q(
+    "j6_range_band_join",
+    f"""
+    WITH bands(lo, hi, band) AS (VALUES
+      {", ".join(f"({lo}, {hi}, '{nm}')" for lo, hi, nm in _BANDS)})
+    SELECT o_orderkey, band
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    """,
+)
+def j6_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, ["lo", "hi", "band"])
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .select("o_orderkey", "band")
+    )
+
+
+# =============================================================================
+# Set ops — INTERSECT / EXCEPT
+# =============================================================================
+@q(
+    "setop_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q(
+    "setop_except",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(c)  # EXCEPT (set semantics)
+
+
+# =============================================================================
+# Pivot — wide aggregation by line status
+# =============================================================================
+@q(
+    "pivot_lineitem_status",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce("O", F.lit(0.0)).alias("qty_O"),
+        F.coalesce("F", F.lit(0.0)).alias("qty_F"),
+    )
+
+
+# =============================================================================
+# Cube — all grouping-set combinations
+# =============================================================================
+@q(
+    "agg_cube_revenue",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*)::BIGINT AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+# =============================================================================
+# HAVING — post-aggregation filter
+# =============================================================================
+@q(
+    "agg_having_big_customers",
+    """
+    SELECT o_custkey, count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def agg_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# =============================================================================
+# Scalar subquery — orders above the global average price
+# =============================================================================
+@q(
+    "subquery_above_avg",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+        """
+    )
+
+
+# =============================================================================
+# Distinct-agg + exact median
+# =============================================================================
+@q(
+    "agg_distinct_stats",
+    """
+    SELECT count(DISTINCT l_partkey)::BIGINT AS n_parts,
+           count(DISTINCT l_suppkey)::BIGINT AS n_supps,
+           round(median(l_extendedprice), 4) AS median_price
+    FROM lineitem
+    """,
+)
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    )
+
+
+# =============================================================================
+# Scalar string-function family
+# =============================================================================
+@q(
+    "scalar_string_funcs",
+    """
+    SELECT doc_id,
+           upper(source) AS src_upper,
+           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_padded,
+           substr(text, 1, 10) AS prefix10,
+           instr(text, 'spark')::BIGINT AS spark_pos,
+           translate(source, 'src', 'SRC') AS src_translated,
+           concat_ws('|', source, lang) AS src_lang
+    FROM documents
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("source").alias("src_upper"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("id_padded"),
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.instr(F.col("text"), "spark").cast("long").alias("spark_pos"),
+        F.translate("source", "src", "SRC").alias("src_translated"),
+        F.concat_ws("|", "source", "lang").alias("src_lang"),
+    )
+
+
+# =============================================================================
+# JSON extraction from the events.props column
+# =============================================================================
+@q(
+    "scalar_json_extract",
+    """
+    SELECT event_id, json_extract(props, '$.k')::BIGINT AS k
+    FROM events
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# =============================================================================
+# Embedding vector statistics (array math, JVM-side)
+# =============================================================================
+@q(
+    "emb_vector_stats",
+    """
+    SELECT vec_id,
+           len(embedding)::BIGINT AS dim,
+           round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS norm,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 6) AS mean_val
+    FROM embeddings
+    """,
+)
+def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    v_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("norm"),
+        F.round(v_sum / F.size("embedding"), 6).alias("mean_val"),
+    )
+
+
+# =============================================================================
+# LLM layer — LSH-bucketed ANN (the 100 TB scale path for similarity):
+# candidates share a random-hyperplane sign bucket; exact re-rank inside.
+# Hyperplanes are pure arithmetic -> oracle-reproducible.
+# =============================================================================
+@q(
+    "sim_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {" + ".join(
+                 f"(CASE WHEN list_sum(list_transform(range(len(embedding)), "
+                 f"i -> embedding[i+1]::DOUBLE * ((({a} * (i + 1) + {b}) % 2147483647)::DOUBLE / 2147483647.0 * 2.0 - 1.0))) > 0 "
+                 f"THEN {1 << j} ELSE 0 END)"
+                 for j, (a, b) in enumerate(SIM._PLANE_SEEDS[:3])
+             )} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 10),
+    s AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(len(qe)), i -> qe[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(len(qe)), i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(len(c.embedding)), i -> c.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)))) AS cos
+      FROM b c JOIN q USING (bucket) WHERE c.vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = SIM.lsh_bucketed_topk(emb, queries, k=5, planes=3)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# =============================================================================
+# LLM layer — IVF-style ANN (deterministic seeds; no SQL oracle — the
+# nearest-centroid assignment is expressible but unreasonably long in SQL;
+# driver records the rows-only check)
+# =============================================================================
+@q("sim_ivf_topk", None)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# =============================================================================
+# Structured Streaming — windowed counts over the events stream, drained
+# synchronously to a memory sink. Same result contract as the batch
+# spelling, so the batch SQL is the oracle (complete output mode).
+# =============================================================================
+@q(
+    "stream_windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           count(*)::BIGINT AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        run_to_memory,
+        windowed_counts,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        # glob form: FileStreamSource requires a directory basePath
+        .load(f"{sf_dir}/events.parque[t]")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = windowed_counts(stream, "ts", window="5 minutes", group_cols=["event_type"])
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    query = run_to_memory(agg, name, output_mode="complete")
+    query.stop()
+    return spark.sql(f"SELECT window_start, event_type, n FROM {name}")
+
+
+# =============================================================================
+# Multimodal — opaque binary payload + typed metadata + Arrow-batched
+# decode UDF (deterministic fake decoder; real codec stubbed — not in
+# container). The fake's arithmetic is reproduced by the oracle, so the
+# whole binary->mapInPandas->struct pipeline is hash-verified.
+# =============================================================================
+@q(
+    "multimodal_image_profile",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id,
+           n_bytes::BIGINT AS n_bytes,
+           (n_bytes % 256 + 1)::INTEGER AS width,
+           (n_bytes // 256 % 256 + 1)::INTEGER AS height,
+           3::INTEGER AS channels
+    FROM m
+    """,
+)
+def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators import multimodal as MM
+
+    docs = t(spark, sf_dir, "documents")
+    media = MM.attach_meta(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        ),
+        "payload",
+        kind="image",
+        mime="image/x-fake",
+    )
+    decoded = MM.decode_images(media)
+    return media.select("media_id", F.col("meta.n_bytes").alias("n_bytes")).join(
+        decoded, "media_id"
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return {d.name: d for d in REGISTRY}

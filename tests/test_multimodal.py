@@ -1,0 +1,56 @@
+"""Multimodal binary-column operators: schema/batch plumbing is real;
+decoders are deterministic fakes (real codecs stubbed, not installed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.operators import multimodal as MM
+
+
+@pytest.fixture
+def media(spark):
+    rows = [(i, bytes(range(256)) * (i + 1)) for i in range(4)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    return MM.attach_meta(df, "payload", kind="image", mime="image/png")
+
+
+def test_attach_meta(media):
+    r = {x.media_id: x.meta for x in media.collect()}
+    assert r[0].kind == "image" and r[0].n_bytes == 256
+    assert r[3].n_bytes == 1024
+
+
+def test_decode_images_fake(media):
+    got = {r.media_id: r for r in MM.decode_images(media).collect()}
+    # 256 bytes -> w=256%256+1=1, h=256//256%256+1=2
+    assert (got[0].width, got[0].height, got[0].channels) == (1, 2, 3)
+    assert got[3].width == 1024 % 256 + 1
+
+
+def test_decode_images_real_stub_raises(media):
+    with pytest.raises(Exception, match="Pillow"):
+        MM.decode_images(media, fake=False).collect()
+
+
+def test_resize_budget(media):
+    out = MM.resize_images(media, 4, 4).collect()
+    assert all(len(bytes(r.payload)) == 4 * 4 * 3 for r in out)
+
+
+def test_extract_features(media):
+    got = {r.media_id: r.feature for r in MM.extract_features(media, dim=4).collect()}
+    assert got[0] == pytest.approx([0 / 255, 1 / 255, 2 / 255, 3 / 255])
+    assert all(len(v) == 4 for v in got.values())
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame(
+        [(1, 2500), (2, 999), (3, 0)], ["media_id", "duration_ms"]
+    )
+    rows = MM.sample_frames(df, every_ms=1000).collect()
+    got = {(r.media_id, r.frame_index): r.frame_offset_ms for r in rows}
+    assert got == {(1, 0): 0, (1, 1): 1000, (1, 2): 2000, (2, 0): 0}
+    # video 3 has zero duration -> no frames
+    assert not any(r.media_id == 3 for r in rows)
