@@ -1558,5 +1558,90 @@ def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =============================================================================
+# LLM layer — embedding-cosine near-duplicate pairs (the "semantic dedup"
+# member of the dedup family): pairs above a high cosine threshold.
+# Subset both sides identically; the scale path is LSH-bucketed candidates.
+# =============================================================================
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(range(len(a.embedding)), i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(len(a.embedding)), i -> a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(len(b.embedding)), i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)))),
+           4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(len(a.embedding)), i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(len(a.embedding)), i -> a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)))
+             * sqrt(list_sum(list_transform(range(len(b.embedding)), i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)))) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = SIM._dot("ea", "eb") / (SIM._norm("ea") * SIM._norm("eb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# =============================================================================
+# Session windows — gap-based sessions via F.session_window (native Spark
+# operator); oracle derives the same sessions with lag + cumulative sum
+# =============================================================================
+@q(
+    "events_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+# =============================================================================
+# Approximate aggregates — HLL++ distinct and quantile sketches. Sketch
+# values are engine-specific, so no SQL oracle (rows-only check); the
+# EXACT twins are oracle-verified in agg_distinct_stats.
+# =============================================================================
+@q("agg_approx_stats", None)
+def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+    )
+
+
 def registry() -> dict[str, QueryDef]:
     return {d.name: d for d in REGISTRY}

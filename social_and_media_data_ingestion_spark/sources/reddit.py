@@ -124,10 +124,11 @@ def extract_comments(
     )
 
 
-def with_scan_metrics(df: DataFrame, name: str = "scan_metrics") -> DataFrame:
-    """Attach observe() counters: total rows and rows with corrupt payload.
-    Replaces the reference's every-100k-lines progress counters with
-    zero-cost accumulators readable from a QueryExecutionListener."""
+def with_scan_metrics(df: DataFrame, observation) -> DataFrame:
+    """Attach observe() counters (total rows, corrupt rows) to a scan.
+    `observation` is a pyspark.sql.Observation; after an action,
+    `observation.get` returns the counts. Replaces the reference's
+    every-100k-lines progress counters with zero-cost accumulators."""
     from social_and_media_data_ingestion_spark.schemas import CORRUPT_COL
 
     cols = [F.count(F.lit(1)).alias("n_total")]
@@ -135,4 +136,4 @@ def with_scan_metrics(df: DataFrame, name: str = "scan_metrics") -> DataFrame:
         cols.append(
             F.count(F.when(F.col(CORRUPT_COL).isNotNull(), 1)).alias("n_bad")
         )
-    return df.observe(name, *cols)
+    return df.observe(observation, *cols)
