@@ -21,6 +21,15 @@ TABLES = [
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp semantics must be UTC for oracle comparison regardless of
+    # which session the caller built (runtime-settable session conf)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+        # default. Set the legacy conf at runtime so this works under ANY
+        # caller-provided session (the driver builds its own), then convert
+        # below. Session-scoped, runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to micros
