@@ -1644,4 +1644,9 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def registry() -> dict[str, QueryDef]:
+    # extension modules register via the shared @q decorator on import
+    from social_and_media_data_ingestion_spark.plans import (  # noqa: F401
+        queries_ext,
+    )
+
     return {d.name: d for d in REGISTRY}

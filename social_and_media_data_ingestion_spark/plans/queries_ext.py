@@ -1,0 +1,651 @@
+"""Registry extension — wider SQL/analytics surface on the same tables.
+
+Same conventions as queries.py (identical aliases both sides, rounded
+doubles, BIGINT counts, deterministic tie-breaks). Registered into the
+same REGISTRY via the shared @q decorator; imported at the bottom of
+queries.py so registry() sees everything.
+
+Coverage added here (SURVEY §2.4-2.7 extension layer + training-data ops):
+TPC-H-shaped Q4/Q6/Q10/Q14/Q18, grouping sets, exact percentiles,
+correlation/covariance stats, ordered list-agg, running/lag/ntile/
+dense-rank windows, token explode top-k, word-shingle stats, levenshtein,
+full-outer and cross joins, hopping (sliding) event windows, and the
+video frame-sample UDTF with a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.operators import multimodal as MM
+from social_and_media_data_ingestion_spark.plans.queries import _TOKS, q
+from social_and_media_data_ingestion_spark.plans.tables import t
+
+
+# =============================================================================
+# TPC-H Q6 shape — forecast revenue change: tight scan-side predicate band,
+# single global aggregate. The whole plan is a map + partial/final agg;
+# at 100 TB the filters push into the parquet scan (PushedFilters).
+# =============================================================================
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# =============================================================================
+# TPC-H Q4 shape — EXISTS correlated subquery -> left-semi join with a
+# non-equi conjunct (l_shipdate > o_orderdate), then count per priority.
+# =============================================================================
+@q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# =============================================================================
+# TPC-H Q10 shape — returned-item revenue: 3-way join, agg, top-20 with a
+# deterministic tie-break. Rank on the ROUNDED revenue so fp summation
+# order can't flip ranks between engines.
+# =============================================================================
+@q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name, revenue, rk FROM (
+      SELECT c_custkey, c_name, n_name, revenue,
+             row_number() OVER (ORDER BY revenue DESC, c_custkey ASC)::BIGINT AS rk
+      FROM (
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+      )
+    ) WHERE rk <= 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue", "rk")
+    )
+
+
+# =============================================================================
+# TPC-H Q14 shape — promo revenue share: conditional aggregation over a
+# broadcast-able dimension join (part is the small side at any SF).
+# =============================================================================
+@q(
+    "q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 3) AS promo_share,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-03-01 00:00:00'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                3,
+            ).alias("promo_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# =============================================================================
+# TPC-H Q18 shape — large-volume orders: HAVING over a grouped sum, then
+# re-join the qualifying keys (a groupBy-semi pattern).
+# =============================================================================
+@q(
+    "q18_large_volume_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(total_qty, 2) AS total_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round("total_qty", 2).alias("total_qty"),
+    )
+
+
+# =============================================================================
+# GROUPING SETS — the third member of the rollup/cube family
+# (Dataset.groupingSets, Spark 4.0+).
+# =============================================================================
+@q(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS revenue,
+           count(*)::BIGINT AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [[F.col("l_returnflag")], [F.col("l_linestatus")], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+# =============================================================================
+# Exact percentiles / median — sort-based exact quantiles (the exact twin
+# of agg_approx_stats' sketches). Spark percentile == DuckDB quantile_cont
+# (linear interpolation).
+# =============================================================================
+@q(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+           round(median(l_quantity), 4) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+    )
+
+
+# =============================================================================
+# Correlation / covariance / dispersion statistics.
+# =============================================================================
+@q(
+    "agg_corr_stats",
+    """
+    SELECT l_linestatus,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 2)            AS stddev_price,
+           round(avg(l_discount), 4)                         AS avg_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+# =============================================================================
+# Ordered list aggregation — sorted-distinct collect serialized to a string
+# (order inside an agg is where engines usually diverge; sorting pins it).
+# =============================================================================
+@q(
+    "agg_collect_sorted",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           array_to_string(list_sort(list(DISTINCT CAST(l_linenumber AS VARCHAR))), ',')
+             AS linenumbers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set(F.col("l_linenumber").cast("string")))
+        ).alias("linenumbers"),
+    )
+
+
+# =============================================================================
+# Running total — cumulative window (ROWS UNBOUNDED PRECEDING..CURRENT).
+# Accumulation order is pinned by the ORDER BY, so fp results agree.
+# =============================================================================
+@q(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# =============================================================================
+# Lag delta — per-user event-value change (lag/lead family).
+# =============================================================================
+@q(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+# =============================================================================
+# NTILE — equal-frequency bucketing (the window used for quantile-binning
+# features); fully deterministic ORDER BY.
+# =============================================================================
+@q(
+    "window_ntile_quartiles",
+    """
+    SELECT quartile,
+           count(*)::BIGINT AS n,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey)::BIGINT AS quartile
+      FROM customer
+    ) GROUP BY quartile
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+# =============================================================================
+# DENSE_RANK within partition — top-priced parts per brand (ties share rank).
+# =============================================================================
+@q(
+    "window_dense_rank_parts",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, drk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             dense_rank() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice DESC)::BIGINT AS drk
+      FROM part
+    ) WHERE drk <= 3
+    """,
+)
+def window_dense_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        part.withColumn("drk", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("drk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "drk")
+    )
+
+
+# =============================================================================
+# Token explode + global top-k — the corpus term-frequency query
+# (explode -> count -> rank). Map-side partial agg keeps the shuffle small.
+# =============================================================================
+@q(
+    "explode_token_topk",
+    f"""
+    SELECT token, n, rk FROM (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token ASC)::BIGINT AS rk
+      FROM (
+        SELECT token, count(*)::BIGINT AS n
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+      )
+    ) WHERE rk <= 20
+    """,
+)
+def explode_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+    )
+    cnt = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("token", "n", "rk")
+    )
+
+
+# =============================================================================
+# Word shingles — 3-gram shingle counts per document (the MinHash feeder,
+# exposed standalone). Pure array expressions, no Python boundary.
+# =============================================================================
+@q(
+    "text_shingles_3gram",
+    f"""
+    SELECT doc_id,
+           greatest(len(toks) - 2, 0)::BIGINT AS n_shingles,
+           len(list_distinct(
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ))::BIGINT AS n_distinct_shingles
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """,
+)
+def text_shingles_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), "
+        "' ', element_at(toks, i+2)))"
+    )
+    return (
+        docs.withColumn("toks", toks)
+        # sequence(1, 0) would be descending [1, 0]; guard short docs
+        .withColumn(
+            "shingles",
+            F.when(F.size("toks") >= 3, shingles).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        .select(
+            "doc_id",
+            F.greatest(F.size("toks") - 2, F.lit(0)).cast("long").alias("n_shingles"),
+            F.size(F.array_distinct("shingles")).cast("long").alias(
+                "n_distinct_shingles"
+            ),
+        )
+    )
+
+
+# =============================================================================
+# Levenshtein — edit distance as a first-class scalar (fuzzy-dedup feeder).
+# =============================================================================
+@q(
+    "scalar_levenshtein",
+    """
+    SELECT c_custkey,
+           levenshtein(lower(c_mktsegment), 'building')::BIGINT  AS lev_building,
+           levenshtein(lower(c_mktsegment), 'machinery')::BIGINT AS lev_machinery
+    FROM customer
+    """,
+)
+def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    seg = F.lower("c_mktsegment")
+    return cust.select(
+        "c_custkey",
+        F.levenshtein(seg, F.lit("building")).cast("long").alias("lev_building"),
+        F.levenshtein(seg, F.lit("machinery")).cast("long").alias("lev_machinery"),
+    )
+
+
+# =============================================================================
+# Full outer join — per-nation customer vs supplier counts (two grouped
+# sides, outer-merged; both sides shrink to ~25 rows before the join, so
+# at any SF this is a broadcast-able post-agg join).
+# =============================================================================
+@q(
+    "j7_full_outer_counts",
+    """
+    SELECT coalesce(c.nk, s.nk)::BIGINT AS nationkey,
+           coalesce(n_cust, 0)::BIGINT AS n_cust,
+           coalesce(n_supp, 0)::BIGINT AS n_supp
+    FROM (SELECT c_nationkey AS nk, count(*)::BIGINT AS n_cust
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, count(*)::BIGINT AS n_supp
+          FROM supplier GROUP BY 1) s
+    ON c.nk = s.nk
+    """,
+)
+def j7_full_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk2"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, cust.nk == supp.nk2, "full_outer").select(
+        F.coalesce("nk", "nk2").cast("long").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+    )
+
+
+# =============================================================================
+# Cross join — small-dim enumeration grid (region x observed returnflags).
+# =============================================================================
+@q(
+    "j8_cross_join_grid",
+    """
+    SELECT r_name, flag
+    FROM region CROSS JOIN (SELECT DISTINCT l_returnflag AS flag FROM lineitem)
+    """,
+)
+def j8_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    flags = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+    )
+    return region.crossJoin(F.broadcast(flags)).select("r_name", "flag")
+
+
+# =============================================================================
+# Hopping (sliding) event-time window — width 10 min, slide 5 min: each
+# event lands in exactly 2 epoch-aligned windows. The streaming twin is
+# the same expression under readStream + watermark (stream_windowed_counts).
+# =============================================================================
+@q(
+    "events_hopping_window",
+    """
+    SELECT window_start, event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value
+    FROM (
+      SELECT unnest([s, s - INTERVAL 5 MINUTE]) AS window_start, event_type, value
+      FROM (
+        SELECT to_timestamp(floor(date_part('epoch', ts) / 300) * 300)::TIMESTAMP AS s,
+               event_type, value
+        FROM events
+      )
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+# =============================================================================
+# Video frame sampling — the 1-row -> N-frames UDTF (SURVEY §2.8 shape) with
+# a full SQL oracle: payload duration is a deterministic function of
+# n_chars, frames every 1000 ms via Arrow-batched mapInPandas
+# (operators/multimodal.py:sample_frames).
+# =============================================================================
+@q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           (off // 1000)::BIGINT AS frame_index,
+           off::BIGINT AS frame_offset_ms
+    FROM (
+      SELECT doc_id, unnest(range(0, (n_chars % 50) * 997, 1000)) AS off
+      FROM documents
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("n_chars") % 50) * 997).cast("long").alias("duration_ms"),
+    )
+    frames = MM.sample_frames(docs, every_ms=1000)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("frame_offset_ms").cast("long").alias("frame_offset_ms"),
+    )
