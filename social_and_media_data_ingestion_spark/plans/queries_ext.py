@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from social_and_media_data_ingestion_spark.operators import multimodal as MM
+from social_and_media_data_ingestion_spark.operators import scale as SC
 from social_and_media_data_ingestion_spark.plans.queries import _TOKS, q
 from social_and_media_data_ingestion_spark.plans.tables import t
 
@@ -129,11 +130,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # distributed top-k (TakeOrderedAndProject) instead of a global
+    # row_number window, which would funnel every group through ONE
+    # partition at scale; the rank window then runs on just 20 rows.
+    top = rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 20)
-        .select("c_custkey", "c_name", "n_name", "revenue", "rk")
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "c_custkey", "c_name", "n_name", "revenue", "rk"
     )
 
 
@@ -452,11 +455,11 @@ def explode_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    # distributed top-k first (TakeOrderedAndProject), then rank the 20 rows
+    top = cnt.orderBy(F.desc("n"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        cnt.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 20)
-        .select("token", "n", "rk")
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "token", "n", "rk"
     )
 
 
@@ -648,4 +651,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.col("frame_index").cast("long").alias("frame_index"),
         F.col("frame_offset_ms").cast("long").alias("frame_offset_ms"),
+    )
+
+
+# =============================================================================
+# Skew-salted two-phase aggregation — identical semantics to a plain
+# groupBy (the oracle), but each hot key fans over 16 salt partitions in
+# phase 1 (operators/scale.py:salted_aggregate). count + sum are merged
+# as sums of partials.
+# =============================================================================
+@q(
+    "skew_salted_type_counts",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return SC.salted_aggregate(
+        ev,
+        ["event_type"],
+        [F.count("*").alias("c"), F.sum("value").alias("v")],
+        [
+            F.sum("c").cast("long").alias("n"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        ],
+        n=16,
     )
