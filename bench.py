@@ -26,6 +26,9 @@ HEADLINE = [
     "j2_fk_join_agg",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_orders",
     "window_topk_orders",
     "dedup_fingerprint",
     "dedup_minhash_signatures",

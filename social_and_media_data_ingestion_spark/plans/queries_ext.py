@@ -681,3 +681,120 @@ def skew_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         n=16,
     )
+
+
+# =============================================================================
+# Date/interval arithmetic — trunc, diff, iso weekday, last_day. Spark's
+# weekday() is Monday=0, DuckDB's isodow is Monday=1; +1 aligns them.
+# =============================================================================
+@q(
+    "scalar_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS order_month,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00')::BIGINT
+             AS days_to_eoy,
+           isodow(o_orderdate)::BIGINT AS iso_weekday,
+           strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("days_to_eoy"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_weekday"),
+        # as string: pandas renders DATE columns differently per engine
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+# =============================================================================
+# Array set-ops — intersect/union/except sizes between each document's
+# distinct token set and a fixed vocabulary (pure array expressions).
+# =============================================================================
+ARRAY_VOCAB = ["spark", "hash", "value", "table", "nonexistentword"]
+
+
+@q(
+    "array_set_ops",
+    f"""
+    SELECT doc_id,
+           len(list_filter(vocab, x -> list_contains(toks, x)))::BIGINT AS n_inter,
+           len(list_distinct(list_concat(toks, vocab)))::BIGINT AS n_union,
+           len(list_filter(vocab, x -> NOT list_contains(toks, x)))::BIGINT AS n_missing
+    FROM (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks,
+             {ARRAY_VOCAB!r} AS vocab
+      FROM documents
+    )
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    )
+    vocab = F.array(*[F.lit(v) for v in ARRAY_VOCAB])
+    return docs.select(
+        "doc_id",
+        F.size(F.array_intersect(vocab, toks)).cast("long").alias("n_inter"),
+        F.size(F.array_union(toks, vocab)).cast("long").alias("n_union"),
+        F.size(F.array_except(vocab, toks)).cast("long").alias("n_missing"),
+    )
+
+
+# =============================================================================
+# Ratio-to-total — unpartitioned window over a grouped aggregate (the
+# aggregate is tiny: one row per source, so the global window is safe at
+# any SF; the heavy lifting happened in the groupBy).
+# =============================================================================
+@q(
+    "window_share_of_total",
+    """
+    SELECT source, n_docs,
+           round(n_docs / sum(n_docs) OVER (), 6) AS share
+    FROM (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source)
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    return per_src.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
+# =============================================================================
+# Daily active users — exact distinct-count per event-time day (the
+# classic engagement rollup; the approx twin lives in agg_approx_stats).
+# =============================================================================
+@q(
+    "events_daily_active",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+           count(DISTINCT user_id)::BIGINT AS dau,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("dau"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
