@@ -279,3 +279,62 @@ def simhash(
         F.lit(0),
     )
     return df.select(F.col(id_col).alias("id"), sig_expr.cast("long").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, cluster_id) for every node in `edges`, cluster_id = min node id
+    of its connected component — the clustering stage of near-dup dedup
+    (pairs -> duplicate groups -> keep one representative per group).
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; converges in <= diameter rounds
+    (near-dup clusters are small and dense, so diameter is tiny in
+    practice). Each round is one shuffle (join + groupBy on node id);
+    lineage is truncated per round via localCheckpoint so plans stay flat
+    regardless of iteration count. Early-stops when no label changes.
+    """
+    bi = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t"))
+        .union(
+            edges.select(F.col(dst).cast("long").alias("s"), F.col(src).cast("long").alias("t"))
+        )
+        .distinct()
+    )
+    labels = bi.select(F.col("s").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            bi.join(
+                labels.select(F.col("id").alias("t"), F.col("label").alias("t_label")),
+                "t",
+            )
+            .groupBy("s")
+            .agg(F.min("t_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select("id", F.col("label").alias("new_label"))
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+        )
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -798,3 +798,50 @@ def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# =============================================================================
+# Near-dup CLUSTERS — connected components over the exact-Jaccard pair
+# graph (threshold 0.75, same edges as dedup_ngram_jaccard): pairs ->
+# duplicate groups, the final stage of corpus dedup. Spark side is
+# iterative min-label propagation (operators/dedup.py:
+# connected_components); oracle is a DuckDB recursive CTE computing the
+# same transitive closure.
+# =============================================================================
+from social_and_media_data_ingestion_spark.operators import dedup as D  # noqa: E402
+from social_and_media_data_ingestion_spark.plans.queries import _TOKS as _TOKS2  # noqa: E402
+
+
+@q(
+    "dedup_near_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, {_TOKS2} AS toks FROM documents WHERE doc_id < 300),
+    sh AS (SELECT DISTINCT doc_id AS id, unnest(toks) AS shingle FROM docs),
+    sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.75
+    ),
+    bi AS (SELECT id_a AS s, id_b AS t FROM edges
+           UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT s AS node, s AS root FROM bi
+      UNION
+      SELECT b.t AS node, r.root FROM reach r JOIN bi b ON b.s = r.node
+    )
+    SELECT node::BIGINT AS id, min(root)::BIGINT AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    edges = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.75)
+    return D.connected_components(edges)

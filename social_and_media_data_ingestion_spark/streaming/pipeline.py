@@ -90,3 +90,35 @@ def append_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    delay: str = "10 minutes",
+    within: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with event-time bound: right event must land
+    within [left_ts - within, left_ts + within]. Both sides watermarked so
+    the join state is GC-able (unbounded state otherwise — the thing that
+    kills long-running stream-stream joins). `right_ts` is renamed
+    `right_<ts>` in the output to keep both event times."""
+    r_ts_out = f"right_{right_ts}"
+    l = left.withWatermark(left_ts, delay).alias("l")
+    r = right.withColumnRenamed(right_ts, r_ts_out)
+    for k in keys:
+        r = r.withColumnRenamed(k, f"right_{k}")
+    r = r.withWatermark(r_ts_out, delay).alias("r")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"right_{k}"))
+    cond = (
+        cond
+        & (F.col(r_ts_out) >= F.expr(f"l.{left_ts} - INTERVAL {within}"))
+        & (F.col(r_ts_out) <= F.expr(f"l.{left_ts} + INTERVAL {within}"))
+    )
+    return l.join(r, cond, how).drop(*[f"right_{k}" for k in keys])
