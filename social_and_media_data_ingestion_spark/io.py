@@ -96,3 +96,32 @@ def landing_to_parquet(
     df = read_ndjson(spark, src_glob, schema)
     good, _ = split_corrupt(df)
     write_parquet(good, dst, partition_by=partition_by)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite `src` into ~target_file_mb files.
+    Small files are the silent killer of 100 TB scans (1 task + 1 footer
+    read per file); compaction restores full-size row groups. Returns the
+    output file count. Optional sortWithinPartitions improves row-group
+    min/max pruning for later range predicates on those columns."""
+    df = spark.read.parquet(src)
+    total_bytes = sum(
+        int(r.length)
+        for r in spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(src)
+        .select("length")
+        .collect()
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files

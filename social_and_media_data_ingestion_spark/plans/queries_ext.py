@@ -845,3 +845,26 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     edges = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.75)
     return D.connected_components(edges)
+
+
+# =============================================================================
+# SQL passthrough — the engine's plain-SQL entry point (plans/tables.py:
+# sql): the SAME text runs on Spark SQL and DuckDB (shared ANSI dialect),
+# demonstrating the spark.sql surface over registered views.
+# =============================================================================
+_SQL_PASSTHROUGH = """
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY source, lang
+    HAVING count(*) > 1
+"""
+
+
+@q("sql_passthrough_agg", _SQL_PASSTHROUGH)
+def sql_passthrough_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.plans.tables import sql
+
+    return sql(spark, sf_dir, _SQL_PASSTHROUGH)

@@ -36,3 +36,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (same truncation DuckDB applies converting ns -> us).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view so callers can use the
+    plain SQL entry point (spark.sql) over the same data the DataFrame
+    builders see."""
+    for name in TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """SQL entry point: views + spark.sql(query)."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

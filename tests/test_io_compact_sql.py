@@ -1,0 +1,44 @@
+"""Tests: small-file compaction and the plain-SQL entry point."""
+
+from __future__ import annotations
+
+import glob
+
+from social_and_media_data_ingestion_spark.io import compact_parquet
+from social_and_media_data_ingestion_spark.plans.tables import sql, t
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    src, dst = str(tmp_path / "many"), str(tmp_path / "compacted")
+    ev = t(spark, SF, "events")
+    ev.repartition(16).write.parquet(src)  # deliberately fragmented
+    assert len(glob.glob(f"{src}/*.parquet")) == 16
+    n = compact_parquet(spark, src, dst, target_file_mb=512)
+    assert n == 1  # tiny data -> one full-size file
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_compact_parquet_sorted_within(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ev = t(spark, SF, "events")
+    ev.repartition(4).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_mb=512, sort_within_by=["ts"])
+    got = [r.ts for r in spark.read.parquet(dst).collect()]
+    assert got == sorted(got)  # one file, sorted -> fully ordered
+
+
+def test_sql_entry_point(spark):
+    out = sql(
+        spark,
+        SF,
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    )
+    rows = {r.l_returnflag: r.n for r in out.collect()}
+    li = t(spark, SF, "lineitem")
+    assert rows == {
+        r.l_returnflag: r["count"]
+        for r in li.groupBy("l_returnflag").count().collect()
+    }

@@ -103,3 +103,17 @@ def test_bucketed_agg_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_events")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Writes partitioned by a column must prune at read time: the filter
+    lands in PartitionFilters, not in post-scan Filter."""
+    out = str(tmp_path / "ev_parted")
+    ev = t(spark, SF, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    n_types = ev.select("event_type").distinct().count()
+    assert n_types > 1
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
