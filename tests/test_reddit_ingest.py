@@ -67,14 +67,30 @@ def test_extract_comments(spark, tmp_path):
 
 
 def test_compressed_input(spark, tmp_path):
-    """Codec-by-extension decompression (stands in for .zst, which needs
-    the same Hadoop codec path; gz is what the container ships)."""
+    """Codec-by-extension decompression via gz."""
     p = tmp_path / "subs.jsonl.gz"
     with gzip.open(p, "wt", encoding="utf-8") as f:
         for r in GOOD[:2]:
             f.write(json.dumps(r) + "\n")
     matched, _ = extract_submissions(spark, str(p), ["dataeng"], ["spark"])
     assert matched.count() == 1
+
+
+def test_zst_input(spark, tmp_path):
+    """The reference's native format (SURVEY S1): zstd NDJSON, decompressed
+    by extension (zstd-jni ships with Spark — no native Hadoop lib needed),
+    including corrupt-line accounting through the compressed path."""
+    import pyarrow as pa
+
+    p = tmp_path / "subs.jsonl.zst"
+    with pa.output_stream(str(p), compression="zstd") as f:
+        for r in GOOD:
+            f.write((json.dumps(r) + "\n").encode())
+        for line in BAD_LINES:
+            f.write((line + "\n").encode())
+    matched, bad = extract_submissions(spark, str(p), ["dataeng"], ["spark"])
+    assert {r.author for r in matched.collect()} == {"a1", "a4"}
+    assert bad.count() == 3
 
 
 def test_allowlist_as_dataframe(spark, ndjson_file):
