@@ -1,0 +1,62 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+(shuffle-freedom, broadcast choice, pushdown) asserted as tests so a
+refactor can't silently regress them."""
+
+from __future__ import annotations
+
+from social_and_media_data_ingestion_spark.plans.queries import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = registry()[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_is_broadcast_no_smj(spark):
+    plan = _plan(spark, "flagship_submission_extract")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_scan_side_pushdown_no_join(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "Join" not in plan
+    # the band predicates must reach the parquet reader (the plan string
+    # truncates the PushedFilters list, so match its visible prefix)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # and the scan must prune to the 4 referenced columns
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" not in scan_line
+
+
+def test_minhash_signatures_map_only(spark):
+    plan = _plan(spark, "dedup_minhash_signatures")
+    assert "Exchange" not in plan  # signatures are row-local: zero shuffle
+
+
+def test_simhash_map_only(spark):
+    plan = _plan(spark, "dedup_simhash")
+    assert "Exchange" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_window(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_small_dims_broadcast_in_q5(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    # every join in the chain broadcasts its small side at this SF
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "agg_pricing_summary")
+    # lineitem has 11 columns; the scan must read only the 7 used
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" not in scan_line
+    assert "l_partkey" not in scan_line
+    assert "l_quantity" in scan_line
