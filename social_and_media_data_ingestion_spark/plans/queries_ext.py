@@ -868,3 +868,89 @@ def sql_passthrough_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_and_media_data_ingestion_spark.plans.tables import sql
 
     return sql(spark, sf_dir, _SQL_PASSTHROUGH)
+
+
+# =============================================================================
+# Document chunking — the training-data windowing op: token windows of 50
+# with stride 40 (10-token overlap), one output row per chunk
+# (posexplode). Map-only: no shuffle, chunk arrays built row-local.
+# =============================================================================
+@q(
+    "text_chunk_documents",
+    f"""
+    SELECT doc_id, i::BIGINT AS chunk_index,
+           array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' ')
+             AS chunk_text
+    FROM (
+      SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i
+      FROM (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) > 0
+                    THEN ceil(len(toks) / 40.0)::INT ELSE 0 END AS n_chunks
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      )
+    )
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    with_toks = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_chunks",
+        F.when(F.size("toks") > 0, F.ceil(F.size("toks") / 40.0).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    )
+    chunks = F.expr(
+        "transform(sequence(0, n_chunks - 1), "
+        "i -> concat_ws(' ', slice(toks, i * 40 + 1, 50)))"
+    )
+    return (
+        with_toks
+        # sequence(0, -1) would be descending; guard empty docs
+        .withColumn(
+            "chunks",
+            F.when(F.col("n_chunks") > 0, chunks).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        .select("doc_id", F.posexplode("chunks").alias("chunk_index", "chunk_text"))
+        .select("doc_id", F.col("chunk_index").cast("long"), "chunk_text")
+    )
+
+
+# =============================================================================
+# Deterministic hash-mod sampling — 20% corpus sample keyed on the
+# rolling content fingerprint, reproducible across engines/runs (unlike
+# rand()-based sampling): the corpus-curation subsetting primitive.
+# =============================================================================
+@q(
+    "sample_hash_mod",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+                            x -> ascii(x)::BIGINT) AS cs
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, source,
+             CASE WHEN len(cs) = 0 THEN 0
+                  ELSE list_reduce(cs, (acc, x) -> (acc * 31 + x) % 1000000007)
+             END::BIGINT AS fp
+      FROM d
+    )
+    SELECT doc_id, source, (fp % 10)::BIGINT AS bucket
+    FROM fp WHERE fp % 10 < 2
+    """,
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators import text_analysis as TA
+
+    docs = t(spark, sf_dir, "documents")
+    fp = TA.rolling_fingerprint("text")
+    return (
+        docs.withColumn("bucket", (fp % 10).cast("long"))
+        .filter(F.col("bucket") < 2)
+        .select("doc_id", "source", "bucket")
+    )
