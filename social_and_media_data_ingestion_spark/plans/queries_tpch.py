@@ -370,3 +370,292 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cust"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+# =============================================================================
+# Q2 shape — min-value correlated subquery over a multi-join (the
+# classic "cheapest supplier per part"). No partsupp table in the
+# testdata, so lineitem's distinct (partkey, suppkey) pairs act as the
+# part-supplier bridge and s_acctbal stands in for ps_supplycost.
+# Scale note: the correlated MIN is computed as a partition-window over
+# the bridge (one shuffle on partkey) rather than a re-scan per row;
+# dims (nation, region, part) are broadcast.
+# =============================================================================
+@q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eligible AS (
+      SELECT ps.l_partkey AS pk, s_name, s_acctbal, n_name
+      FROM ps
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+    )
+    SELECT p_partkey, p_name, s_name, n_name, round(s_acctbal, 2) AS acctbal
+    FROM part JOIN eligible ON p_partkey = pk
+    WHERE p_size = 15 AND p_type = 'SMALL'
+      AND s_acctbal = (SELECT min(s_acctbal) FROM eligible e2 WHERE e2.pk = p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    part = t(spark, sf_dir, "part")
+
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    elig = (
+        ps.join(supp, ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+              nation.n_regionkey == region.r_regionkey)
+        .select(F.col("l_partkey").alias("pk"), "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("pk")
+    cheapest = elig.withColumn("min_bal", F.min("s_acctbal").over(w)).filter(
+        F.col("s_acctbal") == F.col("min_bal")
+    )
+    p = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+    return (
+        cheapest.join(F.broadcast(p), F.col("pk") == p.p_partkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+# =============================================================================
+# Q11 shape — scalar subquery threshold over a grouped value ("important
+# stock"). Value per part = sum(extendedprice * quantity) shipped by
+# suppliers of one nation; keep parts whose value exceeds 0.1% of the
+# national total. The grouped frame is computed once and reused for both
+# the per-part values and the global threshold (broadcast scalar).
+# =============================================================================
+@q(
+    "q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey AS partkey,
+             sum(l_extendedprice * l_quantity) AS raw_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, round(raw_value, 2) AS value
+    FROM v WHERE raw_value > (SELECT sum(raw_value) * 0.001 FROM v)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+
+    nat_supp = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value"))
+    )
+    thresh = v.agg((F.sum("raw_value") * 0.001).alias("thresh"))
+    return (
+        v.join(F.broadcast(thresh))
+        .filter(F.col("raw_value") > F.col("thresh"))
+        .select("partkey", F.round("raw_value", 2).alias("value"))
+    )
+
+
+# =============================================================================
+# Q12 shape — two-way conditional counts by a lineitem attribute. No
+# l_shipmode/commitdate in the testdata: l_returnflag stands in for the
+# ship mode and "shipped on/after order date" for the late-commit
+# predicate. Single shuffle: join then partial-agg counts.
+# =============================================================================
+@q(
+    "q12_priority_by_flag",
+    """
+    SELECT l_returnflag AS ret_mode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate AND year(l_shipdate) = 1997
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(F.col("l_returnflag").alias("ret_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# =============================================================================
+# Q16 shape — supplier-count by part attributes with a NOT IN exclusion
+# subquery ("suppliers with complaints" → negative account balance).
+# The exclusion is a broadcast anti-join; part attrs arrive via a
+# broadcast FK join; the only shuffle is the final distinct-count agg.
+# =============================================================================
+@q(
+    "q16_supplier_part_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# =============================================================================
+# Q20 shape — nested IN subqueries with a correlated quantity threshold
+# ("suppliers with excess stock"). Suppliers of NATION_0 who in 1997
+# shipped more of some 'small%' part than half that part's per-supplier
+# average. Both grouped frames shuffle on partkey once; the final
+# supplier membership is a semi-join.
+# =============================================================================
+@q(
+    "q20_excess_shippers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty97
+      FROM lineitem WHERE year(l_shipdate) = 1997
+      GROUP BY l_suppkey, l_partkey
+    ),
+    avail AS (
+      SELECT l_partkey AS pk,
+             0.5 * sum(l_quantity) / count(DISTINCT l_suppkey) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_0'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM shipped
+        JOIN avail ON l_partkey = pk
+        JOIN part  ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%' AND qty97 > half_avg)
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part")
+
+    shipped = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty97"))
+    )
+    avail = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.sum("l_quantity") / F.countDistinct("l_suppkey")).alias("half_avg")
+    )
+    small = part.filter(F.col("p_name").startswith("small")).select("p_partkey")
+    excess = (
+        shipped.join(avail, shipped.l_partkey == avail.pk)
+        .join(F.broadcast(small), shipped.l_partkey == small.p_partkey)
+        .filter(F.col("qty97") > F.col("half_avg"))
+        .select("l_suppkey")
+    )
+    nat = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_0")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    )
+    return (
+        nat.join(excess, nat.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+# =============================================================================
+# Q21 shape — EXISTS / NOT EXISTS over self-joined lineitem ("suppliers
+# who kept orders waiting"): the supplier returned ('R') a line in a
+# multi-supplier order where no OTHER supplier returned one. The oracle
+# keeps the literal EXISTS/NOT EXISTS form; the Spark plan rewrites both
+# correlated probes into one per-order aggregate (n_suppliers,
+# n_returning_suppliers) — one shuffle on orderkey instead of two
+# self-join shuffles, the winning strategy at 100 TB.
+# =============================================================================
+@q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE l1.l_returnflag = 'R' AND n_name = 'NATION_2'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r"),
+    )
+    nat = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(per_order, li.l_orderkey == per_order.ok)
+        .filter((F.col("n_supp") > 1) & (F.col("n_r") == 1))
+        .join(F.broadcast(nat), li.l_suppkey == nat.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+    )
