@@ -954,3 +954,135 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < 2)
         .select("doc_id", "source", "bucket")
     )
+
+
+# =============================================================================
+# PII / denylist redaction — the corpus-scrubbing pass every training
+# pipeline runs before tokenization: mask emails, URLs, and a denylist
+# of terms, and report how many spans were masked per doc. Map-only
+# (three chained regexp_replace + one regexp_extract_all), fully
+# JVM-side, no shuffle — scales linearly with corpus bytes.
+# =============================================================================
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_TERMS = r"\b(spark|sql)\b"
+
+
+@q(
+    "pii_redact_documents",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_URL}', '<URL>', 'g'),
+               '{_PII_TERMS}', '<TERM>', 'g') AS redacted,
+           (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(text, '{_PII_URL}'))
+            + len(regexp_extract_all(text, '{_PII_TERMS}')))::BIGINT AS n_masked
+    FROM documents
+    """,
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_URL,
+            "<URL>",
+        ),
+        _PII_TERMS,
+        "<TERM>",
+    )
+    n_masked = (
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL)))
+        + F.size(F.regexp_extract_all("text", F.lit(_PII_URL)))
+        + F.size(F.regexp_extract_all("text", F.lit(_PII_TERMS)))
+    )
+    return docs.select(
+        "doc_id", redacted.alias("redacted"), n_masked.cast("long").alias("n_masked")
+    )
+
+
+# =============================================================================
+# Context-window packing — concat-then-chunk sequence packing for LLM
+# training: within each source shard, documents are laid end-to-end in
+# doc_id order and assigned to 512-token context windows by running
+# token offset. One shuffle (partition by source); inside each shard the
+# running sum is a partition-local window, so shards pack in parallel —
+# exactly how a 100 TB corpus packs across executors.
+# =============================================================================
+@q(
+    "doc_pack_contexts",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, len({_TOKS})::BIGINT AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM d
+    )
+    SELECT doc_id, source, n_tok,
+           floor((cum - n_tok) / 512)::BIGINT AS context_id
+    FROM c
+    """,
+)
+def doc_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    d = docs.select("doc_id", "source", F.size(toks).cast("long").alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512)
+        .cast("long")
+        .alias("context_id"),
+    )
+
+
+# =============================================================================
+# Weekly cohort retention — classic product-analytics rollup on the
+# events stream: users grouped by first-active week, counted in each
+# subsequent week. Two shuffles (per-user min, then cohort-cell
+# distinct-count); week arithmetic stays in epoch seconds so both
+# engines agree without date-rendering drift.
+# =============================================================================
+@q(
+    "events_weekly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+           ((epoch(week) - epoch(cohort_week)) / 604800)::BIGINT AS weeks_since,
+           count(DISTINCT activity.user_id)::BIGINT AS active_users
+    FROM activity JOIN firsts ON activity.user_id = firsts.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    joined = activity.join(firsts, "user_id")
+    return joined.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+        (
+            (F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / 604800
+        )
+        .cast("long")
+        .alias("weeks_since"),
+    ).agg(F.countDistinct("user_id").cast("long").alias("active_users"))
