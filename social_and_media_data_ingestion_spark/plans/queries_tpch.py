@@ -490,7 +490,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= o_orderdate AND year(l_shipdate) = 1997
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l_returnflag
     """,
 )
@@ -499,7 +501,10 @@ def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
         .groupBy(F.col("l_returnflag").alias("ret_mode"))
@@ -560,7 +565,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH shipped AS (
       SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty97
-      FROM lineitem WHERE year(l_shipdate) = 1997
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY l_suppkey, l_partkey
     ),
     avail AS (
@@ -585,7 +592,10 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
 
     shipped = (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty97"))
     )

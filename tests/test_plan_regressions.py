@@ -60,3 +60,37 @@ def test_column_pruning_reaches_scan(spark):
     assert "l_orderkey" not in scan_line
     assert "l_partkey" not in scan_line
     assert "l_quantity" in scan_line
+
+
+def test_pii_redaction_map_only(spark):
+    # corpus scrubbing must scale linearly: no shuffle, no join
+    plan = _plan(spark, "pii_redact_documents")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_chunking_map_only(spark):
+    # stride-window chunking is row-local (generate over arrays)
+    plan = _plan(spark, "text_chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_packing_single_shard_shuffle(spark):
+    # context packing shuffles once (by source shard), never globally
+    plan = _plan(spark, "doc_pack_contexts")
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_q12_band_predicate_pushed_to_scan(spark):
+    # the 1997 ship-year filter must reach the parquet reader as a range
+    plan = _plan(spark, "q12_priority_by_flag")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_single_orderkey_shuffle_no_self_join_explosion(spark):
+    # EXISTS/NOT EXISTS rewritten to one per-order aggregate: lineitem
+    # appears exactly twice (probe + agg), not three times
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert plan.count("FileScan parquet") == 4  # lineitem x2 + supplier + nation
