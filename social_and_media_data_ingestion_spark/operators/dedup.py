@@ -168,7 +168,14 @@ def minhash_lsh_candidates(
     sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
     """(id_a, id_b) candidate near-dup pairs: docs sharing >= 1 LSH band.
-    Self-join on (band index, band value) — shuffles only bucket keys."""
+
+    Single shuffle: group by (band index, band value), expand ordered
+    pairs inside each bucket with array expressions. Beats the naive
+    banded self-join at scale twice over — the signature computation
+    (the expensive map side) is evaluated once instead of once per join
+    side, and one hash-agg exchange replaces the join's two. Bucket pair
+    expansion is quadratic per bucket by construction (that is LSH's
+    candidate semantics); band width controls bucket size."""
     assert bands * rows_per_band <= 12
     banded = sigs.select(
         "id",
@@ -190,16 +197,22 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    ids = F.array_sort(F.collect_set("id"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
