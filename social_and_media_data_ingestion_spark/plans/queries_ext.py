@@ -1086,3 +1086,144 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weeks_since"),
     ).agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+
+
+# =============================================================================
+# Calendar-spine gap filling — densify a sparse daily series: generate
+# every (day, event_type) cell over the observed range and left-join the
+# real counts, zero-filling the gaps. The spine is built from one
+# global-agg row (sequence + explode), so it costs nothing next to the
+# counts shuffle; the aggregated counts (days x types, tiny even at
+# 100 TB input) are the broadcast build side of the outer join.
+# =============================================================================
+@q(
+    "events_gap_filled_daily",
+    """
+    WITH bounds AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
+    days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT ts::DATE AS day, event_type, count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, t.event_type,
+           coalesce(n_events, 0)::BIGINT AS n_events
+    FROM days d
+    CROSS JOIN types t
+    LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type
+    """,
+)
+def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    return (
+        spine.join(F.broadcast(daily), ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+# =============================================================================
+# Funnel conversion — ordered-stage analysis over the event stream:
+# first view -> first click after it -> first purchase after that, per
+# user, collapsed to corpus-level stage counts. One shuffle (per-user
+# conditional-min agg); the funnel ordering is pure column logic on the
+# tiny aggregated frame.
+# =============================================================================
+@q(
+    "events_funnel_conversion",
+    """
+    WITH stage AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS viewed,
+           sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)::BIGINT
+             AS clicked_after_view,
+           sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END)::BIGINT AS purchased_after_click
+    FROM stage
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    m = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    stage = ev.groupBy("user_id").agg(
+        m("view").alias("t_view"),
+        m("click").alias("t_click"),
+        m("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return stage.agg(
+        F.count("*").cast("long").alias("n_users"),
+        one_if(F.col("t_view").isNotNull()).alias("viewed"),
+        one_if(clicked).alias("clicked_after_view"),
+        one_if(purchased).alias("purchased_after_click"),
+    )
+
+
+# =============================================================================
+# Stratified deterministic sampling — per-source sampling rates keyed on
+# the content fingerprint (src0 20%, src1 10%, rest 5%): downsample
+# over-represented sources while staying reproducible across engines and
+# runs. Map-only, like sample_hash_mod.
+# =============================================================================
+@q(
+    "sample_stratified_hash",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_transform(string_split_regex(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+               x -> ascii(x)::BIGINT) AS cs
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, source,
+             CASE WHEN len(cs) = 0 THEN 0
+                  ELSE list_reduce(cs, (acc, x) -> (acc * 31 + x) % 1000000007)
+             END::BIGINT AS fp
+      FROM d
+    )
+    SELECT doc_id, source, (fp % 100)::BIGINT AS bucket
+    FROM fp
+    WHERE fp % 100 < CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 10
+                                 ELSE 5 END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators import text_analysis as TA
+
+    docs = t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "src0", 20)
+        .when(F.col("source") == "src1", 10)
+        .otherwise(5)
+    )
+    return (
+        docs.withColumn("bucket", (TA.rolling_fingerprint("text") % 100).cast("long"))
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "source", "bucket")
+    )
