@@ -36,6 +36,14 @@ HEADLINE = [
     "sim_cosine_topk",
     "events_windowed_agg",
     "events_sessionize",
+    # complex relational shapes (round 1 widening)
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "events_weekly_retention",
+    # training-data pipeline ops
+    "pii_redact_documents",
+    "text_chunk_documents",
+    "doc_pack_contexts",
 ]
 
 

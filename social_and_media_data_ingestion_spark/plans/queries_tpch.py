@@ -651,21 +651,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
 
-    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r"),
+    # One pass over lineitem: reduce to (order, supplier, returned?) pairs
+    # (map-side partial agg collapses line-level rows), derive both EXISTS
+    # probes from per-order stats of that small frame, and never touch
+    # lineitem again. Avoids the expand that two countDistinct aggregates
+    # would emit and the second full lineitem scan of the naive rewrite.
+    pairs = li.groupBy(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
+    stats = pairs.groupBy("ok").agg(
+        F.count("*").alias("n_supp"), F.sum("has_r").alias("n_r")
     )
     nat = supp.join(
         F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
         supp.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
     return (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(per_order, li.l_orderkey == per_order.ok)
+        pairs.filter(F.col("has_r") == 1)
+        .join(stats, "ok")
         .filter((F.col("n_supp") > 1) & (F.col("n_r") == 1))
-        .join(F.broadcast(nat), li.l_suppkey == nat.s_suppkey)
+        .join(F.broadcast(nat), F.col("sk") == nat.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        .agg(F.count("*").cast("long").alias("numwait"))
     )
