@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 AHOCORASICK_THRESHOLD = 2000  # alternation size beyond which rlike degrades
+CONTAINS_CHAIN_THRESHOLD = 16  # below this, OR-chained UTF8String.contains
+# beats a regex alternation: no NFA, pure memcmp-style scans inside
+# WholeStageCodegen, and Catalyst can short-circuit the disjunction.
 
 
 def _java_escape(kw: str) -> str:
@@ -71,8 +74,16 @@ def contains_any(cols: Sequence[Column | str], keywords: Sequence[str]) -> Colum
     Exact parity with the reference's short-circuit `any(kw in text)`."""
     if not keywords:
         return F.lit(False)
-    pat = substring_any_pattern(keywords)
     pred = F.lit(False)
+    if len(keywords) <= CONTAINS_CHAIN_THRESHOLD:
+        # Literal-substring fast path: `lower(col) CONTAINS kw` per keyword.
+        for c in cols:
+            col = F.col(c) if isinstance(c, str) else c
+            low = F.lower(col)
+            for k in keywords:
+                pred = pred | low.contains(k.lower())
+        return pred
+    pat = substring_any_pattern(keywords)
     for c in cols:
         col = F.col(c) if isinstance(c, str) else c
         pred = pred | F.lower(col).rlike(pat)

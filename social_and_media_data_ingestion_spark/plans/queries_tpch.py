@@ -377,9 +377,14 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classic "cheapest supplier per part"). No partsupp table in the
 # testdata, so lineitem's distinct (partkey, suppkey) pairs act as the
 # part-supplier bridge and s_acctbal stands in for ps_supplycost.
-# Scale note: the correlated MIN is computed as a partition-window over
-# the bridge (one shuffle on partkey) rather than a re-scan per row;
-# dims (nation, region, part) are broadcast.
+# Scale note: the selective part predicate (size+type) is pushed to the
+# lineitem scan as a broadcast semi-join BEFORE the distinct, so the
+# bridge dedup and the per-part MIN window run over only the surviving
+# parts' rows, not the whole table. The correlated MIN itself is a
+# partition-window (one shuffle on partkey) rather than a re-scan per
+# row; dims (nation, region, part) are broadcast. Safe because the MIN
+# is per-partkey: restricting to the probed partkeys first cannot change
+# any min we read.
 # =============================================================================
 @q(
     "q2_min_cost_supplier",
@@ -408,7 +413,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = t(spark, sf_dir, "region")
     part = t(spark, sf_dir, "part")
 
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+    ps = (
+        li.join(
+            F.broadcast(p.select(F.col("p_partkey").alias("probe_pk"))),
+            li.l_partkey == F.col("probe_pk"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     elig = (
         ps.join(supp, ps.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -420,7 +434,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest = elig.withColumn("min_bal", F.min("s_acctbal").over(w)).filter(
         F.col("s_acctbal") == F.col("min_bal")
     )
-    p = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
     return (
         cheapest.join(F.broadcast(p), F.col("pk") == p.p_partkey)
         .select(

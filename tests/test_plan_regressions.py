@@ -94,3 +94,24 @@ def test_q21_single_orderkey_shuffle_no_self_join_explosion(spark):
     # appears exactly twice (probe + agg), not three times
     plan = _plan(spark, "q21_waiting_suppliers")
     assert plan.count("FileScan parquet") == 4  # lineitem x2 + supplier + nation
+
+
+def test_q2_part_filter_pushed_below_distinct(spark):
+    # the selective part predicate must prune lineitem BEFORE the
+    # (partkey, suppkey) distinct: a broadcast LEFT SEMI under the
+    # HashAggregate, never a post-window filter over the full bridge
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    semi_pos = plan.index("LeftSemi")
+    dedup_pos = plan.index("HashAggregate")
+    # executedPlan prints top-down: the dedup aggregate appears above
+    # (= earlier in the string than) the semi-join feeding it
+    assert dedup_pos < semi_pos
+
+
+def test_keyword_contains_chain_no_regex_for_small_sets(spark):
+    # small keyword sets compile to UTF8String Contains, not an rlike NFA
+    plan = _plan(spark, "flagship_submission_extract")
+    assert "Contains(" in plan
+    assert "RLike" not in plan
