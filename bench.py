@@ -44,6 +44,8 @@ HEADLINE = [
     "pii_redact_documents",
     "text_chunk_documents",
     "doc_pack_contexts",
+    "corpus_curate_pipeline",
+    "text_tfidf_topterms",
 ]
 
 

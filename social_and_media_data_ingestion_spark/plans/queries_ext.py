@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from social_and_media_data_ingestion_spark.operators import multimodal as MM
 from social_and_media_data_ingestion_spark.operators import scale as SC
-from social_and_media_data_ingestion_spark.plans.queries import _TOKS, q
+from social_and_media_data_ingestion_spark.plans.queries import (
+    _TOKS,
+    _lang_hits_sql,
+    q,
+)
 from social_and_media_data_ingestion_spark.plans.tables import t
 
 
@@ -1226,4 +1230,196 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("bucket", (TA.rolling_fingerprint("text") % 100).cast("long"))
         .filter(F.col("bucket") < rate)
         .select("doc_id", "source", "bucket")
+    )
+
+
+# =============================================================================
+# Corpus curation pipeline — the composite training-data gate every
+# corpus build runs: language gate (stopword-argmax lang ID), token-count
+# band, punctuation-soup cap, then exact near-dup removal by normalized
+# content fingerprint keeping the lowest doc_id. Feature extraction is
+# entirely map-only column expressions; the ONLY shuffle is the
+# fingerprint-dedup exchange, and the gates run before it so the shuffle
+# carries just the surviving fraction. At 100 TB the gates typically drop
+# 50-90% of rows before any data moves.
+# =============================================================================
+_CURATE_FP_SQL = (
+    "CASE WHEN len(cs) = 0 THEN 0 "
+    "ELSE list_reduce(cs, (acc, x) -> (acc * 31 + x) % 1000000007) END"
+)
+
+
+@q(
+    "corpus_curate_pipeline",
+    rf"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len({_TOKS})::BIGINT AS n_tok,
+             {_lang_hits_sql("en")} AS h_en,
+             {_lang_hits_sql("de")} AS h_de,
+             {_lang_hits_sql("es")} AS h_es,
+             {_lang_hits_sql("fr")} AS h_fr,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END AS pr,
+             list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+                            x -> ascii(x)::BIGINT) AS cs
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, source, n_tok, {_CURATE_FP_SQL}::BIGINT AS fp
+      FROM feats
+      WHERE greatest(h_en, h_de, h_es, h_fr) > 0
+        AND h_en = greatest(h_en, h_de, h_es, h_fr)
+        AND n_tok BETWEEN 10 AND 1000
+        AND pr <= 0.2
+    )
+    SELECT doc_id, source, n_tok
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM gated
+    ) WHERE rn = 1
+    """,
+)
+def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators import text_analysis as TA
+
+    docs = t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        TA.ws_token_count("text").cast("long").alias("n_tok"),
+        TA.language_id("text").alias("lang_pred"),
+        TA.punct_ratio("text").alias("pr"),
+        TA.rolling_fingerprint("text").alias("fp"),
+    )
+    gated = feats.filter(
+        (F.col("lang_pred") == "en")
+        & F.col("n_tok").between(10, 1000)
+        & (F.col("pr") <= 0.2)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+
+
+# =============================================================================
+# Event-rate anomaly detection — daily counts per event type scored
+# against their own trailing-week mean/stddev (z-score), flagging
+# |z| > 2 days. One shuffle (the daily count agg); the window runs over
+# the tiny aggregated frame (days x types), so cost is independent of
+# raw event volume.
+# =============================================================================
+@q(
+    "events_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT ts::DATE AS day, event_type, count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT day, event_type, n_events,
+             avg(n_events) OVER w AS mu,
+             stddev_samp(n_events) OVER w AS sd
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n_events,
+           round((n_events - mu) / sd, 4) AS z
+    FROM scored
+    WHERE sd IS NOT NULL AND sd > 0 AND abs((n_events - mu) / sd) > 2
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sd"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.abs(z) > 2))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+# =============================================================================
+# TF-IDF top terms per source — the corpus-reporting op: explode
+# whitespace tokens, term frequency per (source, term), document
+# frequency per term, idf-weight, keep each source's top 5. Ranking is
+# by INTEGER tf (term as tie-break) so the cross-engine sort is exact;
+# the float tfidf is an output value only. Shuffles: token agg (heavy,
+# map-side combined), df agg, one term-keyed join; the final per-source
+# window sorts the already-aggregated term frame.
+# =============================================================================
+@q(
+    "text_tfidf_topterms",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1
+    ),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT source, term, tf,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT source, term, tf, tfidf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    tok = docs.select("doc_id", "source", F.explode(toks).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "tf", "tfidf")
     )
