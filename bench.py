@@ -46,6 +46,7 @@ HEADLINE = [
     "doc_pack_contexts",
     "corpus_curate_pipeline",
     "text_tfidf_topterms",
+    "emb_kmeans_assign",
 ]
 
 

@@ -1423,3 +1423,139 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "term", "tf", "tfidf")
     )
+
+
+# =============================================================================
+# K-means over embeddings, step 1: ASSIGN — every vector to its nearest
+# of k=8 fixed centroids (the embeddings with vec_id < 8; deterministic
+# seed choice) by cosine. Centroids are broadcast (k rows), the cosine
+# fan-out is map-only (k scores per row), and the argmax is a single
+# map-side-combinable aggregate via struct-max (cos DESC, centroid ASC
+# tie-break) — no per-vector window shuffle. The scale shape of the
+# E-step on any corpus size.
+# =============================================================================
+_COS_SQL = (
+    "list_sum(list_transform(range(len(qe)), i -> qe[i+1]::DOUBLE * ce[i+1]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+@q(
+    "emb_kmeans_assign",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT vec_id, cid, {_COS_SQL.replace("qe", "embedding")} AS cos
+      FROM embeddings CROSS JOIN cent
+    )
+    SELECT vec_id, cid AS centroid_id, round(cos, 4) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    def _sqsum(c):
+        return F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    dot = F.aggregate(
+        F.zip_with("embedding", "ce", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    cos = dot / (F.sqrt(_sqsum("embedding")) * F.sqrt(_sqsum("ce")))
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", cos.alias("cos")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("neg_cid"))).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.neg_cid")).alias("centroid_id"),
+        F.round("m.cos", 4).alias("cosine"),
+    )
+
+
+# =============================================================================
+# K-means step 2: UPDATE — element-wise mean vector per cluster, emitted
+# FLAT as (centroid_id, dim_idx, value): posexplode + one (cluster, dim)
+# aggregate, no array reassembly (downstream rebuilds with
+# array_agg-sorted if needed). Combined with assign above this is one
+# full Lloyd iteration, all map-side-combinable aggregates.
+# =============================================================================
+@q(
+    "emb_kmeans_update",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT vec_id, cid, embedding, {_COS_SQL.replace("qe", "embedding")} AS cos
+      FROM embeddings CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT vec_id, cid, embedding
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT cid AS centroid_id, ord::BIGINT - 1 AS dim_idx,
+           round(avg(val), 6) AS value,
+           count(*)::BIGINT AS n_members
+    FROM (
+      SELECT cid, unnest(embedding)::DOUBLE AS val,
+             generate_subscripts(embedding, 1) AS ord
+      FROM assigned
+    )
+    GROUP BY 1, 2
+    """,
+)
+def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    def _sqsum(c):
+        return F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    dot = F.aggregate(
+        F.zip_with("embedding", "ce", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    cos = dot / (F.sqrt(_sqsum("embedding")) * F.sqrt(_sqsum("ce")))
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", "embedding", cos.alias("cos")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos"), (-F.col("cid")).alias("neg_cid"), F.col("embedding"))
+        ).alias("m")
+    )
+    assigned = best.select(
+        (-F.col("m.neg_cid")).alias("centroid_id"), F.col("m.embedding").alias("e")
+    )
+    return (
+        assigned.select("centroid_id", F.posexplode("e").alias("dim_idx", "val"))
+        .groupBy("centroid_id", F.col("dim_idx").cast("long").alias("dim_idx"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("value"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    )

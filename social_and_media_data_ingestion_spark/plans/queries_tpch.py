@@ -665,24 +665,28 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
 
     # One pass over lineitem: reduce to (order, supplier, returned?) pairs
-    # (map-side partial agg collapses line-level rows), derive both EXISTS
-    # probes from per-order stats of that small frame, and never touch
-    # lineitem again. Avoids the expand that two countDistinct aggregates
-    # would emit and the second full lineitem scan of the naive rewrite.
+    # (map-side partial agg collapses line-level rows), then derive both
+    # EXISTS probes as per-order WINDOW stats over that small frame —
+    # no second lineitem scan (the groupBy+join-back spelling evaluates
+    # the pairs subtree twice) and no order-keyed join. Cost: one full
+    # shuffle on (ok, sk), one small exchange on ok for the window.
+    from pyspark.sql.window import Window
+
     pairs = li.groupBy(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
     ).agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
-    stats = pairs.groupBy("ok").agg(
-        F.count("*").alias("n_supp"), F.sum("has_r").alias("n_r")
+    w = Window.partitionBy("ok")
+    stats = pairs.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_r", F.sum("has_r").over(w)
     )
     nat = supp.join(
         F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
         supp.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
     return (
-        pairs.filter(F.col("has_r") == 1)
-        .join(stats, "ok")
-        .filter((F.col("n_supp") > 1) & (F.col("n_r") == 1))
+        stats.filter(
+            (F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_r") == 1)
+        )
         .join(F.broadcast(nat), F.col("sk") == nat.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))

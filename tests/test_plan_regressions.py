@@ -90,10 +90,11 @@ def test_q12_band_predicate_pushed_to_scan(spark):
 
 
 def test_q21_single_orderkey_shuffle_no_self_join_explosion(spark):
-    # EXISTS/NOT EXISTS rewritten to one per-order aggregate: lineitem
-    # appears exactly twice (probe + agg), not three times
+    # EXISTS/NOT EXISTS rewritten to per-order window stats over the
+    # (order, supplier) pairs frame: lineitem is scanned exactly ONCE
     plan = _plan(spark, "q21_waiting_suppliers")
-    assert plan.count("FileScan parquet") == 4  # lineitem x2 + supplier + nation
+    assert plan.count("FileScan parquet") == 3  # lineitem + supplier + nation
+    assert "SortMergeJoin" not in plan
 
 
 def test_q2_part_filter_pushed_below_distinct(spark):
