@@ -43,6 +43,15 @@ def get_spark(
         # convert in the loader (Spark timestamps are micros)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Runtime row-pruning for joins too big to broadcast: bloom filters
+    # built from the filtered dim side injected into the fact scan
+    # (Spark 3.3+). A clear win on a cluster at TB scale, but the extra
+    # build/probe stages dominate on small local data (measured ~6x
+    # slower at sf<=0.1), so it is opt-in via env rather than default.
+    if os.environ.get("SPARK_GRAFT_RUNTIME_FILTERS") == "1":
+        builder = builder.config(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
