@@ -1559,3 +1559,105 @@ def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_members"),
         )
     )
+
+
+# =============================================================================
+# Value histogram — fixed-bound width_bucket histogram over the event
+# value stream with per-bucket stats. One map-side-combinable aggregate;
+# bucket boundaries are plan-time literals so the whole op is a single
+# scan + partial/final agg at any scale.
+# =============================================================================
+@q(
+    "events_value_histogram",
+    """
+    SELECT CAST(CASE WHEN value < 0 THEN 0
+                WHEN value >= 100 THEN 11
+                ELSE floor(value / 10) + 1 END AS BIGINT) AS bucket,
+           count(*)::BIGINT AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, 0)
+        .when(F.col("value") >= 100, 11)
+        .otherwise(F.floor(F.col("value") / 10) + 1)
+        .cast("long")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+# =============================================================================
+# Corpus profile — the one-pass data-quality summary run before any
+# training job: row/null/distinct counts and length stats per corpus.
+# Single global aggregate (distinct-agg expands once, still one scan).
+# =============================================================================
+@q(
+    "corpus_profile",
+    """
+    SELECT count(*)::BIGINT AS n_rows,
+           count(text)::BIGINT AS n_text_nonnull,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("text").cast("long").alias("n_text_nonnull"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# =============================================================================
+# Inverted index build — term -> (document frequency, first-10 sorted
+# posting list): the IR-side retrieval structure over the corpus. Two
+# aggregates (distinct (term, doc) pairs, then per-term collect); the
+# posting array is SORTED before slicing so the result is deterministic
+# and engine-independent. Restricted to terms with df >= 5 to bound
+# output (the long tail stays in the full index, not the report).
+# =============================================================================
+@q(
+    "text_inverted_index",
+    rf"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    )
+    SELECT term, count(*)::BIGINT AS df,
+           list_slice(list_sort(list(doc_id)), 1, 10) AS postings
+    FROM tok
+    GROUP BY term
+    HAVING count(*) >= 5
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("term")).distinct()
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )
