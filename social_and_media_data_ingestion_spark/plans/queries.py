@@ -1452,11 +1452,64 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
-# LLM layer — IVF-style ANN (deterministic seeds; no SQL oracle — the
-# nearest-centroid assignment is expressible but unreasonably long in SQL;
-# driver records the rows-only check)
+# LLM layer — IVF-style ANN. Fully deterministic (centroid seeds = the 8
+# lowest vec_ids, argmax assignment with centroid-id tie-break, top-2
+# probe, exact re-rank in probed cells), so the whole pipeline has a SQL
+# oracle: same centroid/assignment/probe/re-rank steps as CTEs.
 # =============================================================================
-@q("sim_ivf_topk", None)
+def _cos2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(len({a})), i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+    )
+
+
+@q(
+    "sim_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT neighbor_id, c_vec, centroid_id FROM (
+        SELECT neighbor_id, c_vec, centroid_id,
+               row_number() OVER (PARTITION BY neighbor_id
+                                  ORDER BY cent_sim DESC, centroid_id ASC) AS rn
+        FROM (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.centroid_id,
+                 {_cos2("e.embedding", "c.ce")} AS cent_sim
+          FROM embeddings e CROSS JOIN cent c
+        )
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT query_id, q_vec, centroid_id FROM (
+        SELECT query_id, q_vec, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cent_sim DESC, centroid_id ASC) AS rn
+        FROM (
+          SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.centroid_id,
+                 {_cos2("e.embedding", "c.ce")} AS cent_sim
+          FROM embeddings e CROSS JOIN cent c
+          WHERE e.vec_id < 10
+        )
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cos2("q_vec", "c_vec")} AS cos
+      FROM assigned JOIN probed USING (centroid_id)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
