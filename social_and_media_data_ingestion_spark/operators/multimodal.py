@@ -188,3 +188,57 @@ def sample_frames(
             )
 
     return df.select(id_col, duration_ms_col).mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_index", T.IntegerType()),
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def chunk_audio(
+    df: DataFrame,
+    sample_rate: int = 1000,
+    window_ms: int = 250,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """payload -> fixed-duration windows with per-window RMS energy
+    (1-file -> N-rows UDTF shape). Stub treats each payload byte as one
+    8-bit PCM sample; the integer arithmetic is exact, so the fake is
+    oracle-verifiable. Real decode would go through torchaudio/soundfile."""
+    win = sample_rate * window_ms // 1000
+
+    def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    _STUB_MSG.format(what="audio", lib="torchaudio/soundfile")
+                )
+            ids, idxs, starts, ns, rms = [], [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                samples = list(bytes(p))
+                for ci in range((len(samples) + win - 1) // win):
+                    seg = samples[ci * win : (ci + 1) * win]
+                    ids.append(int(mid))
+                    idxs.append(ci)
+                    starts.append(ci * window_ms)
+                    ns.append(len(seg))
+                    rms.append((sum(b * b for b in seg) / len(seg)) ** 0.5)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "chunk_index": pd.Series(idxs, dtype="int32"),
+                    "start_ms": pd.Series(starts, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_chunk, AUDIO_CHUNK_SCHEMA)

@@ -1661,3 +1661,45 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 5)
     )
+
+
+# =============================================================================
+# Multimodal — audio chunking: payload -> fixed 250ms windows with RMS
+# energy, via the Arrow-batched mapInPandas UDTF (1 row -> N rows, no
+# shuffle, partitioning preserved). The deterministic 8-bit-PCM fake is
+# pure integer arithmetic, so the WHOLE UDTF path gets a value-level SQL
+# oracle (documents text bytes stand in for PCM; corpus is ASCII so
+# bytes == code points).
+# =============================================================================
+@q(
+    "multimodal_audio_chunks",
+    """
+    WITH s AS (
+      SELECT doc_id AS media_id,
+             list_transform(string_split(text, ''), c -> ascii(c)::DOUBLE) AS samples
+      FROM documents
+    ),
+    c AS (
+      SELECT media_id, samples,
+             unnest(range(((len(samples) + 249) // 250)::INT)) AS ci
+      FROM s
+    )
+    SELECT media_id,
+           ci::INTEGER AS chunk_index,
+           (ci * 250)::INTEGER AS start_ms,
+           len(list_slice(samples, ci * 250 + 1, ci * 250 + 250))::INTEGER AS n_samples,
+           round(sqrt(list_sum(list_transform(list_slice(samples, ci * 250 + 1, ci * 250 + 250), x -> x * x))
+                      / len(list_slice(samples, ci * 250 + 1, ci * 250 + 250))), 4) AS rms
+    FROM c
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    chunks = MM.chunk_audio(media, sample_rate=1000, window_ms=250)
+    return chunks.select(
+        "media_id", "chunk_index", "start_ms", "n_samples",
+        F.round("rms", 4).alias("rms"),
+    )

@@ -54,3 +54,25 @@ def test_sample_frames(spark):
     assert got == {(1, 0): 0, (1, 1): 1000, (1, 2): 2000, (2, 0): 0}
     # video 3 has zero duration -> no frames
     assert not any(r.media_id == 3 for r in rows)
+
+
+def test_chunk_audio_window_math(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes([10] * 6))), (2, bytearray(b"")), (3, bytearray(bytes([3, 4])))],
+        ["media_id", "payload"],
+    )
+    # 1000 Hz, 4 ms window -> 4 samples per chunk
+    rows = MM.chunk_audio(df, sample_rate=1000, window_ms=4).collect()
+    got = {(r.media_id, r.chunk_index): (r.start_ms, r.n_samples, r.rms) for r in rows}
+    assert got[(1, 0)] == (0, 4, 10.0)     # full window of constant 10s
+    assert got[(1, 1)] == (4, 2, 10.0)     # 2-sample tail
+    assert (3, 0) in got and got[(3, 0)][1] == 2
+    assert got[(3, 0)][2] == pytest.approx(((9 + 16) / 2) ** 0.5)
+    # empty payload -> no chunks
+    assert not any(r.media_id == 2 for r in rows)
+
+
+def test_chunk_audio_real_stub_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"abc"))], ["media_id", "payload"])
+    with pytest.raises(Exception, match="torchaudio"):
+        MM.chunk_audio(df, fake=False).collect()
