@@ -116,3 +116,36 @@ def test_keyword_contains_chain_no_regex_for_small_sets(spark):
     plan = _plan(spark, "flagship_submission_extract")
     assert "Contains(" in plan
     assert "RLike" not in plan
+
+
+def test_curation_single_shuffle(spark):
+    # all gates (lang/tokens/punct) evaluate map-side; the only exchange
+    # is the fingerprint-dedup shuffle
+    plan = _plan(spark, "corpus_curate_pipeline")
+    import re
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_kmeans_assign_agg_not_window(spark):
+    # argmax via struct-max aggregate (map-side combinable), never a
+    # per-vector window sort; centroids broadcast
+    plan = _plan(spark, "emb_kmeans_assign")
+    assert "Window" not in plan
+    # struct-max argmax compiles to an aggregate (Sort/Hash/ObjectHash
+    # depending on type support) — any of them is map-side combinable
+    assert "Aggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_audio_chunks_map_only(spark):
+    # the mapInPandas UDTF preserves partitioning: no shuffle, no join
+    plan = _plan(spark, "multimodal_audio_chunks")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_tfidf_no_smj_and_broadcast_count(spark):
+    plan = _plan(spark, "text_tfidf_topterms")
+    assert "SortMergeJoin" not in plan
