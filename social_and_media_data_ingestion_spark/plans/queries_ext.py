@@ -1055,9 +1055,10 @@ def doc_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 # Weekly cohort retention — classic product-analytics rollup on the
 # events stream: users grouped by first-active week, counted in each
-# subsequent week. Two shuffles (per-user min, then cohort-cell
-# distinct-count); week arithmetic stays in epoch seconds so both
-# engines agree without date-rendering drift.
+# subsequent week. Shuffle chain: (user, week) distinct -> per-user
+# window-min (cohort) -> cohort-cell distinct-count; week arithmetic
+# stays in epoch seconds so both engines agree without date-rendering
+# drift.
 # =============================================================================
 @q(
     "events_weekly_retention",
@@ -1079,9 +1080,13 @@ def doc_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     week = F.date_trunc("week", F.col("ts"))
-    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    # cohort = window-min over the already-distinct (user, week) frame:
+    # one exchange fewer than a separate per-user aggregate joined back,
+    # and the min runs over weeks-per-user (tiny), not raw events
     activity = ev.select("user_id", week.alias("week")).distinct()
-    joined = activity.join(firsts, "user_id")
+    joined = activity.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
     return joined.groupBy(
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
         (
