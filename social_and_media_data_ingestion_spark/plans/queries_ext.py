@@ -1708,3 +1708,36 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "chunk_index", "start_ms", "n_samples",
         F.round("rms", 4).alias("rms"),
     )
+
+
+# =============================================================================
+# Relative-standing windows — percent_rank + cume_dist of each supplier's
+# account balance within its nation (the remaining members of the window
+# family: rank-based relative position). One exchange on the partition
+# key; both functions share a single sort.
+# =============================================================================
+@q(
+    "window_percentile_standing",
+    """
+    SELECT s_suppkey, n_name,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(s_acctbal, 2) AS acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal ASC, s_suppkey ASC)
+    """,
+)
+def window_percentile_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "n_name",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
