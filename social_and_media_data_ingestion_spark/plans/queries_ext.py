@@ -1741,3 +1741,67 @@ def window_percentile_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s_acctbal", 2).alias("acctbal"),
         )
     )
+
+
+# =============================================================================
+# Hard-negative mining — for each query vector, the top-3 most-similar
+# corpus vectors with a DIFFERENT label (the contrastive-training data
+# primitive: near-misses make the best negatives). Same deterministic
+# cosine/tie-break machinery as the ANN family; the label inequality is
+# just a join predicate, so the scale path (LSH/IVF candidate pruning)
+# composes unchanged.
+# =============================================================================
+@q(
+    "emb_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS qid, label AS ql, embedding AS qe
+               FROM embeddings WHERE vec_id < 10),
+    s AS (
+      SELECT qid AS query_id, vec_id AS negative_id,
+             list_sum(list_transform(range(len(qe)), i -> qe[i+1]::DOUBLE * embedding[i+1]::DOUBLE))
+             / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+      FROM embeddings CROSS JOIN q
+      WHERE label <> ql
+    )
+    SELECT query_id, negative_id, round(cos, 4) AS cosine, rank
+    FROM (
+      SELECT query_id, negative_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, negative_id ASC)::BIGINT AS rank
+      FROM s
+    ) WHERE rank <= 3
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("ql"),
+        F.col("embedding").alias("qe"),
+    )
+
+    def _sqsum(c):
+        return F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    cos = dot / (F.sqrt(_sqsum("embedding")) * F.sqrt(_sqsum("qe")))
+    scored = (
+        emb.crossJoin(F.broadcast(q_side))
+        .filter(F.col("label") != F.col("ql"))
+        .select("query_id", F.col("vec_id").alias("negative_id"), cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "negative_id", F.round("cos", 4).alias("cosine"), "rank")
+    )
