@@ -1700,6 +1700,7 @@ def registry() -> dict[str, QueryDef]:
     # extension modules register via the shared @q decorator on import
     from social_and_media_data_ingestion_spark.plans import (  # noqa: F401
         queries_ext,
+        queries_ext2,
         queries_tpch,
     )
 

@@ -1,0 +1,297 @@
+"""Registry extension 2 — embedding compression, centroid analytics,
+time-range window frames, per-group mode, hypertable-style time rollups.
+
+Same conventions as queries.py: identical aliases both sides, doubles
+rounded identically, counts cast to BIGINT, deterministic tie-breaks.
+Imported inside queries.registry() alongside queries_ext / queries_tpch.
+
+Scale notes (100 TB posture):
+- emb_quantize_int8 is a pure map (per-row array math, no shuffle) — the
+  standard int8 scalar-quantization step before shipping vectors to an ANN
+  index; 4x memory reduction at ~1e-3 RMSE.
+- emb_label_centroid_distances shuffles once on (label, pos) — cardinality
+  |labels| x dim, tiny regardless of input size — then joins centroids
+  pairwise (|labels|^2 x dim rows, still tiny). The big table is touched
+  map-only via posexplode.
+- window_time_range_moving_avg / agg_mode_event_type shuffle once on their
+  partition key (hash partition by customer / user) — the frame/rank work
+  is then partition-local.
+- events_time_bucket_rollup is the hypertable multi-resolution rollup:
+  Spark expands rollup levels BEFORE the exchange, so partial aggregation
+  (map-side combine) applies to every granularity; output cardinality is
+  bounded by the bucket count, not the event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.operators import similarity as SIM
+from social_and_media_data_ingestion_spark.plans.queries import _TOKS, q
+from social_and_media_data_ingestion_spark.plans.tables import t
+
+
+# =============================================================================
+# LLM layer — int8 scalar quantization of embeddings (map-only).
+# Per-vector min/max affine quantization to 0..255 codes; reports the code
+# checksum and reconstruction RMSE. floor(x + 0.5) rounding is used on BOTH
+# sides (IEEE-identical, unlike round() whose half-even/half-up differs).
+# =============================================================================
+@q(
+    "emb_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, ed, list_min(ed) AS vmin,
+             CASE WHEN list_max(ed) - list_min(ed) <= 0 THEN 1.0
+                  ELSE (list_max(ed) - list_min(ed)) / 255.0 END AS scale
+      FROM e
+    ),
+    c AS (
+      SELECT vec_id, ed, vmin, scale,
+             list_transform(ed, x -> CAST(floor((x - vmin) / scale + 0.5) AS BIGINT)) AS codes
+      FROM s
+    )
+    SELECT vec_id,
+           len(codes)::BIGINT AS dim,
+           round(scale, 6) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           round(sqrt(list_sum(list_transform(range(len(ed)),
+                 i -> pow(ed[i+1] - (vmin + codes[i+1] * scale), 2))) / len(ed)), 6) AS rmse
+    FROM c
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", ed.alias("ed"))
+    vmin = F.array_min("ed")
+    vmax = F.array_max("ed")
+    # NB: the internal column is "scale_raw", NOT "scale" — if the final
+    # select aliased a rounded copy as "scale", Spark's lateral column alias
+    # resolution would rebind the F.col("scale") references inside the
+    # higher-order-function lambdas below to the ROUNDED value, silently
+    # corrupting the reconstruction error.
+    s = e.select(
+        "vec_id",
+        "ed",
+        vmin.alias("vmin"),
+        F.when(vmax - vmin <= 0, F.lit(1.0))
+        .otherwise((vmax - vmin) / F.lit(255.0))
+        .alias("scale_raw"),
+    )
+    c = s.select(
+        "vec_id",
+        "ed",
+        "vmin",
+        "scale_raw",
+        F.transform(
+            "ed",
+            lambda x: F.floor(
+                (x - F.col("vmin")) / F.col("scale_raw") + F.lit(0.5)
+            ).cast("long"),
+        ).alias("codes"),
+    )
+    err_sq = F.aggregate(
+        F.zip_with(
+            "ed",
+            "codes",
+            lambda x, code: F.pow(
+                x - (F.col("vmin") + code.cast("double") * F.col("scale_raw")),
+                F.lit(2.0),
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return c.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("dim"),
+        F.round("scale_raw", 6).alias("scale"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "code_sum"
+        ),
+        F.round(F.sqrt(err_sq / F.size("ed")), 6).alias("rmse"),
+    )
+
+
+# =============================================================================
+# LLM layer — pairwise cosine between per-label centroids (class-separation
+# diagnostic for labeled embedding corpora). posexplode -> one shuffle on
+# (label, pos) whose output is |labels| x dim rows; the pairwise join runs
+# on that tiny centroid table only.
+# =============================================================================
+@q(
+    "emb_label_centroid_distances",
+    """
+    WITH ex AS (
+      SELECT label, unnest(range(len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+      FROM embeddings
+    ),
+    cent AS (SELECT label, pos, avg(val) AS v FROM ex GROUP BY 1, 2)
+    SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+           round(sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4)
+             AS cosine
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+)
+def emb_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("v"))
+    a = cent.alias("a")
+    b = cent.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").cast("long").alias("label_a"),
+            F.col("b.label").cast("long").alias("label_b"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("a.v") * F.col("b.v"))
+                / (
+                    F.sqrt(F.sum(F.col("a.v") * F.col("a.v")))
+                    * F.sqrt(F.sum(F.col("b.v") * F.col("b.v")))
+                ),
+                4,
+            ).alias("cosine")
+        )
+    )
+
+
+# =============================================================================
+# §2.6 extension — event-time RANGE frame: 7-day trailing average order value
+# per customer. Spark expresses the interval frame as rangeBetween over
+# epoch seconds (equivalent to DuckDB's RANGE INTERVAL frame); one hash
+# partition on o_custkey, then the frame scan is partition-local.
+# =============================================================================
+@q(
+    "window_time_range_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           floor(avg(o_totalprice) OVER w * 100 + 0.5) / 100 AS avg_7d,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # o_orderdate is TIMESTAMP_NTZ, which has no direct long cast; the
+        # session is pinned to UTC so NTZ -> LTZ -> epoch-seconds is exact.
+        .orderBy(F.col("o_orderdate").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    # floor(x*100 + 0.5)/100 instead of round(x, 2): the two engines'
+    # decimal-string round() can split a half-boundary double differently;
+    # floor arithmetic is IEEE-identical on both.
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.floor(F.avg("o_totalprice").over(w) * 100 + F.lit(0.5)) / 100).alias(
+            "avg_7d"
+        ),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
+# =============================================================================
+# §2.5 extension — per-group mode: each user's most frequent event type,
+# tie-broken deterministically (higher count first, then event_type asc).
+# Two-level: partial-combinable count, then a tiny per-user rank.
+# =============================================================================
+@q(
+    "agg_mode_event_type",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS top_event_type, n
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "n")
+    )
+
+
+# =============================================================================
+# Hypertable-style multi-resolution time rollup — hour buckets rolled up to
+# day and grand total in ONE pass (ROLLUP expands grouping sets before the
+# exchange, so map-side combine applies at every granularity). Buckets are
+# formatted as strings on both sides because DuckDB's date_trunc('day')
+# yields DATE while Spark's yields TIMESTAMP.
+# =============================================================================
+@q(
+    "events_time_bucket_rollup",
+    """
+    WITH b AS (
+      SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                      '%Y-%m-%d %H:%M:%S') AS day_bucket,
+             strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                      '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+             value
+      FROM events
+    )
+    SELECT coalesce(day_bucket, 'ALL') AS day_bucket,
+           coalesce(hour_bucket, 'ALL') AS hour_bucket,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM b GROUP BY ROLLUP(day_bucket, hour_bucket)
+    """,
+)
+def events_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "day_bucket"
+        ),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_bucket"
+        ),
+        "value",
+    )
+    return (
+        b.rollup("day_bucket", "hour_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("day_bucket", F.lit("ALL")).alias("day_bucket"),
+            F.coalesce("hour_bucket", F.lit("ALL")).alias("hour_bucket"),
+            "n_events",
+            "total_value",
+        )
+    )
