@@ -295,3 +295,164 @@ def events_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# =============================================================================
+# LLM layer — benchmark decontamination: flag training documents sharing
+# word-3-gram shingles with an eval split (source 'src0' stands in for the
+# held-out benchmark). Distinct shingles are exploded on both sides; the
+# eval side is tiny and BROADCAST, so the contamination probe is a map-side
+# hash join over the (much larger) training shingle stream — no shuffle
+# until the per-document count, which is partial-agg combinable. This is
+# the standard train/test-overlap sweep run before LLM pretraining.
+# =============================================================================
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+@q(
+    "corpus_decontaminate",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, source, unnest({_SHINGLES_SQL}) AS shingle
+      FROM tok
+    ),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+    tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM tr GROUP BY 1),
+    hit AS (
+      SELECT t.doc_id,
+             count(DISTINCT t.shingle)::BIGINT AS n_shared,
+             count(DISTINCT e.eval_id)::BIGINT AS n_eval_docs
+      FROM tr t JOIN ev e ON t.shingle = e.shingle
+      GROUP BY 1
+    )
+    SELECT h.doc_id, tot.n_shingles, h.n_shared, h.n_eval_docs,
+           floor(h.n_shared::DOUBLE / tot.n_shingles * 10000 + 0.5) / 10000
+             AS contamination
+    FROM hit h JOIN tot ON h.doc_id = tot.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), "
+        "' ', element_at(toks, i+2)))"
+    )
+    sh = (
+        docs.withColumn("toks", toks)
+        # sequence(1, 0) would be descending [1, 0]; guard short docs
+        .withColumn(
+            "sarr",
+            F.when(F.size("toks") >= 3, shingles).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        .select("doc_id", "source", F.explode(F.array_distinct("sarr")).alias("shingle"))
+    )
+    ev = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    tr = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+    return hit.join(tot, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        "n_eval_docs",
+        (
+            F.floor(F.col("n_shared") / F.col("n_shingles") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("contamination"),
+    )
+
+
+# =============================================================================
+# LLM layer — similarity search over int8-quantized vectors: quantize the
+# corpus (4x memory reduction — the form a 100 TB embedding store actually
+# ships to ANN serving), dequantize on the fly, exact top-5 by cosine.
+# Reuses the brute-force kernel on the dequantized column; ranking happens
+# BEFORE rounding so near-tie neighbors order identically on both sides.
+# =============================================================================
+_QUANT_SQL = """
+      SELECT vec_id,
+             list_transform(ed, x -> vmin + CAST(floor((x - vmin) / scale + 0.5)
+               AS BIGINT) * scale) AS dq
+      FROM (
+        SELECT vec_id, ed, list_min(ed) AS vmin,
+               CASE WHEN list_max(ed) - list_min(ed) <= 0 THEN 1.0
+                    ELSE (list_max(ed) - list_min(ed)) / 255.0 END AS scale
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed
+              FROM embeddings)
+      )
+"""
+
+
+@q(
+    "sim_int8_topk",
+    f"""
+    WITH d AS ({_QUANT_SQL}),
+    q AS (SELECT vec_id AS qid, dq AS qe FROM d WHERE vec_id < 10),
+    s AS (
+      SELECT qid AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(len(qe)), i -> qe[i+1] * c.dq[i+1]))
+             / (sqrt(list_sum(list_transform(range(len(qe)), i -> qe[i+1] * qe[i+1])))
+                * sqrt(list_sum(list_transform(range(len(c.dq)), i -> c.dq[i+1] * c.dq[i+1]))))
+               AS cos
+      FROM d c, q WHERE c.vec_id <> qid
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", ed.alias("ed"))
+    vmin = F.array_min("ed")
+    vmax = F.array_max("ed")
+    s = e.select(
+        "vec_id",
+        "ed",
+        vmin.alias("vmin"),
+        F.when(vmax - vmin <= 0, F.lit(1.0))
+        .otherwise((vmax - vmin) / F.lit(255.0))
+        .alias("scale_raw"),
+    )
+    dq = s.select(
+        "vec_id",
+        F.transform(
+            "ed",
+            lambda x: F.col("vmin")
+            + F.floor((x - F.col("vmin")) / F.col("scale_raw") + F.lit(0.5)).cast(
+                "long"
+            ).cast("double")
+            * F.col("scale_raw"),
+        ).alias("embedding"),
+    )
+    res = SIM.cosine_topk(dq, dq.filter(F.col("vec_id") < 10), k=5)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )

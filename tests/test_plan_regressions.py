@@ -149,3 +149,37 @@ def test_audio_chunks_map_only(spark):
 def test_tfidf_no_smj_and_broadcast_count(spark):
     plan = _plan(spark, "text_tfidf_topterms")
     assert "SortMergeJoin" not in plan
+
+
+def test_quantize_int8_map_only(spark):
+    # per-vector affine quantization is row-local: zero shuffle, zero join
+    plan = _plan(spark, "emb_quantize_int8")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_decontaminate_eval_side_broadcast(spark):
+    # the eval shingle set must broadcast; a sort-merge join here would
+    # shuffle the full training shingle stream at 100 TB
+    plan = _plan(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_label_centroids_single_wide_shuffle(spark):
+    # posexplode -> one hash agg on (label, pos); the pairwise join runs on
+    # the tiny centroid table (broadcast), never on the input
+    plan = _plan(spark, "emb_label_centroid_distances")
+    assert "SortMergeJoin" not in plan
+
+
+def test_time_bucket_rollup_expand_before_exchange(spark):
+    # ROLLUP expands grouping sets map-side (Expand under the first
+    # HashAggregate), so partial aggregation applies at every granularity
+    plan = _plan(spark, "events_time_bucket_rollup")
+    assert "Expand" in plan
+    idx_expand = plan.index("Expand")
+    idx_exchange = plan.index("Exchange")
+    # plan strings print top-down: Exchange appears above Expand when the
+    # expand feeds the partial agg below the shuffle
+    assert idx_exchange < idx_expand
