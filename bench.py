@@ -47,6 +47,9 @@ HEADLINE = [
     "corpus_curate_pipeline",
     "text_tfidf_topterms",
     "emb_kmeans_assign",
+    "corpus_decontaminate",
+    "emb_quantize_int8",
+    "events_time_bucket_rollup",
 ]
 
 
