@@ -456,3 +456,125 @@ def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# =============================================================================
+# LLM layer — bigram language-model quality score (CCNet-style): score each
+# document by the mean log conditional probability ln(C(ab)/C(a-)) of its
+# word bigrams under the corpus's own bigram statistics. Three phases, each
+# shuffle-bounded by vocabulary (not corpus) size: bigram explode is
+# map-only; counts are partial-agg combinable; the score join is keyed on
+# the bigram string, so it co-partitions with the count table. At 100 TB
+# the count tables get a min-count threshold and the join stays hash-keyed.
+# =============================================================================
+@q(
+    "text_bigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM tok
+    ),
+    bc AS (SELECT bigram, count(*)::BIGINT AS c_bg FROM bg GROUP BY 1),
+    fc AS (SELECT string_split(bigram, ' ')[1] AS tok1, sum(c_bg)::BIGINT AS c_first
+           FROM bc GROUP BY 1),
+    scored AS (
+      SELECT g.doc_id, ln(bc.c_bg::DOUBLE / fc.c_first) AS lp
+      FROM bg g
+      JOIN bc ON g.bigram = bc.bigram
+      JOIN fc ON string_split(g.bigram, ' ')[1] = fc.tok1
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           floor(avg(lp) * 10000 + 0.5) / 10000 AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+    )
+    bg = (
+        docs.withColumn("toks", toks)
+        # sequence(1, 0) would be descending [1, 0]; guard short docs
+        .withColumn(
+            "barr",
+            F.when(F.size("toks") >= 2, bigrams).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        .select("doc_id", F.explode("barr").alias("bigram"))
+    )
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    fc = (
+        bc.withColumn("tok1", F.split("bigram", " ")[0])
+        .groupBy("tok1")
+        .agg(F.sum("c_bg").alias("c_first"))
+    )
+    scored = (
+        bg.join(bc, "bigram")
+        .withColumn("tok1", F.split("bigram", " ")[0])
+        .join(fc, "tok1")
+        .select("doc_id", F.log(F.col("c_bg") / F.col("c_first")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.floor(F.avg("lp") * 10000 + F.lit(0.5)) / 10000).alias("avg_logprob"),
+    )
+
+
+# =============================================================================
+# LLM layer — temperature-based source resampling (the multilingual /
+# multi-source mixing rule: weight ~ size^alpha, alpha=0.7, so small
+# sources are upsampled relative to their share). Two tiny aggregates over
+# per-source totals; the per-source table is broadcast-scale regardless of
+# corpus size, so the whole mixing computation is driver-negligible at
+# 100 TB — the weights then parameterize sample_hash_mod-style selection.
+# =============================================================================
+@q(
+    "sample_temperature_by_source",
+    """
+    WITH s AS (
+      SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_docs, total_chars,
+             pow(total_chars::DOUBLE / (SELECT sum(total_chars) FROM s), 0.7) AS raw
+      FROM s
+    )
+    SELECT source, n_docs, total_chars,
+           floor(raw / (SELECT sum(raw) FROM w) * 1000000 + 0.5) / 1000000 AS weight,
+           CAST(floor(raw / (SELECT sum(raw) FROM w)
+                * (SELECT sum(n_docs) FROM s) + 0.5) AS BIGINT) AS expected_samples
+    FROM w
+    """,
+)
+def sample_temperature_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    tot = s.agg(
+        F.sum("total_chars").alias("g_chars"), F.sum("n_docs").alias("g_docs")
+    )
+    w = s.crossJoin(F.broadcast(tot)).withColumn(
+        "raw", F.pow(F.col("total_chars") / F.col("g_chars"), F.lit(0.7))
+    )
+    wtot = w.agg(F.sum("raw").alias("g_raw"))
+    return (
+        w.crossJoin(F.broadcast(wtot))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            (F.floor(F.col("raw") / F.col("g_raw") * 1000000 + F.lit(0.5)) / 1000000)
+            .alias("weight"),
+            F.floor(F.col("raw") / F.col("g_raw") * F.col("g_docs") + F.lit(0.5))
+            .cast("long")
+            .alias("expected_samples"),
+        )
+    )
