@@ -578,3 +578,150 @@ def sample_temperature_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("expected_samples"),
         )
     )
+
+
+# =============================================================================
+# LLM layer — MinHash calibration: for every LSH candidate pair, the
+# signature-agreement Jaccard ESTIMATE (matching minhash positions / K)
+# against the EXACT shingle Jaccard, with absolute error. This is the
+# accuracy audit run before trusting a sketch config at corpus scale —
+# the estimate is row-local (signatures already computed), and the exact
+# verify runs only on the LSH candidates, never all pairs.
+# =============================================================================
+from social_and_media_data_ingestion_spark.operators import dedup as D  # noqa: E402
+from social_and_media_data_ingestion_spark.plans.queries import (  # noqa: E402
+    REGISTRY,
+    _HASH_MINS,
+    _LSH_BANDS,
+    _LSH_BUCKETS,
+    _LSH_ROWS,
+    _MINHASH_K,
+    _POLYHASH_SQL,
+)
+
+_EST_SQL = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(_MINHASH_K)
+)
+
+
+@q(
+    "dedup_minhash_calibration",
+    f"""
+    WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 300),
+    hashed AS (
+      SELECT doc_id AS id, {_POLYHASH_SQL.format(arr="toks")} AS hs FROM docs
+    ),
+    sigs AS (SELECT id, {_HASH_MINS} FROM hashed),
+    banded AS (SELECT id, {_LSH_BUCKETS} FROM sigs),
+    longf AS (
+      {" UNION ALL ".join(f"SELECT id, {b} AS band, bucket{b} AS bucket FROM banded" for b in range(_LSH_BANDS))}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM longf a JOIN longf b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    est AS (
+      SELECT p.id_a, p.id_b, ({_EST_SQL})::DOUBLE / {_MINHASH_K} AS est_jaccard
+      FROM pairs p
+      JOIN sigs sa ON sa.id = p.id_a
+      JOIN sigs sb ON sb.id = p.id_b
+    ),
+    sh AS (SELECT DISTINCT doc_id AS id, unnest(toks) AS shingle FROM docs),
+    sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS j
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    )
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           round(coalesce(x.j, 0.0), 6) AS exact_jaccard,
+           floor(abs(e.est_jaccard - coalesce(x.j, 0.0)) * 10000 + 0.5) / 10000
+             AS abs_err
+    FROM est e LEFT JOIN ex x ON e.id_a = x.id_a AND e.id_b = x.id_b
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=_MINHASH_K)
+    pairs = D.minhash_lsh_candidates(sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                ).cast("double")
+                / F.lit(_MINHASH_K)
+            ).alias("est_jaccard"),
+        )
+    )
+    exact = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.0, candidates=pairs
+    )
+    ex = exact.select("id_a", "id_b", F.col("jaccard").alias("j"))
+    return est.join(ex, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        F.round(F.coalesce("j", F.lit(0.0)), 6).alias("exact_jaccard"),
+        (
+            F.floor(
+                F.abs(F.col("est_jaccard") - F.coalesce("j", F.lit(0.0))) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("abs_err"),
+    )
+
+
+# =============================================================================
+# LLM layer — ANN recall audit: recall@5 of the LSH-bucketed ANN against
+# the exact brute-force top-5, per query vector. Composes the two registry
+# plans; counts are exact multiples of 0.2 so the comparison is float-safe.
+# The same audit pattern applies to the IVF variant.
+# =============================================================================
+_REG_BASE = {d.name: d for d in REGISTRY}
+
+
+@q(
+    "sim_ann_recall",
+    f"""
+    WITH exact AS ({_REG_BASE["sim_cosine_topk"].oracle}),
+    approx AS ({_REG_BASE["sim_lsh_topk"].oracle})
+    SELECT e.query_id,
+           count(a.neighbor_id)::BIGINT AS n_hit,
+           count(a.neighbor_id)::DOUBLE / 5 AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _REG_BASE["sim_cosine_topk"].spark(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        _REG_BASE["sim_lsh_topk"].spark(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            (F.count("hit").cast("double") / 5).alias("recall_at_5"),
+        )
+    )
