@@ -725,3 +725,133 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / 5).alias("recall_at_5"),
         )
     )
+
+
+# =============================================================================
+# §2.5 extension — built-in linear-regression aggregates: value drift per
+# event type over time (slope/intercept/correlation). regr_* are plain
+# partial-combinable aggregates (sum/sum-sq/cross-sum), so this is a
+# single map-combinable shuffle regardless of event count. x is hours
+# since 2024-01-01 derived from exact microsecond epochs on both sides.
+# =============================================================================
+@q(
+    "agg_linear_regression",
+    """
+    SELECT event_type,
+           floor(regr_slope(value, (epoch_us(ts) / 1000000.0 - 1704067200) / 3600.0)
+                 * 1000000 + 0.5) / 1000000 AS slope_per_hour,
+           floor(regr_intercept(value, (epoch_us(ts) / 1000000.0 - 1704067200) / 3600.0)
+                 * 10000 + 0.5) / 10000 AS intercept,
+           floor(corr(value, (epoch_us(ts) / 1000000.0 - 1704067200) / 3600.0)
+                 * 10000 + 0.5) / 10000 AS r
+    FROM events GROUP BY 1
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / F.lit(1000000.0) - F.lit(1704067200)) / F.lit(3600.0)
+    ev = ev.withColumn("x", x)
+    return ev.groupBy("event_type").agg(
+        (F.floor(F.regr_slope("value", "x") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "slope_per_hour"
+        ),
+        (F.floor(F.regr_intercept("value", "x") * 10000 + F.lit(0.5)) / 10000).alias(
+            "intercept"
+        ),
+        (F.floor(F.corr("value", "x") * 10000 + F.lit(0.5)) / 10000).alias("r"),
+    )
+
+
+# =============================================================================
+# LLM layer — token-distribution Shannon entropy per source: the standard
+# corpus-diversity metric (low entropy -> repetitive/templated source,
+# a curation red flag). Token counts are partial-combinable; the entropy
+# reduction runs over the (source, token) count table, whose size is
+# bounded by vocabulary, not corpus. ln(x)/ln(2) is used on BOTH sides
+# rather than log2() so the engines evaluate the identical expression.
+# =============================================================================
+@q(
+    "agg_entropy_by_source",
+    f"""
+    WITH tk AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    c AS (SELECT source, tok, count(*)::DOUBLE AS n FROM tk GROUP BY 1, 2),
+    tot AS (SELECT source, sum(n) AS tot, count(*)::BIGINT AS n_types FROM c GROUP BY 1)
+    SELECT c.source, any_value(n_types) AS vocab,
+           floor(-sum((n / tot) * ln(n / tot) / ln(2)) * 10000 + 0.5) / 10000
+             AS entropy_bits
+    FROM c JOIN tot ON c.source = tot.source
+    GROUP BY 1
+    """,
+)
+def agg_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    tk = docs.select("source", F.explode(toks).alias("tok"))
+    c = tk.groupBy("source", "tok").agg(F.count("*").cast("double").alias("n"))
+    tot = c.groupBy("source").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("n_types")
+    )
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n_types").alias("vocab"),
+            (
+                F.floor(
+                    -F.sum(p * F.log(p) / F.lit(math.log(2.0))) * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+# =============================================================================
+# §2.6 extension — event-type transition matrix (first-order Markov):
+# lead() within each user's time-ordered stream, then transition counts
+# and per-source-state probabilities. One shuffle on user_id for the
+# sequence reconstruction; the probability normalization runs on the tiny
+# |types|^2 transition table.
+# =============================================================================
+@q(
+    "events_transition_matrix",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, next_type, count(*)::BIGINT AS n
+      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n,
+           floor(n::DOUBLE / sum(n) OVER (PARTITION BY event_type) * 10000 + 0.5)
+             / 10000 AS p_next
+    FROM p
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    p = (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return p.select(
+        "event_type",
+        "next_type",
+        "n",
+        (
+            F.floor(F.col("n") / F.sum("n").over(wt) * 10000 + F.lit(0.5)) / 10000
+        ).alias("p_next"),
+    )
