@@ -855,3 +855,81 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n") / F.sum("n").over(wt) * 10000 + F.lit(0.5)) / 10000
         ).alias("p_next"),
     )
+
+
+# =============================================================================
+# §2.6 extension — unpivot/melt: revenue decomposed into gross/discount/tax
+# components per return flag. Spark's native unpivot emits the long format
+# map-side (an Expand node, like rollup), so the only shuffle is the final
+# partial-combinable aggregate — never a UNION of three scans.
+# =============================================================================
+@q(
+    "unpivot_price_components",
+    """
+    WITH comp AS (
+      SELECT l_returnflag, 'gross' AS component, l_extendedprice AS amount
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_extendedprice * l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax', l_extendedprice * (1 - l_discount) * l_tax
+      FROM lineitem
+    )
+    SELECT l_returnflag, component, count(*)::BIGINT AS n,
+           round(sum(amount), 2) AS total
+    FROM comp GROUP BY 1, 2
+    """,
+)
+def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("gross"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax")
+        ).alias("tax"),
+    )
+    melted = wide.unpivot(
+        ["l_returnflag"], ["gross", "discount", "tax"], "component", "amount"
+    )
+    return melted.groupBy("l_returnflag", "component").agg(
+        F.count("*").alias("n"), F.round(F.sum("amount"), 2).alias("total")
+    )
+
+
+# =============================================================================
+# Growth analytics — cumulative distinct users per day. The naive spelling
+# (COUNT(DISTINCT) over a growing window) is quadratic and unshardable;
+# the scalable rewrite is first-seen-day per user (one combinable
+# min-aggregate over the full stream) + a cumulative sum over the tiny
+# per-day table — the global window runs on |days| rows, not |events|.
+# =============================================================================
+@q(
+    "events_cumulative_distinct_users",
+    """
+    WITH fs AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      FROM events GROUP BY 1
+    ),
+    nu AS (
+      SELECT strftime(first_day, '%Y-%m-%d') AS day, count(*)::BIGINT AS new_users
+      FROM fs GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM nu
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("first_day"))
+    nu = (
+        fs.groupBy(F.date_format("first_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return nu.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

@@ -183,3 +183,20 @@ def test_time_bucket_rollup_expand_before_exchange(spark):
     # plan strings print top-down: Exchange appears above Expand when the
     # expand feeds the partial agg below the shuffle
     assert idx_exchange < idx_expand
+
+
+def test_unpivot_expand_not_union(spark):
+    # melt must compile to a map-side Expand over one scan, not a UNION of
+    # three lineitem scans
+    plan = _plan(spark, "unpivot_price_components")
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_cumulative_distinct_window_after_reduction(spark):
+    # the unpartitioned running-sum window is fine ONLY because it runs on
+    # the per-day table; the full event stream must be reduced by hash
+    # aggregates first (min per user, count per day)
+    plan = _plan(spark, "events_cumulative_distinct_users")
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
