@@ -933,3 +933,112 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     return nu.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+# =============================================================================
+# LLM layer — boilerplate fraction per document (the CCNet line-dedup
+# analog for flat token streams): a bigram is "boilerplate" when it occurs
+# in >= 25 documents; each doc reports the fraction of its distinct
+# bigrams that are boilerplate. Both exchanges are vocabulary-keyed
+# (doc-frequency count, then the probe join co-partitions with it); the
+# per-doc reduction is partial-combinable. At 100 TB the df table gets a
+# min-count threshold and fits the same plan.
+# =============================================================================
+_BP_DF = 25
+
+
+@q(
+    "text_boilerplate_fraction",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+      FROM tok
+    ),
+    df AS (SELECT shingle, count(*)::BIGINT AS doc_freq FROM sh GROUP BY 1),
+    j AS (
+      SELECT s.doc_id, CASE WHEN df.doc_freq >= {_BP_DF} THEN 1 ELSE 0 END AS is_bp
+      FROM sh s JOIN df ON s.shingle = df.shingle
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(is_bp)::BIGINT AS n_boilerplate,
+           floor(sum(is_bp)::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS bp_fraction
+    FROM j GROUP BY 1
+    """,
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+    )
+    sh = (
+        docs.withColumn("toks", toks)
+        # sequence(1, 0) would be descending [1, 0]; guard short docs
+        .withColumn(
+            "barr",
+            F.when(F.size("toks") >= 2, bigrams).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        .select("doc_id", F.explode(F.array_distinct("barr")).alias("shingle"))
+    )
+    df_ = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+    j = sh.join(df_, "shingle").select(
+        "doc_id",
+        F.when(F.col("doc_freq") >= _BP_DF, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_bp"
+        ),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("is_bp").alias("n_boilerplate"),
+        (
+            F.floor(F.sum("is_bp") / F.count("*") * 10000 + F.lit(0.5)) / 10000
+        ).alias("bp_fraction"),
+    )
+
+
+# =============================================================================
+# Association analytics — market-basket part pairs: parts co-ordered in the
+# same order, top-20 by support. The pair expansion is an equi-join keyed
+# on l_orderkey (co-partitioned, never a cross join); pairs per order are
+# bounded by lines-per-order squared (~49). Top-k goes through orderBy +
+# limit (TakeOrderedAndProject — distributed partial top-k per partition),
+# then ranks the 20 survivors.
+# =============================================================================
+@q(
+    "orders_market_basket",
+    """
+    WITH pr AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (SELECT * FROM pr ORDER BY n_orders DESC, part_a, part_b LIMIT 20)
+    SELECT part_a, part_b, n_orders,
+           row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)::BIGINT AS rk
+    FROM top
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    top = pr.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")).limit(20)
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
