@@ -1042,3 +1042,86 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pr.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")).limit(20)
     w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+# =============================================================================
+# LLM layer — IVF ANN recall audit (same pattern as sim_ann_recall, for the
+# IVF variant): recall@5 of centroid-probed search vs brute-force top-5.
+# =============================================================================
+@q(
+    "sim_ivf_recall",
+    f"""
+    WITH exact AS ({_REG_BASE["sim_cosine_topk"].oracle}),
+    approx AS ({_REG_BASE["sim_ivf_topk"].oracle})
+    SELECT e.query_id,
+           count(a.neighbor_id)::BIGINT AS n_hit,
+           count(a.neighbor_id)::DOUBLE / 5 AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _REG_BASE["sim_cosine_topk"].spark(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        _REG_BASE["sim_ivf_topk"].spark(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            (F.count("hit").cast("double") / 5).alias("recall_at_5"),
+        )
+    )
+
+
+# =============================================================================
+# §2.6 extension — gaps-and-islands: longest streak of consecutive active
+# months per customer via the classic index-minus-row_number grouping.
+# One shuffle on the customer key; the streak bookkeeping is entirely
+# partition-local window + agg over the deduplicated (customer, month)
+# table, which is orders-of-magnitude smaller than the fact table.
+# =============================================================================
+@q(
+    "window_activity_streaks",
+    """
+    WITH m AS (
+      SELECT DISTINCT o_custkey,
+             CAST(date_part('year', o_orderdate) * 12
+                  + date_part('month', o_orderdate) AS BIGINT) AS mi
+      FROM orders
+    ),
+    g AS (
+      SELECT o_custkey, mi,
+             mi - row_number() OVER (PARTITION BY o_custkey ORDER BY mi) AS grp
+      FROM m
+    ),
+    s AS (
+      SELECT o_custkey, count(*)::BIGINT AS streak_months
+      FROM g GROUP BY o_custkey, grp
+    )
+    SELECT o_custkey, max(streak_months)::BIGINT AS longest_streak,
+           count(*)::BIGINT AS n_streaks
+    FROM s GROUP BY 1
+    """,
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    m = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    g = m.withColumn("grp", F.col("mi") - F.row_number().over(w))
+    s = g.groupBy("o_custkey", "grp").agg(F.count("*").alias("streak_months"))
+    return s.groupBy("o_custkey").agg(
+        F.max("streak_months").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
