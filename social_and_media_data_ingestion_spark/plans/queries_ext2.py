@@ -558,15 +558,18 @@ def sample_temperature_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
-    tot = s.agg(
-        F.sum("total_chars").alias("g_chars"), F.sum("n_docs").alias("g_docs")
-    )
-    w = s.crossJoin(F.broadcast(tot)).withColumn(
-        "raw", F.pow(F.col("total_chars") / F.col("g_chars"), F.lit(0.7))
-    )
-    wtot = w.agg(F.sum("raw").alias("g_raw"))
+    # The global totals come from UNPARTITIONED windows over the per-source
+    # table (|sources| rows — single tiny partition by design), so the whole
+    # query is ONE documents scan + one combinable aggregate; the earlier
+    # crossJoin(broadcast(agg)) spelling re-scanned documents 4x.
+    wall = Window.partitionBy()
     return (
-        w.crossJoin(F.broadcast(wtot))
+        s.withColumn("g_chars", F.sum("total_chars").over(wall))
+        .withColumn("g_docs", F.sum("n_docs").over(wall))
+        .withColumn(
+            "raw", F.pow(F.col("total_chars") / F.col("g_chars"), F.lit(0.7))
+        )
+        .withColumn("g_raw", F.sum("raw").over(wall))
         .select(
             "source",
             "n_docs",

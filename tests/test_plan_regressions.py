@@ -200,3 +200,10 @@ def test_cumulative_distinct_window_after_reduction(spark):
     plan = _plan(spark, "events_cumulative_distinct_users")
     assert "Window" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_temperature_weights_single_scan(spark):
+    # global totals via unpartitioned windows over the per-source table:
+    # one documents scan, not one per scalar aggregate
+    plan = _plan(spark, "sample_temperature_by_source")
+    assert plan.count("FileScan parquet") == 1
