@@ -1128,3 +1128,102 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_months").alias("longest_streak"),
         F.count("*").alias("n_streaks"),
     )
+
+
+# =============================================================================
+# Growth analytics — RFM segmentation: recency/frequency/monetary quartiles
+# per customer, reported as segment sizes. The fact table reduces to one
+# row per customer FIRST (combinable agg); the three ntile windows then run
+# over the |customers| table. At 100 TB the quartile step works on ~10^7
+# rows, not 10^12 — and could switch to approx percentile cutoffs if even
+# that table outgrew a window sort.
+# =============================================================================
+@q(
+    "orders_rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*)::BIGINT AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+      FROM rfm
+    )
+    SELECT (r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR) AS segment,
+           count(*)::BIGINT AS n_customers,
+           floor(avg(monetary) * 100 + 0.5) / 100 AS avg_monetary
+    FROM q GROUP BY 1
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    seg = rfm.select(
+        "monetary",
+        F.concat(
+            F.ntile(4).over(r_w).cast("string"),
+            F.ntile(4).over(f_w).cast("string"),
+            F.ntile(4).over(m_w).cast("string"),
+        ).alias("segment"),
+    )
+    return seg.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        (F.floor(F.avg("monetary") * 100 + F.lit(0.5)) / 100).alias("avg_monetary"),
+    )
+
+
+# =============================================================================
+# LLM layer — per-dimension variance ranking over the embedding corpus
+# (variance-based feature selection / dead-dimension detection). One
+# posexplode (map-only) + one combinable aggregate keyed on dimension —
+# the ranked table has |dim| rows regardless of corpus size.
+# =============================================================================
+@q(
+    "emb_dim_variance",
+    """
+    WITH ex AS (
+      SELECT unnest(range(len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+      FROM embeddings
+    ),
+    v AS (SELECT pos, var_samp(val) AS variance FROM ex GROUP BY 1),
+    r AS (SELECT pos::BIGINT AS dim, variance,
+                 row_number() OVER (ORDER BY variance DESC, pos) AS rk FROM v)
+    SELECT dim, floor(variance * 100000000 + 0.5) / 100000000 AS variance,
+           rk::BIGINT AS rk
+    FROM r WHERE rk <= 16
+    """,
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        )
+    )
+    v = ex.groupBy("pos").agg(F.var_samp("val").alias("variance"))
+    top = v.orderBy(F.desc("variance"), F.asc("pos")).limit(16)
+    w = Window.orderBy(F.desc("variance"), F.asc("pos"))
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("pos").cast("long").alias("dim"),
+            (F.floor(F.col("variance") * 100000000 + F.lit(0.5)) / 100000000).alias(
+                "variance"
+            ),
+            "rk",
+        )
+    )
