@@ -122,3 +122,20 @@ def stream_stream_join(
         & (F.col(r_ts_out) <= F.expr(f"l.{left_ts} + INTERVAL {within}"))
     )
     return l.join(r, cond, how).drop(*[f"right_{k}" for k in keys])
+
+
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream against a static
+    (batch) dimension table. Stateless — Structured Streaming re-plans the
+    static side per micro-batch (so dim refreshes are picked up on file
+    sources) and needs no watermark for stream-static equi-joins. The dim
+    is broadcast: at 100 TB of stream the enrichment stays map-side.
+    Parity note: this is the streaming spelling of the reference's
+    allowlist semi-join (reddit_subm_extraction.py:52-55) applied to a
+    live feed."""
+    return stream_df.join(F.broadcast(dim_df), on, how)

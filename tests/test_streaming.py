@@ -88,3 +88,28 @@ def test_checkpointed_append_resume(spark, tmp_path):
     got = {r.id for r in spark.read.parquet(out).collect()}
     assert got == {"a", "b", "c"}
     assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "src_enrich")
+    _write_batch(
+        spark, src, _rows([("a", 0, "click"), ("b", 1, "error"), ("c", 2, "view")])
+    )
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("error", "ops")], ["kind", "category"]
+    )
+    stream = read_stream(spark, src, SCHEMA)
+    enriched = stream_static_enrich(stream, dim, on=["kind"])
+    q = run_to_memory(enriched, "enriched_out")
+    try:
+        rows = {
+            r["id"]: r["category"]
+            for r in spark.sql("SELECT * FROM enriched_out").collect()
+        }
+    finally:
+        q.stop()
+    assert rows == {"a": "engagement", "b": "ops", "c": None}
