@@ -1227,3 +1227,72 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# =============================================================================
+# LLM layer — canonical selection: per near-dup cluster, keep the "best"
+# member (longest text, doc_id as tie-break) and count what gets dropped —
+# the decision step that turns clustering into an actual dedup. The
+# argmax is a struct-max AGGREGATE (partial-combinable, no per-cluster
+# window sort); cluster ids come from the same connected-components
+# label propagation as dedup_near_dup_clusters.
+# =============================================================================
+@q(
+    "dedup_canonical_selection",
+    f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 300),
+    sh AS (SELECT DISTINCT doc_id AS id, unnest(toks) AS shingle FROM docs),
+    sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.75
+    ),
+    bi AS (SELECT id_a AS s, id_b AS t FROM edges
+           UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT s AS node, s AS root FROM bi
+      UNION
+      SELECT b.t AS node, r.root FROM reach r JOIN bi b ON b.s = r.node
+    ),
+    clusters AS (
+      SELECT node::BIGINT AS id, min(root)::BIGINT AS cluster_id
+      FROM reach GROUP BY node
+    )
+    SELECT c.cluster_id,
+           first(d.doc_id ORDER BY d.n_chars DESC, d.doc_id ASC)::BIGINT
+             AS canonical_id,
+           count(*)::BIGINT AS n_members,
+           (count(*) - 1)::BIGINT AS n_dropped,
+           max(d.n_chars)::BIGINT AS kept_chars
+    FROM clusters c JOIN documents d ON d.doc_id = c.id
+    GROUP BY 1
+    """,
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    edges = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.75)
+    clusters = D.connected_components(edges)
+    j = clusters.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    # struct-max argmax: (n_chars, -id) lexicographic max = longest text,
+    # lowest doc_id on ties — combinable, no per-cluster window sort
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("chars"), (-F.col("id")).alias("neg_id")
+        )
+    )
+    return j.groupBy("cluster_id").agg(
+        (-best.getField("neg_id")).cast("long").alias("canonical_id"),
+        F.count("*").alias("n_members"),
+        (F.count("*") - 1).cast("long").alias("n_dropped"),
+        F.max("n_chars").cast("long").alias("kept_chars"),
+    )
