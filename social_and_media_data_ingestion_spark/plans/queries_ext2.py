@@ -1296,3 +1296,123 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - 1).cast("long").alias("n_dropped"),
         F.max("n_chars").cast("long").alias("kept_chars"),
     )
+
+
+# =============================================================================
+# Growth analytics — audience overlap matrix: Jaccard between the
+# high-value user sets of each event-type pair. The fact table reduces to
+# distinct (type, user) FIRST; the pair join then runs keyed on user_id
+# over that reduced table, and the |types|^2 output is tiny. The exact
+# twin of the MinHash estimate — at 10^9 users per audience you would swap
+# the distinct sets for per-type MinHash sketches (dedup.minhash machinery)
+# and keep this query as the calibration oracle on a sample.
+# =============================================================================
+@q(
+    "events_audience_overlap",
+    """
+    WITH au AS (SELECT DISTINCT event_type, user_id FROM events WHERE value >= 90),
+    sz AS (SELECT event_type, count(*)::BIGINT AS n FROM au GROUP BY 1),
+    ov AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*)::BIGINT AS n_both
+      FROM au a JOIN au b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           floor(n_both::DOUBLE / (sa.n + sb.n - n_both) * 10000 + 0.5) / 10000
+             AS jaccard
+    FROM ov
+    JOIN sz sa ON sa.event_type = type_a
+    JOIN sz sb ON sb.event_type = type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    au = ev.filter(F.col("value") >= 90).select("event_type", "user_id").distinct()
+    sz = au.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = au.alias("a")
+    b = au.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        ov.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                F.floor(
+                    F.col("n_both")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("jaccard"),
+        )
+    )
+
+
+# =============================================================================
+# Time-series analytics — time-weighted average (TWAP) of value per user:
+# each observation is weighted by how long it was "current" (gap to the
+# next event), the hypertable time_weight aggregate. One shuffle on
+# user_id; the lead() and weighted reduction are partition-local.
+# Durations come from exact microsecond epochs on both sides.
+# =============================================================================
+@q(
+    "events_time_weighted_avg",
+    """
+    WITH o AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, value,
+             epoch_us(next_ts) / 1000000.0 - epoch_us(ts) / 1000000.0 AS dur
+      FROM o WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           floor(sum(value * dur) / sum(dur) * 10000 + 0.5) / 10000 AS twap,
+           count(*)::BIGINT AS n_intervals
+    FROM w GROUP BY 1
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "value", "ts", F.lead("ts").over(w).alias("next_ts")
+    )
+    d = o.filter(F.col("next_ts").isNotNull()).select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros("next_ts") / F.lit(1000000.0)
+            - F.unix_micros("ts") / F.lit(1000000.0)
+        ).alias("dur"),
+    )
+    return d.groupBy("user_id").agg(
+        (
+            F.floor(
+                F.sum(F.col("value") * F.col("dur")) / F.sum("dur") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("twap"),
+        F.count("*").alias("n_intervals"),
+    )
