@@ -1416,3 +1416,151 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         F.count("*").alias("n_intervals"),
     )
+
+
+# =============================================================================
+# FLAGSHIP COMPOSITE — the entire pretraining-curation pipeline
+# (pipelines.pretraining_corpus_pipeline) verified against ONE oracle:
+# quality gate -> exact fingerprint dedup -> LSH near-dedup with
+# canonical keep -> bigram decontamination vs the src0 eval split.
+# Every stage reuses a fragment already proven by its standalone query
+# (corpus_curate_pipeline, dedup_minhash_lsh_pairs, dedup_near_dup_
+# clusters, corpus_decontaminate), so this pins the COMPOSITION:
+# stage order, survivor threading, and anti-join semantics.
+# =============================================================================
+from social_and_media_data_ingestion_spark import pipelines as PL  # noqa: E402
+from social_and_media_data_ingestion_spark.plans.queries import (  # noqa: E402
+    _lang_hits_sql,
+)
+from social_and_media_data_ingestion_spark.plans.queries_ext import (  # noqa: E402
+    _CURATE_FP_SQL,
+)
+
+_FC_OVERLAP = 0.85
+
+
+@q(
+    "corpus_full_curation",
+    rf"""
+    WITH RECURSIVE
+    train AS (SELECT * FROM documents WHERE source <> 'src0'),
+    feats AS (
+      SELECT doc_id, source, n_chars,
+             len({_TOKS})::BIGINT AS n_tok,
+             {_lang_hits_sql("en")} AS h_en,
+             {_lang_hits_sql("de")} AS h_de,
+             {_lang_hits_sql("es")} AS h_es,
+             {_lang_hits_sql("fr")} AS h_fr,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END AS pr,
+             list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+                            x -> ascii(x)::BIGINT) AS cs
+      FROM train
+    ),
+    gated AS (
+      SELECT doc_id, source, n_chars, {_CURATE_FP_SQL}::BIGINT AS fp
+      FROM feats
+      WHERE greatest(h_en, h_de, h_es, h_fr) > 0
+        AND h_en = greatest(h_en, h_de, h_es, h_fr)
+        AND n_tok BETWEEN 10 AND 1000
+        AND pr <= 0.2
+    ),
+    exact AS (
+      SELECT doc_id, source, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    surv AS (
+      SELECT d.doc_id, d.source, d.n_chars, {_TOKS} AS toks
+      FROM train d JOIN exact e ON d.doc_id = e.doc_id
+    ),
+    hashed AS (
+      SELECT doc_id AS id, n_chars, {_POLYHASH_SQL.format(arr="toks")} AS hs FROM surv
+    ),
+    sigs AS (SELECT id, {_HASH_MINS} FROM hashed),
+    banded AS (SELECT id, {_LSH_BUCKETS} FROM sigs),
+    longf AS (
+      {" UNION ALL ".join(f"SELECT id, {b} AS band, bucket{b} AS bucket FROM banded" for b in range(_LSH_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM longf a JOIN longf b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sh AS (SELECT DISTINCT doc_id AS id, unnest(toks) AS shingle FROM surv),
+    sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+      WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= 0.75
+    ),
+    bi AS (SELECT id_a AS s, id_b AS t FROM edges
+           UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT s AS node, s AS root FROM bi
+      UNION
+      SELECT b.t AS node, r.root FROM reach r JOIN bi b ON b.s = r.node
+    ),
+    clusters AS (
+      SELECT node::BIGINT AS id, min(root)::BIGINT AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    canon AS (
+      SELECT cluster_id,
+             first(c.id ORDER BY h.n_chars DESC, c.id ASC) AS canonical_id
+      FROM clusters c JOIN hashed h ON h.id = c.id
+      GROUP BY 1
+    ),
+    nd_surv AS (
+      SELECT s.* FROM surv s
+      WHERE s.doc_id NOT IN (
+        SELECT c.id FROM clusters c
+        WHERE c.id NOT IN (SELECT canonical_id FROM canon)
+      )
+    ),
+    tr_sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+      FROM nd_surv
+    ),
+    ev_sh AS (
+      SELECT DISTINCT unnest(list_distinct(
+        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+      FROM (SELECT {_TOKS} AS toks FROM documents WHERE source = 'src0')
+    ),
+    tot AS (SELECT doc_id, count(*)::BIGINT AS n FROM tr_sh GROUP BY 1),
+    hit AS (
+      SELECT t.doc_id, count(*)::BIGINT AS h
+      FROM tr_sh t JOIN ev_sh e ON t.shingle = e.shingle
+      GROUP BY 1
+    ),
+    contaminated AS (
+      SELECT tot.doc_id FROM tot JOIN hit ON tot.doc_id = hit.doc_id
+      WHERE hit.h::DOUBLE / tot.n > {_FC_OVERLAP}
+    )
+    SELECT s.doc_id, s.source, s.n_chars::BIGINT AS n_chars
+    FROM nd_surv s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def corpus_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_docs = docs.filter(F.col("source") == "src0")
+    stages = PL.pretraining_corpus_pipeline(
+        train, eval_docs, max_overlap=_FC_OVERLAP
+    )
+    return stages["decontaminated"].select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
