@@ -1567,3 +1567,45 @@ def corpus_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stages["decontaminated"].select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+# =============================================================================
+# LLM layer — Zipf-law fit: regress ln(frequency) on ln(rank) over the top
+# token ranks. Natural corpora fit slope ~ -1; a flat slope (like this
+# synthetic near-uniform vocabulary) or broken fit flags templated or
+# machine-generated text. Token counts are combinable; the regression
+# runs over the tiny rank table.
+# =============================================================================
+@q(
+    "text_zipf_fit",
+    f"""
+    WITH tk AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    c AS (SELECT tok, count(*)::BIGINT AS n FROM tk GROUP BY 1),
+    r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM c)
+    SELECT count(*)::BIGINT AS n_ranks,
+           floor(regr_slope(ln(n::DOUBLE), ln(rk::DOUBLE)) * 10000 + 0.5) / 10000
+             AS zipf_slope,
+           floor(regr_r2(ln(n::DOUBLE), ln(rk::DOUBLE)) * 10000 + 0.5) / 10000
+             AS r2
+    FROM r WHERE rk <= 100
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    c = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    r = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 100)
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_rk = F.log(F.col("rk").cast("double"))
+    return r.agg(
+        F.count("*").alias("n_ranks"),
+        (F.floor(F.regr_slope(ln_n, ln_rk) * 10000 + F.lit(0.5)) / 10000).alias(
+            "zipf_slope"
+        ),
+        (F.floor(F.regr_r2(ln_n, ln_rk) * 10000 + F.lit(0.5)) / 10000).alias("r2"),
+    )
