@@ -1609,3 +1609,34 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(F.regr_r2(ln_n, ln_rk) * 10000 + F.lit(0.5)) / 10000).alias("r2"),
     )
+
+
+# =============================================================================
+# §2.6 extension — grouped top-k: the 3 longest documents per source.
+# Rank windows are PARTITIONED by source (never a global sort): each
+# group ranks locally after one shuffle on the group key, so the pattern
+# holds at any number of groups x corpus size.
+# =============================================================================
+@q(
+    "docs_topk_per_source",
+    """
+    SELECT source, doc_id, n_chars, rk FROM (
+      SELECT source, doc_id, n_chars::BIGINT AS n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rk
+      FROM documents
+    ) WHERE rk <= 3
+    """,
+)
+def docs_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
