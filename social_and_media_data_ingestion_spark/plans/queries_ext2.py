@@ -1640,3 +1640,50 @@ def docs_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+# =============================================================================
+# LLM layer — fixed-quota deterministic sampling: exactly 5 docs per
+# source, chosen by ranking on the content fingerprint (the reservoir-
+# sample analog that is reproducible across runs and engines — no RNG).
+# Complements sample_stratified_hash (rate-based): quotas guarantee
+# exact per-stratum sizes for eval-set construction. Partition-local
+# rank after one shuffle on source.
+# =============================================================================
+@q(
+    "sample_fixed_quota_per_source",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_transform(string_split_regex(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+               x -> ascii(x)::BIGINT) AS cs
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, source,
+             CASE WHEN len(cs) = 0 THEN 0
+                  ELSE list_reduce(cs, (acc, x) -> (acc * 31 + x) % 1000000007)
+             END::BIGINT AS fp
+      FROM d
+    )
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY fp, doc_id)::BIGINT AS rk
+      FROM fp
+    ) WHERE rk <= 5
+    """,
+)
+def sample_fixed_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators import text_analysis as TA
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        TA.rolling_fingerprint("text"), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+    )
