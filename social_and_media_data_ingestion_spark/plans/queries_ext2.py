@@ -1687,3 +1687,46 @@ def sample_fixed_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("rk") <= 5)
     )
+
+
+# =============================================================================
+# Reporting — day-over-day percent change of total value per event type:
+# lag() over the per-(type, day) aggregate, so the window touches
+# |types| x |days| rows regardless of event volume.
+# =============================================================================
+@q(
+    "events_percent_change_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+             round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, total,
+           floor(coalesce((total - lag(total) OVER w) / lag(total) OVER w, 0.0)
+                 * 10000 + 0.5) / 10000 AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def events_percent_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "total",
+        (
+            F.floor(
+                F.coalesce((F.col("total") - prev) / prev, F.lit(0.0)) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("pct_change"),
+    )
