@@ -1730,3 +1730,62 @@ def events_percent_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("pct_change"),
     )
+
+
+# =============================================================================
+# §2.5 extension — bitwise aggregate family (bit_and/bit_or/bit_xor):
+# used for permission masks, bloom-style membership unions, parity checks.
+# Plain combinable aggregates, one shuffle.
+# =============================================================================
+@q(
+    "agg_bitwise_masks",
+    """
+    SELECT event_type,
+           bit_and(event_id)::BIGINT AS band,
+           bit_or(event_id)::BIGINT AS bor,
+           bit_xor(event_id)::BIGINT AS bxor
+    FROM events GROUP BY 1
+    """,
+)
+def agg_bitwise_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("band"),
+        F.bit_or("event_id").alias("bor"),
+        F.bit_xor("event_id").alias("bxor"),
+    )
+
+
+# =============================================================================
+# §2.5 extension — robust statistics: median and median absolute deviation
+# per event type (the outlier-resistant mean/stddev pair). Two passes:
+# per-group median (full-sort aggregate over each group), broadcast back,
+# then median of absolute deviations. At 100 TB swap exact median for
+# percentile_approx with the same shape.
+# =============================================================================
+@q(
+    "agg_median_mad",
+    """
+    WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    )
+    SELECT event_type,
+           floor(any_value(med) * 10000 + 0.5) / 10000 AS median_value,
+           floor(median(ad) * 10000 + 0.5) / 10000 AS mad
+    FROM dev GROUP BY 1
+    """,
+)
+def agg_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("ad"), "med"
+    )
+    return dev.groupBy("event_type").agg(
+        (F.floor(F.any_value("med") * 10000 + F.lit(0.5)) / 10000).alias(
+            "median_value"
+        ),
+        (F.floor(F.median("ad") * 10000 + F.lit(0.5)) / 10000).alias("mad"),
+    )
