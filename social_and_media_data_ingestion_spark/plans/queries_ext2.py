@@ -1789,3 +1789,39 @@ def agg_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(F.median("ad") * 10000 + F.lit(0.5)) / 10000).alias("mad"),
     )
+
+
+# =============================================================================
+# Reporting — hour-of-day activity profile per event type (seasonality
+# fingerprint): counts and share of each type's daily cycle. Partial-
+# combinable aggregate; the share normalization runs over the tiny
+# |types| x 24 table.
+# =============================================================================
+@q(
+    "events_hour_profile",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour, n,
+           floor(n::DOUBLE / sum(n) OVER (PARTITION BY event_type) * 10000 + 0.5)
+             / 10000 AS share
+    FROM h
+    """,
+)
+def events_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "hour",
+        "n",
+        (
+            F.floor(F.col("n") / F.sum("n").over(w) * 10000 + F.lit(0.5)) / 10000
+        ).alias("share"),
+    )
