@@ -1825,3 +1825,44 @@ def events_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n") / F.sum("n").over(w) * 10000 + F.lit(0.5)) / 10000
         ).alias("share"),
     )
+
+
+# =============================================================================
+# Reporting — market-segment mix per nation: customer dim joined up the
+# nation hierarchy (broadcast), segment share within each nation.
+# =============================================================================
+@q(
+    "customer_segment_mix",
+    """
+    WITH c AS (
+      SELECT n.n_name, cu.c_mktsegment, count(*)::BIGINT AS n_customers
+      FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, c_mktsegment, n_customers,
+           floor(n_customers::DOUBLE / sum(n_customers) OVER (PARTITION BY n_name)
+                 * 10000 + 0.5) / 10000 AS share
+    FROM c
+    """,
+)
+def customer_segment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    c = (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    w = Window.partitionBy("n_name")
+    return c.select(
+        "n_name",
+        "c_mktsegment",
+        "n_customers",
+        (
+            F.floor(
+                F.col("n_customers") / F.sum("n_customers").over(w) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("share"),
+    )
