@@ -1866,3 +1866,26 @@ def customer_segment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("share"),
     )
+
+
+# =============================================================================
+# Reporting — group-size distribution: how many orders have k line items.
+# The double aggregation (per-order count, then histogram of counts) is
+# the canonical "distribution of group sizes" shape; both levels are
+# partial-combinable and the second input is |orders| rows.
+# =============================================================================
+@q(
+    "orders_size_distribution",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, count(*)::BIGINT AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT n_lines, count(*)::BIGINT AS n_orders
+    FROM per_order GROUP BY 1
+    """,
+)
+def orders_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return per_order.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
