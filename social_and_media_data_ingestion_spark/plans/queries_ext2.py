@@ -1889,3 +1889,40 @@ def orders_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
     return per_order.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
+
+
+# =============================================================================
+# Reporting — shipping latency (order date -> line ship date) stats per
+# return flag: the fact-fact join keyed on l_orderkey (broadcast at test
+# SF; co-partitioned/bucketed at cluster scale per SCALE.md §6), then a
+# combinable min/avg/max aggregate over day differences.
+# =============================================================================
+@q(
+    "lineitem_ship_latency",
+    """
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_lines,
+           CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS min_days,
+           floor(avg(date_diff('day', o_orderdate, l_shipdate)) * 100 + 0.5) / 100
+             AS avg_days,
+           CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS max_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min(d).cast("long").alias("min_days"),
+            (F.floor(F.avg(d) * 100 + F.lit(0.5)) / 100).alias("avg_days"),
+            F.max(d).cast("long").alias("max_days"),
+        )
+    )
