@@ -1926,3 +1926,34 @@ def lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(d).cast("long").alias("max_days"),
         )
     )
+
+
+# =============================================================================
+# §2.5 extension — conditional aggregation (SQL FILTER clause): one pass
+# over orders computing per-priority totals split by status — the
+# "pivot-lite" shape that avoids two scans or a real pivot when only a
+# few conditions are needed. Single combinable aggregate.
+# =============================================================================
+@q(
+    "agg_filtered_counts",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_pending,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+             AS finished_value
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(st == "F", 1)).alias("n_finished"),
+        F.count(F.when(st == "O", 1)).alias("n_open"),
+        F.count(F.when(st == "P", 1)).alias("n_pending"),
+        F.round(F.sum(F.when(st == "F", F.col("o_totalprice"))), 2).alias(
+            "finished_value"
+        ),
+    )
