@@ -1957,3 +1957,42 @@ def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "finished_value"
         ),
     )
+
+
+# =============================================================================
+# §2.7 extension — structured string parsing in a reporting aggregate:
+# p_name splits into (color, noun), brand number extracted from
+# 'Brand#NN'. All parsing is scan-side (map) — the reference's regex
+# projection pattern (parser_media_articles.py:14-15) applied to a dim.
+# =============================================================================
+@q(
+    "part_name_parse",
+    """
+    WITH p AS (
+      SELECT string_split(p_name, ' ')[1] AS color,
+             string_split(p_name, ' ')[2] AS noun,
+             CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS BIGINT) AS brand_num,
+             p_retailprice
+      FROM part
+    )
+    SELECT noun, count(*)::BIGINT AS n_parts,
+           count(DISTINCT color)::BIGINT AS n_colors,
+           CAST(max(brand_num) AS BIGINT) AS max_brand,
+           floor(avg(p_retailprice) * 100 + 0.5) / 100 AS avg_price
+    FROM p GROUP BY 1
+    """,
+)
+def part_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    p = part.select(
+        F.split("p_name", " ")[0].alias("color"),
+        F.split("p_name", " ")[1].alias("noun"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("long").alias("brand_num"),
+        "p_retailprice",
+    )
+    return p.groupBy("noun").agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct("color").alias("n_colors"),
+        F.max("brand_num").alias("max_brand"),
+        (F.floor(F.avg("p_retailprice") * 100 + F.lit(0.5)) / 100).alias("avg_price"),
+    )
