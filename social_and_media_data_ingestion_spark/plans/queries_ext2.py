@@ -1996,3 +1996,54 @@ def part_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("brand_num").alias("max_brand"),
         (F.floor(F.avg("p_retailprice") * 100 + F.lit(0.5)) / 100).alias("avg_price"),
     )
+
+
+# =============================================================================
+# §2.5 extension — robust outlier detection: customers whose account
+# balance deviates more than 1.2 MAD-sigma from the global median
+# (median/MAD composed into the modified z-score screen — resistant to
+# the outliers it hunts). Each global scalar is a one-row aggregate
+# crossed back in via broadcast — the cheap global-scalar pattern.
+# =============================================================================
+@q(
+    "customer_balance_outliers",
+    """
+    WITH stats AS (
+      SELECT median(c_acctbal) AS med FROM customer
+    ),
+    dev AS (
+      SELECT c.c_custkey, c.c_acctbal, s.med,
+             abs(c.c_acctbal - s.med) AS ad
+      FROM customer c, stats s
+    ),
+    mad AS (SELECT median(ad) AS mad FROM dev)
+    SELECT d.c_custkey, d.c_acctbal,
+           floor((d.c_acctbal - d.med) / (1.4826 * m.mad) * 100 + 0.5) / 100
+             AS mod_z
+    FROM dev d, mad m
+    WHERE abs((d.c_acctbal - d.med) / (1.4826 * m.mad)) > 1.2
+    """,
+)
+def customer_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    stats = cust.agg(F.median("c_acctbal").alias("med"))
+    dev = cust.crossJoin(F.broadcast(stats)).select(
+        "c_custkey",
+        "c_acctbal",
+        "med",
+        F.abs(F.col("c_acctbal") - F.col("med")).alias("ad"),
+    )
+    mad = dev.agg(F.median("ad").alias("mad"))
+    z = (F.col("c_acctbal") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        # 1.2 (not the textbook 3): the synthetic balances are uniform, so
+        # the tail past 3 MAD-sigma is empty at every sf — 1.2 keeps the
+        # screen non-degenerate on this data
+        .filter(F.abs(z) > 1.2)
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.floor(z * 100 + F.lit(0.5)) / 100).alias("mod_z"),
+        )
+    )
