@@ -2047,3 +2047,58 @@ def customer_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(z * 100 + F.lit(0.5)) / 100).alias("mod_z"),
         )
     )
+
+
+# =============================================================================
+# Growth analytics — cohort LTV triangle: customers grouped by first-order
+# month, cumulative revenue by months-since-acquisition. The fact table
+# reduces to (cohort, months_since) revenue cells before the cumulative
+# window, which then runs over the tiny triangle. Complements
+# events_weekly_retention (presence) with revenue accumulation.
+# =============================================================================
+@q(
+    "orders_cohort_ltv",
+    """
+    WITH fo AS (
+      SELECT o_custkey,
+             min(date_part('year', o_orderdate) * 12
+                 + date_part('month', o_orderdate)) AS cohort_mi
+      FROM orders GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_mi,
+             (date_part('year', o.o_orderdate) * 12
+              + date_part('month', o.o_orderdate)) - f.cohort_mi AS months_since,
+             sum(o.o_totalprice) AS rev
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_mi AS BIGINT) AS cohort_mi,
+           CAST(months_since AS BIGINT) AS months_since,
+           floor(sum(rev) OVER (PARTITION BY cohort_mi ORDER BY months_since
+                                ROWS UNBOUNDED PRECEDING) * 100 + 0.5) / 100
+             AS cum_revenue
+    FROM rev
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    fo = orders.groupBy("o_custkey").agg(F.min(mi).alias("cohort_mi"))
+    rev = (
+        orders.join(fo, "o_custkey")
+        .groupBy("cohort_mi", (mi - F.col("cohort_mi")).alias("months_since"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_mi")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort_mi",
+        "months_since",
+        (F.floor(F.sum("rev").over(w) * 100 + F.lit(0.5)) / 100).alias(
+            "cum_revenue"
+        ),
+    )
