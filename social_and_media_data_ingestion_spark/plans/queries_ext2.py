@@ -2102,3 +2102,56 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     )
+
+
+# =============================================================================
+# Economics — supplier revenue concentration per nation (Herfindahl-
+# Hirschman index): sum of squared revenue shares across each nation's
+# suppliers. Revenue reduces per supplier first (combinable), nation dim
+# broadcasts, and the share/HHI math runs on the |suppliers| table.
+# =============================================================================
+@q(
+    "supplier_concentration_hhi",
+    """
+    WITH sup_rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    by_nation AS (
+      SELECT n.n_name, s.s_suppkey, sr.rev
+      FROM sup_rev sr
+      JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    shares AS (
+      SELECT n_name, rev / sum(rev) OVER (PARTITION BY n_name) AS share
+      FROM by_nation
+    )
+    SELECT n_name, count(*)::BIGINT AS n_suppliers,
+           floor(sum(pow(share, 2)) * 10000 + 0.5) / 10000 AS hhi
+    FROM shares GROUP BY 1
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    sup_rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "rev"
+        )
+    )
+    by_nation = sup_rev.join(
+        F.broadcast(sup), sup_rev.l_suppkey == sup.s_suppkey
+    ).join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+    w = Window.partitionBy("n_name")
+    shares = by_nation.select(
+        "n_name", (F.col("rev") / F.sum("rev").over(w)).alias("share")
+    )
+    return shares.groupBy("n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        (
+            F.floor(F.sum(F.pow(F.col("share"), F.lit(2.0))) * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("hhi"),
+    )
