@@ -2155,3 +2155,42 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("hhi"),
     )
+
+
+# =============================================================================
+# LLM layer — type-token ratio (lexical diversity) per document: distinct
+# tokens over total tokens, the classic repetitiveness screen. Pure map —
+# both counts are in-row array expressions.
+# =============================================================================
+@q(
+    "text_type_token_ratio",
+    f"""
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_types,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE floor(len(list_distinct(toks))::DOUBLE / len(toks)
+                           * 10000 + 0.5) / 10000 END AS ttr
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """,
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks"))
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+        F.when(F.size("toks") == 0, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.size(F.array_distinct("toks"))
+                / F.size("toks").cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        )
+        .alias("ttr"),
+    )
