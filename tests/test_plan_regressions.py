@@ -207,3 +207,23 @@ def test_temperature_weights_single_scan(spark):
     # one documents scan, not one per scalar aggregate
     plan = _plan(spark, "sample_temperature_by_source")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_ttr_map_only(spark):
+    # type-token ratio is in-row array math: no shuffle, no join
+    plan = _plan(spark, "text_type_token_ratio")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_audience_overlap_no_cartesian(spark):
+    # the pair expansion must go through the user_id equi-join, never a
+    # cartesian of audiences
+    plan = _plan(spark, "events_audience_overlap")
+    assert "CartesianProduct" not in plan
+
+
+def test_hhi_dims_broadcast(spark):
+    plan = _plan(spark, "supplier_concentration_hhi")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
