@@ -2194,3 +2194,43 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ttr"),
     )
+
+
+# =============================================================================
+# §2.6 extension — conditional window: longest run of consecutive
+# same-type events per user (streak of identical values in sequence) via
+# the islands trick on the type-change indicator. One shuffle on user_id;
+# all run bookkeeping is partition-local.
+# =============================================================================
+@q(
+    "events_repeat_runs",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, rn - rn_type AS grp, count(*)::BIGINT AS run_len
+      FROM o GROUP BY 1, 2, 3
+    )
+    SELECT user_id, max(run_len)::BIGINT AS longest_run
+    FROM runs GROUP BY 1
+    """,
+)
+def events_repeat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_type).alias("rn_type"),
+    )
+    runs = o.groupBy(
+        "user_id", "event_type", (F.col("rn") - F.col("rn_type")).alias("grp")
+    ).agg(F.count("*").alias("run_len"))
+    return runs.groupBy("user_id").agg(F.max("run_len").alias("longest_run"))
