@@ -2234,3 +2234,38 @@ def events_repeat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", (F.col("rn") - F.col("rn_type")).alias("grp")
     ).agg(F.count("*").alias("run_len"))
     return runs.groupBy("user_id").agg(F.max("run_len").alias("longest_run"))
+
+
+# =============================================================================
+# Reporting — supplier catalog coverage: distinct parts each supplier has
+# shipped as a share of the full catalog. Distinct reduction per supplier
+# (combinable via the distinct pre-aggregate), catalog size crossed in as
+# a broadcast one-row aggregate.
+# =============================================================================
+@q(
+    "supplier_part_coverage",
+    """
+    WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    per_s AS (SELECT l_suppkey, count(*)::BIGINT AS n_parts FROM sp GROUP BY 1),
+    cat AS (SELECT count(*)::BIGINT AS total_parts FROM part)
+    SELECT p.l_suppkey, p.n_parts, c.total_parts,
+           floor(p.n_parts::DOUBLE / c.total_parts * 10000 + 0.5) / 10000
+             AS coverage
+    FROM per_s p, cat c
+    """,
+)
+def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    per_s = sp.groupBy("l_suppkey").agg(F.count("*").alias("n_parts"))
+    cat = part.agg(F.count("*").alias("total_parts"))
+    return per_s.crossJoin(F.broadcast(cat)).select(
+        "l_suppkey",
+        "n_parts",
+        "total_parts",
+        (
+            F.floor(F.col("n_parts") / F.col("total_parts") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("coverage"),
+    )
