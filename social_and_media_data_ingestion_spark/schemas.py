@@ -142,13 +142,15 @@ IMAGE_POST = T.StructType(
     ]
 )
 
-# --- Parsed media article (ref parser_media_articles.py:69-70) --------------
+# --- Parsed media article (ref parser_media_articles.py:43,67,69-70) --------
+# `terms` is the markup-side keyword channel (<b> tags, ref :40,64).
 ARTICLE = T.StructType(
     [
         T.StructField("title", T.StringType()),
         T.StructField("time", T.StringType()),
         T.StructField("author", T.StringType()),
         T.StructField("text", T.StringType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
         T.StructField("meta", T.StringType()),
         T.StructField("id", T.StringType()),
         T.StructField("media", T.StringType()),

@@ -1,45 +1,124 @@
-"""HTML-article UDTF: file -> N article rows via binaryFile + mapInPandas."""
+"""HTML-article UDTF: file -> N article rows via binaryFile + mapInPandas.
+
+Golden fixtures are shaped like the reference's REAL archived markup
+(ref parser_media_articles.py:6-67): FAZ fields live in <pre> children
+keyed by class; EN/DE articles use div#hd titles, last-<p> ids, <b>-tag
+terms, and articleParagraph body spans.
+"""
 
 from __future__ import annotations
+
+import pytest
 
 from social_and_media_data_ingestion_spark.sources.html_articles import (
     parse_article_blocks,
     parse_articles,
 )
 
+# ref parser_media_articles.py:11-18 — pre children by class; meta is every
+# pre whose first class is NOT in {text, docImage, docCopy}.
 FAZ_HTML = """
 <html><body>
-<div class="single-document" data-id="faz-1">
-  <h2>Erster Titel</h2>
-  <time>01.02.2021</time>
-  <p>Absatz eins.</p><p>Absatz zwei.</p>
+<div class="single-document">
+  <pre class="docTitle">Erster Titel</pre>
+  <pre class="docSource">Frankfurter Allgemeine Zeitung, 01.02.2021, Nr. 26, S. 3</pre>
+  <pre class="docAuthor">Von Max Mustermann</pre>
+  <pre class="text">Absatz eins.
+Absatz zwei mit https://example.com/x Link.</pre>
+  <pre class="docImage">bild-1.jpg</pre>
+  <pre class="docCopy">(c) F.A.Z.</pre>
 </div>
-<div class="single-document" data-id="faz-2">
-  <h2>Zweiter Titel</h2>
-  <time>02.02.2021</time>
-  <p>Inhalt.</p>
+<div class="single-document">
+  <pre class="docTitle">Zweiter Titel</pre>
+  <pre class="docSource">FAZ.NET, 15.12.2020</pre>
+  <pre class="text">Inhalt zwei.</pre>
 </div>
 </body></html>
 """
 
+# ref parser_media_articles.py:30-43 — div#hd title, last-<p> id, <b> terms,
+# articleParagraph spans, German month names even in the EN corpus (dictde).
 EN_HTML = """
-<div class="article enArticle" data-id="en-1">
-  <h1>English Title</h1>
-  <time>3. March 2021</time>
-  <span class="author">Jane Doe</span>
-  <p>Body text with spark keyword.</p>
+<html><body>
+<div class="article enArticle">
+  <div id="hd">English Title</div>
+  <div class="author">Jane Doe</div>
+  <div class="leadParagraph">New York Times, 3 März 2021, Seite A1</div>
+  <span class="articleParagraph enarticleParagraph">Body text with <b>conspiracy</b> keyword.</span>
+  <span class="articleParagraph enarticleParagraph">Second paragraph mentions <b>deep state</b>.</span>
+  <p>English Document</p>
+  <p>Document NYT0000020210303abc123</p>
 </div>
+</body></html>
+"""
+
+DE_HTML = """
+<html><body>
+<div class="article deArticle">
+  <div id="hd">Deutscher Titel</div>
+  <div class="leadParagraph">Süddeutsche Zeitung, 7 Januar 2022</div>
+  <span class="articleParagraph dearticleParagraph">Erster Absatz über <b>Verschwörung</b>.</span>
+  <p>Dokument SZ0000020220107xyz789</p>
+</div>
+</body></html>
 """
 
 
-def test_parse_blocks_pure():
+def test_faz_reference_markup():
     rows = parse_article_blocks(FAZ_HTML, "faz", "f.html")
-    assert [r["id"] for r in rows] == ["faz-1", "faz-2"]
-    assert rows[0]["title"] == "Erster Titel"
-    assert rows[0]["time"] == "01.02.2021"
-    assert rows[0]["text"] == "Absatz eins.\nAbsatz zwei."
-    en = parse_article_blocks(EN_HTML, "en_article", "e.html")
-    assert en[0]["author"] == "Jane Doe"
+    assert len(rows) == 2
+    r = rows[0]
+    assert r["title"] == "Erster Titel"
+    assert r["time"] == "2021-02-01"  # dd.mm.yyyy from docSource -> ISO
+    assert r["text"].startswith("Absatz eins.")
+    # meta = every pre whose first class not in {text, docImage, docCopy}
+    assert r["meta"] == (
+        "Erster Titel\n"
+        "Frankfurter Allgemeine Zeitung, 01.02.2021, Nr. 26, S. 3\n"
+        "Von Max Mustermann"
+    )
+    assert r["terms"] == []  # FAZ terms are keyword-side only (ref :87)
+    assert rows[1]["time"] == "2020-12-15"
+    assert rows[1]["meta"] == "Zweiter Titel\nFAZ.NET, 15.12.2020"
+
+
+def test_en_reference_markup():
+    rows = parse_article_blocks(EN_HTML, "en_article", "e.html")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["title"] == "English Title"
+    assert r["author"] == "Jane Doe"
+    assert r["time"] == "2021-03-03"  # "3 März 2021" via German month map
+    assert r["id"] == "Document NYT0000020210303abc123"  # LAST <p>
+    assert r["terms"] == ["conspiracy", "deep state"]  # <b> tags, doc order
+    assert r["text"] == (
+        "Body text with conspiracy keyword.\nSecond paragraph mentions deep state."
+    )
+    # meta = newline-join of ALL div texts (hd + author + lead)
+    assert "English Title" in r["meta"] and "Jane Doe" in r["meta"]
+
+
+def test_de_reference_markup():
+    rows = parse_article_blocks(DE_HTML, "de_article", "d.html")
+    r = rows[0]
+    assert r["title"] == "Deutscher Titel"
+    assert r["time"] == "2022-01-07"
+    assert r["id"] == "Dokument SZ0000020220107xyz789"
+    assert r["terms"] == ["Verschwörung"]
+    assert r["author"] == ""  # no div.author -> "" (ref :41)
+
+
+def test_lenient_on_missing_structure():
+    # reference would crash on a block missing docSource; engine emits ""
+    html = '<div class="single-document"><pre class="docTitle">T</pre></div>'
+    rows = parse_article_blocks(html, "faz", "x.html")
+    assert rows[0]["time"] == "" and rows[0]["text"] == ""
+    # unknown German month -> "" rather than KeyError
+    bad = (
+        '<div class="article enArticle"><div id="hd">T</div>'
+        '<div>1 March 2021</div><p>id</p></div>'
+    )
+    assert parse_article_blocks(bad, "en_article", "x")[0]["time"] == ""
 
 
 def test_parse_articles_udtf(spark, tmp_path):
@@ -49,11 +128,19 @@ def test_parse_articles_udtf(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 4  # 2 files x 2 articles
     assert {r.media for r in rows} == {"faz"}
-    assert df.columns == ["title", "time", "author", "text", "meta", "id", "media"]
+    assert df.columns == [
+        "title", "time", "author", "text", "terms", "meta", "id", "media",
+    ]
+
+
+def test_parse_articles_udtf_terms(spark, tmp_path):
+    (tmp_path / "e.html").write_text(EN_HTML, encoding="utf-8")
+    df = parse_articles(spark, str(tmp_path / "*.html"), "en_article", media="nyt")
+    row = df.collect()[0]
+    assert row.terms == ["conspiracy", "deep state"]
+    assert row.media == "nyt"
 
 
 def test_unknown_dialect(spark):
-    import pytest
-
     with pytest.raises(ValueError, match="unknown dialect"):
         parse_articles(spark, "/tmp/nope/*.html", "unknown")
