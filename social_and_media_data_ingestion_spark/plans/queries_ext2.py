@@ -1473,7 +1473,7 @@ _FC_OVERLAP = 0.85
         FROM gated
       ) WHERE rn = 1
     ),
-    surv AS (
+    surv AS MATERIALIZED (
       SELECT d.doc_id, d.source, d.n_chars, {_TOKS} AS toks
       FROM train d JOIN exact e ON d.doc_id = e.doc_id
     ),
@@ -1491,16 +1491,19 @@ _FC_OVERLAP = 0.85
     ),
     sh AS (SELECT DISTINCT doc_id AS id, unnest(toks) AS shingle FROM surv),
     sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+    -- candidate-restricted intersection (mirrors the engine: Jaccard is
+    -- verified only on LSH candidates, never all-pairs)
     inter AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      SELECT c.id_a, c.id_b, count(*)::BIGINT AS i
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     ),
     edges AS (
       SELECT i.id_a, i.id_b FROM inter i
       JOIN sizes sa ON sa.id = i.id_a
       JOIN sizes sb ON sb.id = i.id_b
-      JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
       WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= 0.75
     ),
     bi AS (SELECT id_a AS s, id_b AS t FROM edges
@@ -1510,24 +1513,24 @@ _FC_OVERLAP = 0.85
       UNION
       SELECT b.t AS node, r.root FROM reach r JOIN bi b ON b.s = r.node
     ),
-    clusters AS (
+    clusters AS MATERIALIZED (
       SELECT node::BIGINT AS id, min(root)::BIGINT AS cluster_id
       FROM reach GROUP BY node
     ),
-    canon AS (
+    canon AS MATERIALIZED (
       SELECT cluster_id,
              first(c.id ORDER BY h.n_chars DESC, c.id ASC) AS canonical_id
       FROM clusters c JOIN hashed h ON h.id = c.id
       GROUP BY 1
     ),
-    nd_surv AS (
+    nd_surv AS MATERIALIZED (
       SELECT s.* FROM surv s
       WHERE s.doc_id NOT IN (
         SELECT c.id FROM clusters c
         WHERE c.id NOT IN (SELECT canonical_id FROM canon)
       )
     ),
-    tr_sh AS (
+    tr_sh AS MATERIALIZED (
       SELECT doc_id, unnest(list_distinct(
         list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
           i -> toks[i] || ' ' || toks[i+1]))) AS shingle
