@@ -90,12 +90,17 @@ def landing_to_parquet(
     schema: T.StructType,
     dst: str,
     partition_by: list[str] | None = None,
+    bad_dst: str | None = None,
 ) -> None:
     """Recompress non-splittable NDJSON(.zst) landings into splittable,
-    column-pruned parquet — the first move of any 100 TB pipeline."""
+    column-pruned parquet — the first move of any 100 TB pipeline.
+    With bad_dst, corrupt rows are persisted there (full schema incl.
+    the corrupt-record column) so bad-line accounting survives staging."""
     df = read_ndjson(spark, src_glob, schema)
-    good, _ = split_corrupt(df)
+    good, bad = split_corrupt(df)
     write_parquet(good, dst, partition_by=partition_by)
+    if bad_dst is not None:
+        write_parquet(bad, bad_dst)
 
 
 def compact_parquet(
@@ -104,24 +109,40 @@ def compact_parquet(
     dst: str,
     target_file_mb: int = 512,
     sort_within_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite `src` into ~target_file_mb files.
     Small files are the silent killer of 100 TB scans (1 task + 1 footer
     read per file); compaction restores full-size row groups. Returns the
-    output file count. Optional sortWithinPartitions improves row-group
-    min/max pruning for later range predicates on those columns."""
+    target file count (per physical partition when partition_by is set).
+    Optional sortWithinPartitions improves row-group min/max pruning for
+    later range predicates on those columns.
+
+    Hive-partitioned sources: sizing lists files recursively, so nested
+    `key=value` directories are counted. Pass partition_by to PRESERVE the
+    physical layout on rewrite — without it the output is unpartitioned
+    and former partition columns become plain data columns."""
     df = spark.read.parquet(src)
     total_bytes = sum(
         int(r.length)
         for r in spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", True)
         .load(src)
         .select("length")
         .collect()
     )
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    out = df.repartition(n_files)
+    if partition_by:
+        # spread within each partition dir; repartition on the partition
+        # columns so each output dir gets coherent, full-size files
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    out.write.mode("overwrite").parquet(dst)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dst)
     return n_files

@@ -27,6 +27,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -165,7 +167,7 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2, max_bucket: int = 4096
 ) -> DataFrame:
     """(id_a, id_b) candidate near-dup pairs: docs sharing >= 1 LSH band.
 
@@ -175,7 +177,14 @@ def minhash_lsh_candidates(
     (the expensive map side) is evaluated once instead of once per join
     side, and one hash-agg exchange replaces the join's two. Bucket pair
     expansion is quadratic per bucket by construction (that is LSH's
-    candidate semantics); band width controls bucket size."""
+    candidate semantics); band width controls bucket size.
+
+    Hot-bucket guard: a bucket with > max_bucket members (templated or
+    identical docs concentrating one band value) would put its entire
+    quadratic expansion in ONE task's row — an executor-OOM vector. Such
+    buckets fall back to a banded self-join, which spreads the same pair
+    set across tasks; buckets at or under the cap keep the in-row fast
+    path."""
     assert bands * rows_per_band <= 12
     banded = sigs.select(
         "id",
@@ -207,14 +216,28 @@ def minhash_lsh_candidates(
             ),
         )
     )
-    return (
+    grouped = (
         banded.groupBy("band", "bucket")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
+    )
+    small = (
+        grouped.filter(F.size("ids") <= max_bucket)
         .select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct()
     )
+    hot = grouped.filter(F.size("ids") > max_bucket)
+    hot_members = hot.select(
+        "band", "bucket", F.explode("ids").alias("id")
+    )
+    a, b = hot_members.alias("a"), hot_members.alias("b")
+    large = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return small.union(large).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -299,6 +322,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every node in `edges`, cluster_id = min node id
     of its connected component — the clustering stage of near-dup dedup
@@ -308,9 +332,28 @@ def connected_components(
     label among itself and its neighbors; converges in <= diameter rounds
     (near-dup clusters are small and dense, so diameter is tiny in
     practice). Each round is one shuffle (join + groupBy on node id);
-    lineage is truncated per round via localCheckpoint so plans stay flat
-    regardless of iteration count. Early-stops when no label changes.
+    lineage is truncated per round so plans stay flat regardless of
+    iteration count. Early-stops when no label changes; if max_iter is
+    exhausted first, a warning is logged and the (possibly split) labels
+    are returned — raise max_iter for graphs of diameter > max_iter.
+
+    Checkpointing: by default rounds truncate lineage via localCheckpoint
+    (executor-stored blocks, no FS round-trip — right for local / interactive
+    runs). On a large cluster an executor loss would destroy a
+    localCheckpoint block with NO lineage left to recompute it, failing
+    the job mid-iteration; pass checkpoint_dir (an HDFS/object-store
+    path) to use reliable `DataFrame.checkpoint` instead, which survives
+    executor death.
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     bi = (
         edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t"))
         .union(
@@ -321,7 +364,8 @@ def connected_components(
     labels = bi.select(F.col("s").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = _truncate(labels)
+    converged = False
     for _ in range(max_iter):
         nbr = (
             bi.join(
@@ -331,15 +375,13 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("t_label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr, labels.id == nbr.s, "left")
-            .select(
+        new_labels = _truncate(
+            labels.join(nbr, labels.id == nbr.s, "left").select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.select("id", F.col("label").alias("new_label"))
@@ -349,5 +391,14 @@ def connected_components(
         done = changed.isEmpty()
         labels = new_labels
         if done:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} without "
+            "converging; components with diameter > max_iter are split into "
+            "multiple clusters. Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -56,7 +56,19 @@ def salted_join(
     seed: int = 42,
 ) -> DataFrame:
     """Equi-join where `big[on]` is skewed and `small` is too large to
-    broadcast: shuffle on (on + salt) spreads each hot key over n tasks."""
+    broadcast: shuffle on (on + salt) spreads each hot key over n tasks.
+
+    Only row-preserving join types are accepted: the small side is
+    replicated n ways, so a right/full outer join would emit every
+    unmatched small-side row n times (once per salt replica)."""
+    supported = {"inner", "left", "leftouter", "left_outer", "left_semi",
+                 "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the n-way replicated "
+            "small side would duplicate unmatched right-side rows. "
+            f"Supported: {sorted(supported)}"
+        )
     b = with_salt(big, n, seed)
     s = replicate_for_salt(small, n)
     out = b.join(s, [*on, SALT_COL], how)

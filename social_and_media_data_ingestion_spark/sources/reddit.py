@@ -24,7 +24,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from social_and_media_data_ingestion_spark.io import read_ndjson, split_corrupt
+from pyspark.sql import types as T
+
+from social_and_media_data_ingestion_spark.io import (
+    landing_to_parquet,
+    read_ndjson,
+    split_corrupt,
+)
+from social_and_media_data_ingestion_spark.schemas import CORRUPT_COL
 from social_and_media_data_ingestion_spark.operators.filters import (
     isin_lowered,
     semi_join_lowered,
@@ -68,10 +75,28 @@ def _extract(
     fields: list[str],
     subreddit_col: str,
     text_cols: list[str],
+    landing_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared submission/comment plan. Returns (matched, bad)."""
-    raw = read_ndjson(spark, input_path, schema)
-    good, bad = split_corrupt(raw)
+    """Shared submission/comment plan. Returns (matched, bad).
+
+    landing_dir: when set, the non-splittable NDJSON(.zst) input is first
+    recompressed to splittable parquet under this directory (good/ +
+    bad/) via landing_to_parquet, and the filter/project plan runs over
+    the parquet. This is the default posture for multi-TB landings:
+    without it, scan parallelism is capped at the .zst FILE COUNT (zstd
+    is non-splittable — SCALE.md), which silently dominates wall-time
+    when files are few and large."""
+    if landing_dir is not None:
+        good_path, bad_path = f"{landing_dir}/good", f"{landing_dir}/bad"
+        landing_to_parquet(spark, input_path, schema, good_path, bad_dst=bad_path)
+        good_schema = T.StructType(
+            [f for f in schema.fields if f.name != CORRUPT_COL]
+        )
+        good = spark.read.schema(good_schema).parquet(good_path)
+        bad = spark.read.schema(schema).parquet(bad_path)
+    else:
+        raw = read_ndjson(spark, input_path, schema)
+        good, bad = split_corrupt(raw)
     # created_utc must parse as an integer; rows where it doesn't are bad
     # (same skip semantics as the reference's int() + except path).
     has_ts = F.col("created_utc").try_cast("long").isNotNull()
@@ -91,8 +116,11 @@ def extract_submissions(
     input_path: str | list[str],
     subreddits: DataFrame | Sequence[str],
     keywords: Sequence[str],
+    landing_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(matched submissions projected to FIELDS, bad-row side output)."""
+    """(matched submissions projected to FIELDS, bad-row side output).
+    Pass landing_dir for multi-file/multi-TB .zst inputs — stages to
+    splittable parquet first so parallelism isn't capped at file count."""
     return _extract(
         spark,
         input_path,
@@ -102,6 +130,7 @@ def extract_submissions(
         REDDIT_SUBMISSION_FIELDS,
         "subreddit",
         ["title", "selftext"],
+        landing_dir=landing_dir,
     )
 
 
@@ -110,8 +139,11 @@ def extract_comments(
     input_path: str | list[str],
     subreddits: DataFrame | Sequence[str],
     keywords: Sequence[str],
+    landing_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(matched comments projected to FIELDS, bad-row side output)."""
+    """(matched comments projected to FIELDS, bad-row side output).
+    Pass landing_dir for multi-file/multi-TB .zst inputs (see
+    extract_submissions)."""
     return _extract(
         spark,
         input_path,
@@ -121,6 +153,7 @@ def extract_comments(
         REDDIT_COMMENT_FIELDS,
         "subreddit",
         ["body"],
+        landing_dir=landing_dir,
     )
 
 

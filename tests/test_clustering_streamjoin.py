@@ -32,6 +32,35 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 0 for i in range(10)}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode: reliable FS checkpoints (cluster posture) must
+    produce identical clusters to the localCheckpoint default."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # checkpoint files actually landed on the reliable store
+    assert any((tmp_path / "ckpt").rglob("*"))
+
+
+def test_connected_components_nonconvergence_warns(spark):
+    """A component with diameter > max_iter must warn instead of silently
+    returning split clusters (labels may be wrong — that's the point)."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    with pytest.warns(RuntimeWarning, match="without converging"):
+        connected_components(edges, max_iter=2).collect()
+
+
 SCHEMA = T.StructType(
     [
         T.StructField("k", T.StringType()),

@@ -30,6 +30,21 @@ def test_compact_parquet_sorted_within(spark, tmp_path):
     assert got == sorted(got)  # one file, sorted -> fully ordered
 
 
+def test_compact_parquet_preserves_partitioning(spark, tmp_path):
+    """Hive-partitioned source: recursive sizing must count nested files,
+    and partition_by must keep the key=value physical layout on rewrite."""
+    src, dst = str(tmp_path / "part_src"), str(tmp_path / "part_dst")
+    ev = t(spark, SF, "events")
+    ev.repartition(4).write.partitionBy("event_type").parquet(src)
+    nested = glob.glob(f"{src}/event_type=*/*.parquet")
+    assert nested  # layout really is hive-partitioned
+    compact_parquet(spark, src, dst, target_file_mb=512,
+                    partition_by=["event_type"])
+    out_dirs = glob.glob(f"{dst}/event_type=*")
+    assert out_dirs  # layout preserved, not flattened
+    assert spark.read.parquet(dst).count() == ev.count()
+
+
 def test_sql_entry_point(spark):
     out = sql(
         spark,

@@ -108,6 +108,19 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_lsh_hot_bucket_fallback(spark):
+    """max_bucket=1 forces EVERY bucket down the banded self-join path;
+    the candidate pair set must be identical to the in-row fast path."""
+    df = spark.createDataFrame(DOCS, ["id", "text"])
+    sigs = minhash_signatures(df, "id", "text", n=2)
+    fast = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(sigs).collect()}
+    slow = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(sigs, max_bucket=1).collect()
+    }
+    assert fast == slow and (1, 4) in slow
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame(DOCS, ["id", "text"])
     pairs = {

@@ -38,6 +38,16 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert got == {1: "x", 2: None, 3: None}
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """Right/full outer would emit each unmatched right row n times (the
+    small side is replicated per salt) — must raise, not silently dup."""
+    left = spark.createDataFrame([(1, "a")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            SC.salted_join(left, right, ["k"], how=how, n=4)
+
+
 def test_salted_aggregate_matches_plain(spark):
     ev = t(spark, SF, "events")
     plain = ev.groupBy("user_id").agg(
