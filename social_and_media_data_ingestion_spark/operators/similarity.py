@@ -145,6 +145,71 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lloyd_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(centroid_id, cent_vec) after `iters` Lloyd rounds from a
+    deterministic seed (first n_centroids vectors by id).
+
+    Each round: assign every vector to its max-cosine centroid
+    (centroid-id tie-break), then recompute each centroid as the
+    element-wise MEAN of its members. Components are rounded to round_dp
+    decimals so the refined centroids are cross-engine reproducible
+    (float summation order differs between engines; 1e-6 rounding
+    absorbs it). Clusters that lose all members drop out — their id
+    simply stops appearing (spherical k-means convention).
+
+    Scale: per round, assignment is one broadcast of k centroids + a
+    map-side argmax (no shuffle of the corpus), and the update is one
+    (centroid, dim) partial-aggregated shuffle of k*dim cells — the same
+    plan shape as emb_kmeans_assign/update at any corpus size."""
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("cent_vec"),
+        )
+    )
+    vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        scored = vecs.crossJoin(F.broadcast(cent)).select(
+            "vid",
+            "v",
+            "centroid_id",
+            (_dot("v", "cent_vec") / (_norm("v") * _norm("cent_vec"))).alias("cs"),
+        )
+        best = scored.groupBy("vid").agg(
+            F.max(
+                F.struct(
+                    F.col("cs"),
+                    (-F.col("centroid_id")).alias("neg_cid"),
+                    F.col("v"),
+                )
+            ).alias("m")
+        )
+        assigned = best.select(
+            (-F.col("m.neg_cid")).alias("centroid_id"), F.col("m.v").alias("v")
+        )
+        cent = (
+            assigned.select("centroid_id", F.posexplode("v").alias("j", "x"))
+            .groupBy("centroid_id", "j")
+            .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("mx"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "mx"))).alias("sm"))
+            .select(
+                "centroid_id",
+                F.transform("sm", lambda s: s.getField("mx")).alias("cent_vec"),
+            )
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -153,17 +218,26 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus by nearest centroid (seeded with
     the first `n_centroids` vectors by id — deterministic), probe the
-    `nprobe` nearest centroids per query, exact re-rank within probed cells."""
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    `nprobe` nearest centroids per query, exact re-rank within probed cells.
+    lloyd_iters > 0 refines the seeds with that many k-means rounds
+    (lloyd_centroids) — better-centered cells raise recall at the same
+    nprobe for the cost of `iters` extra passes at index-build time."""
+    if lloyd_iters > 0:
+        seeds = lloyd_centroids(
+            corpus, n_centroids, lloyd_iters, id_col, vec_col
         )
-    )
+    else:
+        seeds = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+            )
+        )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.desc("cent_sim"), F.asc("centroid_id")

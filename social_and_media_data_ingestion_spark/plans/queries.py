@@ -1523,6 +1523,110 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# LLM layer — IVF with Lloyd-refined centroids: same probe/re-rank as
+# sim_ivf_topk, but the first-8-by-id seeds are refined by 2 k-means
+# rounds (assign to max-cosine centroid, recompute element-wise means,
+# rounded to 6dp for cross-engine determinism). Better-centered cells
+# raise recall at the SAME nprobe — proven by sim_ivf_lloyd_recall vs
+# sim_ivf_recall. The oracle unrolls the two Lloyd rounds as CTE pairs.
+# =============================================================================
+_LLOYD_ITERS = 2
+
+
+def _lloyd_cte_sql(n_centroids: int, iters: int) -> str:
+    """DuckDB CTE chain cent0 -> (a0, cent1) -> ... mirroring
+    similarity.lloyd_centroids exactly (argmax assign with centroid-id
+    tie-break; element-wise mean rounded to 6dp)."""
+    parts = [
+        f"cent0 AS (SELECT vec_id AS centroid_id, "
+        f"list_transform(embedding, x -> x::DOUBLE) AS ce "
+        f"FROM embeddings WHERE vec_id < {n_centroids})"
+    ]
+    for r in range(iters):
+        parts.append(
+            f"""a{r} AS (
+      SELECT vec_id, centroid_id, embedding FROM (
+        SELECT e.vec_id, c.centroid_id, e.embedding,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos2("e.embedding", "c.ce")} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent{r} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""cent{r + 1} AS (
+      SELECT centroid_id, list(v ORDER BY j) AS ce FROM (
+        SELECT centroid_id, j, round(avg(val), 6) AS v FROM (
+          SELECT centroid_id, unnest(embedding)::DOUBLE AS val,
+                 generate_subscripts(embedding, 1) AS j
+          FROM a{r}
+        ) GROUP BY 1, 2
+      ) GROUP BY 1
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@q(
+    "sim_ivf_lloyd_topk",
+    f"""
+    WITH {_lloyd_cte_sql(8, _LLOYD_ITERS)},
+    cent AS (SELECT centroid_id, ce FROM cent{_LLOYD_ITERS}),
+    assigned AS (
+      SELECT neighbor_id, c_vec, centroid_id FROM (
+        SELECT neighbor_id, c_vec, centroid_id,
+               row_number() OVER (PARTITION BY neighbor_id
+                                  ORDER BY cent_sim DESC, centroid_id ASC) AS rn
+        FROM (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.centroid_id,
+                 {_cos2("e.embedding", "c.ce")} AS cent_sim
+          FROM embeddings e CROSS JOIN cent c
+        )
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT query_id, q_vec, centroid_id FROM (
+        SELECT query_id, q_vec, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cent_sim DESC, centroid_id ASC) AS rn
+        FROM (
+          SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.centroid_id,
+                 {_cos2("e.embedding", "c.ce")} AS cent_sim
+          FROM embeddings e CROSS JOIN cent c
+          WHERE e.vec_id < 10
+        )
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cos2("q_vec", "c_vec")} AS cos
+      FROM assigned JOIN probed USING (centroid_id)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = SIM.ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=2, lloyd_iters=_LLOYD_ITERS
+    )
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# =============================================================================
 # Structured Streaming — windowed counts over the events stream, drained
 # synchronously to a memory sink. Same result contract as the batch
 # spelling, so the batch SQL is the oracle (complete output mode).

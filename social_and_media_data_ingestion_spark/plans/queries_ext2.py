@@ -1084,6 +1084,44 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# LLM layer — recall audit for the Lloyd-refined IVF: same exact-vs-approx
+# recall@5 as sim_ivf_recall, over sim_ivf_lloyd_topk. Comparing the two
+# audits quantifies what 2 k-means rounds buy at the SAME nprobe — the
+# accuracy check needed before trusting the cheaper index config.
+# =============================================================================
+@q(
+    "sim_ivf_lloyd_recall",
+    f"""
+    WITH exact AS ({_REG_BASE["sim_cosine_topk"].oracle}),
+    approx AS ({_REG_BASE["sim_ivf_lloyd_topk"].oracle})
+    SELECT e.query_id,
+           count(a.neighbor_id)::BIGINT AS n_hit,
+           count(a.neighbor_id)::DOUBLE / 5 AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+)
+def sim_ivf_lloyd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _REG_BASE["sim_cosine_topk"].spark(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        _REG_BASE["sim_ivf_lloyd_topk"].spark(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            (F.count("hit").cast("double") / 5).alias("recall_at_5"),
+        )
+    )
+
+
+# =============================================================================
 # §2.6 extension — gaps-and-islands: longest streak of consecutive active
 # months per customer via the classic index-minus-row_number grouping.
 # One shuffle on the customer key; the streak bookkeeping is entirely

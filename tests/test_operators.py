@@ -164,3 +164,37 @@ def test_lsh_and_ivf_rank_nearest_first(spark):
     assert lsh and lsh[0].neighbor_id == 2  # nearest survives bucketing
     ivf = ivf_topk(df, q, k=2, n_centroids=2, nprobe=2).orderBy("rank").collect()
     assert ivf and ivf[0].neighbor_id == 2
+
+
+def test_lloyd_centroids_converge_to_cluster_means(spark):
+    """Two tight clusters with seed ids 0 (cluster A) and 1 (cluster B):
+    one Lloyd round must land each centroid on its cluster's mean."""
+    from social_and_media_data_ingestion_spark.operators.similarity import (
+        lloyd_centroids,
+    )
+
+    a = [[1.0, 0.0], [0.8, 0.2], [0.9, 0.1]]
+    b = [[0.0, 1.0], [0.2, 0.8], [0.1, 0.9]]
+    rows = [(0, a[0]), (1, b[0]), (2, a[1]), (3, a[2]), (4, b[1]), (5, b[2])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = {
+        r.centroid_id: list(r.cent_vec)
+        for r in lloyd_centroids(df, n_centroids=2, iters=1).collect()
+    }
+    assert cent[0] == [0.9, 0.1]  # mean of cluster A
+    assert cent[1] == [0.1, 0.9]  # mean of cluster B
+    # deterministic: second invocation identical
+    again = {
+        r.centroid_id: list(r.cent_vec)
+        for r in lloyd_centroids(df, n_centroids=2, iters=1).collect()
+    }
+    assert again == cent
+
+
+def test_ivf_lloyd_matches_exact_on_separable_data(spark):
+    df = spark.createDataFrame(EMB, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 1)
+    got = ivf_topk(
+        df, q, k=2, n_centroids=2, nprobe=2, lloyd_iters=2
+    ).orderBy("rank").collect()
+    assert got and got[0].neighbor_id == 2
