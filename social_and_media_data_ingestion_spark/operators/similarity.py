@@ -78,6 +78,170 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by SQUARED Euclidean distance (ascending) — the
+    brute-force baseline the PQ recall audit compares against.
+    Output: (query_id, neighbor_id, dist_sq, rank)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    d2 = F.aggregate(
+        F.zip_with(
+            "q_vec",
+            "c_vec",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("dist_sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_sq"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- Product quantization (PQ) ------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m_subvectors: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """books[m][k] = k-th codeword (list of floats) of subspace m.
+
+    Codewords are the m-th subvectors of the first n_codes vectors by id —
+    deterministic, so the whole PQ pipeline has a SQL oracle. This is the
+    INDEX-BUILD step: the returned structure is M*K*(d/M) floats (= one
+    full vector per code, ~4 KB here), collected driver-side exactly like
+    a broadcast dim — bounded and corpus-size-independent."""
+    rows = (
+        corpus.orderBy(id_col).limit(n_codes).select(F.col(vec_col).alias("v")).collect()
+    )
+    d = len(rows[0].v)
+    if d % m_subvectors:
+        raise ValueError(f"dim {d} not divisible by m_subvectors={m_subvectors}")
+    sub = d // m_subvectors
+    return [
+        [[float(r.v[m * sub + i]) for i in range(sub)] for r in rows]
+        for m in range(m_subvectors)
+    ]
+
+
+def _lit_arr(vals: list[float]):
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _sub_l2(vec_slice, codeword: list[float]):
+    """Row-local squared L2 between a vector slice column and a literal
+    codeword; (a-b)*(a-b) (not pow) for bit-exact oracle parity."""
+    return F.aggregate(
+        F.zip_with(
+            vec_slice,
+            _lit_arr(codeword),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes: array<int>) — PQ codes, one per subspace: the argmin-L2
+    codeword (code-id tie-break). MAP-ONLY: the codebook is embedded as
+    plan literals, so encoding is pure row-local expression work — the
+    shape that makes PQ viable over a 100 TB corpus (M bytes/vector out,
+    no shuffle, no Python)."""
+    m_subvectors, n_codes = len(books), len(books[0])
+    sub = len(books[0][0])
+    codes = []
+    for m in range(m_subvectors):
+        vec_slice = F.slice(F.col(vec_col), m * sub + 1, sub)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sub_l2(vec_slice, books[m][k]).alias("d"),
+                        F.lit(k).alias("cid"),
+                    )
+                    for k in range(n_codes)
+                ]
+            )
+        )
+        codes.append(best.getField("cid"))
+    return corpus.select(
+        F.col(id_col).alias("id"), F.array(*codes).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_subvectors: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC): the query stays
+    exact, each corpus vector is its M codewords, and
+    dist(q, x) ~= sum_m ||q_m - book[m][codes_m(x)]||^2.
+
+    Plan shape: encode is map-only (literal codebooks); scoring joins the
+    compact code table against broadcast queries and looks distances up
+    via element_at into literal nested arrays — again map-only; the only
+    exchange is the per-query top-k window. Output:
+    (query_id, neighbor_id, approx_dist, rank)."""
+    books = pq_codebooks(corpus, m_subvectors, n_codes, id_col, vec_col)
+    sub = len(books[0][0])
+    enc = pq_encode(corpus, books, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "codes"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    dist_terms = []
+    for m in range(m_subvectors):
+        book_lit = F.array(*[_lit_arr(w) for w in books[m]])
+        codeword = F.element_at(book_lit, F.col("codes").getItem(m) + 1)
+        q_slice = F.slice(F.col("q_vec"), m * sub + 1, sub)
+        dist_terms.append(
+            F.aggregate(
+                F.zip_with(
+                    q_slice,
+                    codeword,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    approx = sum(dist_terms[1:], dist_terms[0])
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", approx.alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 # --- LSH (random hyperplane) --------------------------------------------------
 
 _PLANE_SEEDS = [(48271, 16807), (69621, 104729), (40692, 65537), (16807, 282475249)]

@@ -2310,3 +2310,128 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("coverage"),
     )
+
+
+# =============================================================================
+# LLM layer — Product Quantization ANN (emb_pq_topk): M=4 subspaces x K=16
+# codewords (= subvectors of the first 16 vectors by id — deterministic
+# index build), codes = per-subspace argmin-L2 codeword, scoring by
+# asymmetric distance (exact query vs codeword reconstruction). Engine
+# side: codebooks are PLAN LITERALS, so encode + ADC are map-only — the
+# only exchange is the per-query top-k window (operators/similarity.py
+# pq_*). The oracle mirrors every step as CTEs; the ADC sum runs in fixed
+# subspace order as list arithmetic on BOTH sides so float summation
+# order is identical.
+# =============================================================================
+_PQ_M, _PQ_K, _PQ_SUB = 4, 16, 16  # 64-dim embeddings -> 4 x 16-dim subspaces
+
+_PQ_SQDIFF = (
+    "(q.embedding[mm * {sub} + i + 1]::DOUBLE - bb[mm + 1][e.codes[mm + 1] + 1][i + 1])"
+    " * (q.embedding[mm * {sub} + i + 1]::DOUBLE - bb[mm + 1][e.codes[mm + 1] + 1][i + 1])"
+).format(sub=_PQ_SUB)
+
+_PQ_TOPK_ORACLE = f"""
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kk, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    book AS (
+      SELECT mm, kk,
+             list_transform(range({_PQ_SUB}),
+                            i -> embedding[mm * {_PQ_SUB} + i + 1]::DOUBLE) AS w
+      FROM seeds CROSS JOIN (SELECT unnest(range({_PQ_M})) AS mm)
+    ),
+    enc AS (
+      SELECT vec_id, mm, kk AS code FROM (
+        SELECT e.vec_id, b.mm, b.kk,
+               row_number() OVER (PARTITION BY e.vec_id, b.mm ORDER BY
+                 list_sum(list_transform(range({_PQ_SUB}),
+                   i -> (e.embedding[b.mm * {_PQ_SUB} + i + 1]::DOUBLE - b.w[i + 1])
+                      * (e.embedding[b.mm * {_PQ_SUB} + i + 1]::DOUBLE - b.w[i + 1]))) ASC,
+                 b.kk ASC) AS rn
+        FROM embeddings e CROSS JOIN book b
+      ) WHERE rn = 1
+    ),
+    encl AS (SELECT vec_id, list(code ORDER BY mm) AS codes FROM enc GROUP BY vec_id),
+    bl AS (SELECT mm, list(w ORDER BY kk) AS ws FROM book GROUP BY mm),
+    books_all AS (SELECT list(ws ORDER BY mm) AS bb FROM bl),
+    adc AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(range({_PQ_M}), mm ->
+               list_sum(list_transform(range({_PQ_SUB}), i -> {_PQ_SQDIFF}))
+             )) AS approx_d
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+      CROSS JOIN encl e
+      CROSS JOIN books_all
+      WHERE e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(approx_d, 4) AS approx_dist, rank
+    FROM (
+      SELECT query_id, neighbor_id, approx_d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d ASC, neighbor_id ASC)::BIGINT AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """
+
+
+@q("emb_pq_topk", _PQ_TOPK_ORACLE)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = SIM.pq_topk(
+        emb, queries, k=5, m_subvectors=_PQ_M, n_codes=_PQ_K
+    )
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_dist", 4).alias("approx_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# =============================================================================
+# LLM layer — PQ recall audit: recall@5 of ADC-ranked PQ search vs exact
+# SQUARED-L2 brute force (the metric PQ approximates — cosine would mix
+# metrics). Same exact-vs-approx join pattern as the LSH/IVF audits.
+# =============================================================================
+@q(
+    "emb_pq_recall",
+    f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(len(q.embedding)),
+                   i -> (q.embedding[i + 1]::DOUBLE - e.embedding[i + 1]::DOUBLE)
+                      * (q.embedding[i + 1]::DOUBLE - e.embedding[i + 1]::DOUBLE))) ASC,
+                 e.vec_id ASC) AS rk
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+      ) WHERE rk <= 5
+    ),
+    approx AS ({_PQ_TOPK_ORACLE})
+    SELECT e.query_id,
+           count(a.neighbor_id)::BIGINT AS n_hit,
+           count(a.neighbor_id)::DOUBLE / 5 AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+)
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.l2_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = SIM.pq_topk(
+        emb, queries, k=5, m_subvectors=_PQ_M, n_codes=_PQ_K
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            (F.count("hit").cast("double") / 5).alias("recall_at_5"),
+        )
+    )

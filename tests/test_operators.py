@@ -191,6 +191,45 @@ def test_lloyd_centroids_converge_to_cluster_means(spark):
     assert again == cent
 
 
+def test_pq_encode_codebook_members_self_code(spark):
+    """Vectors that ARE the codewords must encode to their own code id."""
+    from social_and_media_data_ingestion_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.1, 0.9]),  # near vector 0 in both subspaces
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_codebooks(df, m_subvectors=2, n_codes=2)
+    assert len(books) == 2 and len(books[0]) == 2 and len(books[0][0]) == 2
+    codes = {r.id: list(r.codes) for r in pq_encode(df, books).collect()}
+    assert codes[0] == [0, 0] and codes[1] == [1, 1] and codes[2] == [0, 0]
+
+
+def test_pq_topk_and_l2_topk_nearest_first(spark):
+    from social_and_media_data_ingestion_spark.operators.similarity import (
+        l2_topk,
+        pq_topk,
+    )
+
+    df = spark.createDataFrame(EMB, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 1)
+    exact = l2_topk(df, q, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in exact] == [2, 3]
+    # ADC hand-check (codebook = subvectors of vecs 1,2; sub=1):
+    #   n2 -> recon [0.9,0.1,0], d=0.02; n3 -> same recon, d=0.02 (tie, id
+    #   order); n4 -> recon [0.9,0,0], d=0.01 -> ranks FIRST. Quantization
+    #   reordering vs exact is expected — that's what the recall audit
+    #   (emb_pq_recall) quantifies.
+    approx = pq_topk(df, q, k=2, m_subvectors=3, n_codes=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in approx] == [4, 2]
+    assert abs(approx[0].approx_dist - 0.01) < 1e-9
+
+
 def test_ivf_lloyd_matches_exact_on_separable_data(spark):
     df = spark.createDataFrame(EMB, ["vec_id", "embedding"])
     q = df.filter(F.col("vec_id") == 1)
