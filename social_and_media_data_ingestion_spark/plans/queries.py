@@ -1676,6 +1676,68 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Structured Streaming — SESSION windows over the events stream (the
+# stateful F.session_window operator, drained synchronously to a memory
+# sink in complete mode). Same result contract as the batch spelling
+# events_session_window, so the gaps-and-islands SQL is the oracle:
+# streaming session-merge state must converge to exactly the batch
+# sessions once the input drains.
+# =============================================================================
+@q(
+    "events_session_window_streaming",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        run_to_memory,
+        session_counts,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(f"{sf_dir}/events.parque[t]")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = session_counts(stream, "ts", gap="30 minutes", group_cols=["user_id"])
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    query = run_to_memory(agg, name, output_mode="complete")
+    query.stop()
+    return spark.sql(f"SELECT user_id, session_start, n_events FROM {name}")
+
+
+# =============================================================================
 # Multimodal — opaque binary payload + typed metadata + Arrow-batched
 # decode UDF (deterministic fake decoder; real codec stubbed — not in
 # container). The fake's arithmetic is reproduced by the oracle, so the

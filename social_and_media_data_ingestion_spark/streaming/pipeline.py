@@ -58,6 +58,35 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    group_cols: list[str] | None = None,
+    delay: str | None = None,
+) -> DataFrame:
+    """Gap-based session aggregation over an event stream via the native
+    F.session_window stateful operator: a session closes when no event
+    arrives for `gap`. State is per (key, open session) and merges
+    overlapping windows as events arrive — the streaming twin of the
+    batch gaps-and-islands spelling (events_sessionize). Pass `delay` to
+    watermark for append-mode sinks (finalized sessions only); without
+    it, use complete/update output."""
+    src = df.withWatermark(ts_col, delay) if delay else df
+    keys = [F.session_window(ts_col, gap).alias("sw")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        src.groupBy(*keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *[F.col(c) for c in (group_cols or [])],
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame,
     query_name: str,
