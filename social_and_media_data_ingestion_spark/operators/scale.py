@@ -124,3 +124,102 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     """Read a bucketed table back (bucket metadata comes from the catalog,
     so this must go through the table name, not the raw path)."""
     return spark.table(name)
+
+
+def _global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact global 1-based row_number WITHOUT a single-partition sort.
+
+    `Window.orderBy(...)` with no partition moves the whole table through
+    ONE task — correct at sf0.1, a funnel at 100 TB. This is the
+    distributed spelling (the same trick as RDD.zipWithIndex):
+
+    1. range-partition on the sort key (sampled boundaries, all-parallel);
+    2. count rows per range partition — a bounded collect of one row per
+       partition (like a PQ codebook: O(partitions) driver state);
+    3. rank locally inside each partition and add the partition's global
+       offset via a literal map.
+
+    Determinism: RangePartitioner's boundary sampling is seeded from the
+    partition index (byteswap32(idx)), so the two jobs (count + rank) see
+    identical partitioning — the same contract RDD.zipWithIndex relies on.
+    Returns (df with `out_col`, total row count).
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    pid = "__rank_pid"
+    ranged = df.repartitionByRange(n_parts, *cols).withColumn(
+        pid, F.spark_partition_id()
+    )
+    counts = sorted(
+        ranged.groupBy(pid).count().collect(), key=lambda r: r[pid]
+    )
+    offsets: list[int] = []
+    acc = 0
+    for row in counts:
+        offsets.append(acc)
+        acc += row["count"]
+    off_map = F.create_map(
+        *[
+            F.lit(v)
+            for row, off in zip(counts, offsets)
+            for v in (row[pid], off)
+        ]
+    )
+    w = Window.partitionBy(pid).orderBy(*cols)
+    out = (
+        ranged.withColumn(
+            out_col,
+            (F.row_number().over(w) + F.element_at(off_map, F.col(pid))).cast(
+                "long"
+            ),
+        )
+        .drop(pid)
+    )
+    return out, acc
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over `order_by` with no global-sort funnel
+    (see :func:`_global_rank`). `order_by` must be a total order
+    (include a unique tie-break column) for deterministic output."""
+    out, _ = _global_rank(df, order_by, out_col, num_partitions)
+    return out
+
+
+def global_ntile(
+    df: DataFrame,
+    k: int,
+    order_by: Sequence[Column | str],
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact `ntile(k) OVER (ORDER BY ...)` without the single-partition
+    window sort. Standard SQL ntile semantics (first ``n % k`` buckets get
+    one extra row), computed from the distributed global rank — results
+    hash-match the window spelling on any engine."""
+    rn = "__ntile_rn"
+    ranked, n = _global_rank(df, order_by, rn, num_partitions)
+    base, rem = divmod(n, k)
+    cut = rem * (base + 1)
+    first = F.floor((F.col(rn) - 1) / (base + 1)) + 1
+    if base > 0:
+        rest = F.floor((F.col(rn) - 1 - cut) / base) + rem + 1
+        bucket = F.when(F.col(rn) <= cut, first).otherwise(rest)
+    else:
+        bucket = first
+    return ranked.withColumn(out_col, bucket.cast("long")).drop(rn)

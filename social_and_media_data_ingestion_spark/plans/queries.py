@@ -1644,30 +1644,15 @@ def sim_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from pyspark.sql import types as T
-
+    from social_and_media_data_ingestion_spark.plans.tables import events_stream
     from social_and_media_data_ingestion_spark.streaming.pipeline import (
         run_to_memory,
         windowed_counts,
     )
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        # glob form: FileStreamSource requires a directory basePath
-        .load(f"{sf_dir}/events.parque[t]")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # events_stream probes the file's actual timestamp encoding and
+    # normalizes ts to TIMESTAMP_LTZ — never hard-code the schema here.
+    stream = events_stream(spark, sf_dir)
     agg = windowed_counts(stream, "ts", window="5 minutes", group_cols=["event_type"])
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
     query = run_to_memory(agg, name, output_mode="complete")
@@ -1707,29 +1692,14 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from pyspark.sql import types as T
-
+    from social_and_media_data_ingestion_spark.plans.tables import events_stream
     from social_and_media_data_ingestion_spark.streaming.pipeline import (
         run_to_memory,
         session_counts,
     )
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .load(f"{sf_dir}/events.parque[t]")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # Schema probed from the file, ts normalized to LTZ (see events_stream).
+    stream = events_stream(spark, sf_dir)
     agg = session_counts(stream, "ts", gap="30 minutes", group_cols=["user_id"])
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
     query = run_to_memory(agg, name, output_mode="complete")

@@ -377,7 +377,11 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =============================================================================
 # NTILE — equal-frequency bucketing (the window used for quantile-binning
-# features); fully deterministic ORDER BY.
+# features); fully deterministic ORDER BY. The oracle spells it as the
+# classic unpartitioned ntile window; the Spark side uses the DISTRIBUTED
+# equivalent (range-partition + per-partition offsets, operators.scale.
+# global_ntile) because a no-partition window funnels the whole table
+# through one task at scale. Same bucket assignment, hash-identical.
 # =============================================================================
 @q(
     "window_ntile_quartiles",
@@ -394,16 +398,16 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        cust.select("c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
-        .groupBy("quartile")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-        )
+    from social_and_media_data_ingestion_spark.operators.scale import global_ntile
+
+    cust = t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    binned = global_ntile(
+        cust, 4, ["c_acctbal", "c_custkey"], out_col="quartile"
+    )
+    return binned.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
 
 

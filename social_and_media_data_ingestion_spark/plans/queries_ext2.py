@@ -1200,21 +1200,32 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle uses three unpartitioned ntile windows; here each quartile
+    # comes from operators.scale.global_ntile (range-partition + offsets) so
+    # no single task ever sorts the whole customer-grain table. Three
+    # range-shuffles of a pre-aggregated table instead of three one-task
+    # sorts — same buckets, hash-identical.
+    from social_and_media_data_ingestion_spark.operators.scale import global_ntile
+
     orders = t(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    seg = rfm.select(
+    seg = rfm
+    for col, order in [
+        ("r_q", [F.desc("last_order"), F.asc("o_custkey")]),
+        ("f_q", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m_q", [F.desc("monetary"), F.asc("o_custkey")]),
+    ]:
+        seg = global_ntile(seg, 4, order, out_col=col)
+    seg = seg.select(
         "monetary",
         F.concat(
-            F.ntile(4).over(r_w).cast("string"),
-            F.ntile(4).over(f_w).cast("string"),
-            F.ntile(4).over(m_w).cast("string"),
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
         ).alias("segment"),
     )
     return seg.groupBy("segment").agg(

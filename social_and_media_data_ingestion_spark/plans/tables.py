@@ -1,4 +1,15 @@
-"""Test-table loaders for /root/testdata/sf* parquet."""
+"""Test-table loaders for /root/testdata/sf* parquet.
+
+``events.ts`` has shipped under three different physical parquet
+encodings across testdata generations: TIMESTAMP(NANOS) (which Spark
+only reads via the ``nanosAsLong`` legacy conf), plain ``timestamp[us]``
+(read as TIMESTAMP_NTZ), and tz-aware micros (read as TIMESTAMP_LTZ).
+Everything downstream assumes one logical type, so normalization happens
+HERE, once, for both batch (:func:`t`) and streaming
+(:func:`events_stream`) reads: whatever the file says, callers see
+TIMESTAMP_LTZ under a UTC session — the type on which ``unix_micros``,
+``cast('long')``, windowing, and the DuckDB oracles all agree.
+"""
 
 from __future__ import annotations
 
@@ -20,22 +31,53 @@ TABLES = [
 ]
 
 
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to TIMESTAMP_LTZ regardless of how the
+    parquet writer encoded it (nanos-as-long / micros-NTZ / tz-aware)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to micros
+        # (same truncation DuckDB applies converting ns -> us).
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # timestamp[us] without tz: interpret the wall-clock in the session
+        # zone (pinned to UTC below), matching DuckDB's naive-read semantics.
+        return df.withColumn(col, F.col(col).cast("timestamp_ltz"))
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp semantics must be UTC for oracle comparison regardless of
     # which session the caller built (runtime-settable session conf)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+        # events.parquet may store TIMESTAMP(NANOS), which Spark rejects by
         # default. Set the legacy conf at runtime so this works under ANY
-        # caller-provided session (the driver builds its own), then convert
-        # below. Session-scoped, runtime-settable.
+        # caller-provided session (the driver builds its own), then
+        # normalize below. Session-scoped, runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to micros
-        # (same truncation DuckDB applies converting ns -> us).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = _normalize_ts(df)
     return df
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the SAME ts normalization as the
+    batch loader. The file's actual schema is probed from a batch read (a
+    metadata-only operation) instead of being hard-coded, so a testdata
+    regeneration that changes the physical timestamp encoding cannot skew
+    streaming windows."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        # glob form: FileStreamSource requires a directory basePath
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    return _normalize_ts(stream)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

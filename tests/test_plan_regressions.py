@@ -227,3 +227,18 @@ def test_hhi_dims_broadcast(spark):
     plan = _plan(spark, "supplier_concentration_hhi")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ntile_quartiles_no_single_partition_sort(spark):
+    # equal-frequency binning must use the distributed global_ntile
+    # (range partition + offsets), never an unpartitioned ntile window
+    # that funnels the table through one task
+    plan = _plan(spark, "window_ntile_quartiles")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_rfm_segmentation_no_single_partition_sort(spark):
+    plan = _plan(spark, "orders_rfm_segmentation")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
