@@ -309,6 +309,58 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _lit_vec(vals) -> "F.Column":
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _dot_lit(vec_col: str, lit_arr):
+    """Row-local dot of a vector column against a literal centroid array —
+    identical arithmetic to _dot (element order, double casts), so results
+    are bit-equal to the crossJoin spelling it replaces."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col), lit_arr, lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_lit(lit_arr):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(lit_arr, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _centroid_sim_structs(vec_col: str, cents: list[tuple[int, list[float]]]):
+    """array<struct<cs, neg_cid>> of cosine(vec, centroid) for every
+    centroid, embedded as PLAN LITERALS (the pq_encode pattern): the
+    k centroids are bounded driver state (~k*dim floats, like a PQ
+    codebook), so nearest-centroid assignment becomes a pure map-side
+    expression — no corpus x k crossJoin row expansion, no shuffle, no
+    per-vector window. neg_cid makes struct-max/sort tie-break toward the
+    SMALLEST centroid id at equal similarity, matching the window
+    (desc cs, asc centroid_id) spelling this replaces."""
+    entries = []
+    for cid, cv in cents:
+        lit = _lit_vec(cv)
+        cs = _dot_lit(vec_col, lit) / (_norm(vec_col) * _norm_lit(lit))
+        entries.append(
+            F.struct(cs.alias("cs"), F.lit(-int(cid)).alias("neg_cid"))
+        )
+    return F.array(*entries)
+
+
+def _nearest_centroid_expr(vec_col: str, cents: list[tuple[int, list[float]]]):
+    """centroid_id of the max-cosine centroid (id tie-break) — map-only."""
+    best = F.array_max(_centroid_sim_structs(vec_col, cents))
+    return -best.getField("neg_cid")
+
+
 def lloyd_centroids(
     corpus: DataFrame,
     n_centroids: int = 8,
@@ -316,8 +368,8 @@ def lloyd_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
-) -> DataFrame:
-    """(centroid_id, cent_vec) after `iters` Lloyd rounds from a
+) -> list[tuple[int, list[float]]]:
+    """[(centroid_id, cent_vec)] after `iters` Lloyd rounds from a
     deterministic seed (first n_centroids vectors by id).
 
     Each round: assign every vector to its max-cosine centroid
@@ -328,39 +380,27 @@ def lloyd_centroids(
     absorbs it). Clusters that lose all members drop out — their id
     simply stops appearing (spherical k-means convention).
 
-    Scale: per round, assignment is one broadcast of k centroids + a
-    map-side argmax (no shuffle of the corpus), and the update is one
-    (centroid, dim) partial-aggregated shuffle of k*dim cells — the same
-    plan shape as emb_kmeans_assign/update at any corpus size."""
-    cent = (
+    Scale: per round, assignment is MAP-ONLY (the k current centroids are
+    bounded driver state embedded as plan literals — no corpus x k
+    expansion, no argmax shuffle), and the update is one (centroid, dim)
+    partial-aggregated shuffle of k*dim cells. Driver state per round is
+    k rows (a bounded collect, same class as pq_codebooks)."""
+    seed_rows = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("cent_vec"),
         )
+        .collect()
     )
+    cents = [(int(r.centroid_id), list(r.cent_vec)) for r in seed_rows]
     vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     for _ in range(iters):
-        scored = vecs.crossJoin(F.broadcast(cent)).select(
-            "vid",
-            "v",
-            "centroid_id",
-            (_dot("v", "cent_vec") / (_norm("v") * _norm("cent_vec"))).alias("cs"),
+        assigned = vecs.select(
+            _nearest_centroid_expr("v", cents).alias("centroid_id"), "v"
         )
-        best = scored.groupBy("vid").agg(
-            F.max(
-                F.struct(
-                    F.col("cs"),
-                    (-F.col("centroid_id")).alias("neg_cid"),
-                    F.col("v"),
-                )
-            ).alias("m")
-        )
-        assigned = best.select(
-            (-F.col("m.neg_cid")).alias("centroid_id"), F.col("m.v").alias("v")
-        )
-        cent = (
+        cent_df = (
             assigned.select("centroid_id", F.posexplode("v").alias("j", "x"))
             .groupBy("centroid_id", "j")
             .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("mx"))
@@ -371,7 +411,28 @@ def lloyd_centroids(
                 F.transform("sm", lambda s: s.getField("mx")).alias("cent_vec"),
             )
         )
-    return cent
+        cents = [
+            (int(r.centroid_id), list(r.cent_vec)) for r in cent_df.collect()
+        ]
+        cents.sort()
+    return cents
+
+
+def lloyd_centroids_df(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """DataFrame view of lloyd_centroids (centroid_id, cent_vec) for
+    registry queries that report the centroids themselves."""
+    cents = lloyd_centroids(corpus, n_centroids, iters, id_col, vec_col, round_dp)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "centroid_id bigint, cent_vec array<double>"
+    )
 
 
 def ivf_topk(
@@ -391,43 +452,34 @@ def ivf_topk(
     (lloyd_centroids) — better-centered cells raise recall at the same
     nprobe for the cost of `iters` extra passes at index-build time."""
     if lloyd_iters > 0:
-        seeds = lloyd_centroids(
-            corpus, n_centroids, lloyd_iters, id_col, vec_col
-        )
+        cents = lloyd_centroids(corpus, n_centroids, lloyd_iters, id_col, vec_col)
     else:
-        seeds = (
+        seed_rows = (
             corpus.orderBy(id_col)
             .limit(n_centroids)
-            .select(
-                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
-            )
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .collect()
         )
+        cents = [(int(r.cid), [float(x) for x in r.cv]) for r in seed_rows]
+    # Corpus-side assignment is MAP-ONLY: centroids are bounded driver
+    # state (like pq_codebooks) embedded as literals — no corpus x k
+    # crossJoin expansion, no per-vector window shuffle between the scan
+    # and the cell assignment.
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("cent_sim"), F.asc("centroid_id")
+    assigned = c.select(
+        "neighbor_id", "c_vec", _nearest_centroid_expr("c_vec", cents).alias("centroid_id")
     )
-    assigned = (
-        c.crossJoin(F.broadcast(seeds))
-        .withColumn(
-            "cent_sim", _dot("c_vec", "cent_vec") / (_norm("c_vec") * _norm("cent_vec"))
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "c_vec", "centroid_id")
-    )
+    # Query-side probe of the nprobe nearest cells: also in-row (sort the
+    # k-entry sim array, take nprobe, explode) — queries x nprobe rows out.
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("cent_sim"), F.asc("centroid_id")
+    probe_arr = F.slice(
+        F.sort_array(_centroid_sim_structs("q_vec", cents), asc=False),
+        1,
+        nprobe,
     )
-    probed = (
-        q.crossJoin(F.broadcast(seeds))
-        .withColumn(
-            "cent_sim", _dot("q_vec", "cent_vec") / (_norm("q_vec") * _norm("cent_vec"))
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_vec", "centroid_id")
-    )
+    probed = q.select(
+        "query_id", "q_vec", F.explode(probe_arr).alias("p")
+    ).select("query_id", "q_vec", (-F.col("p.neg_cid")).alias("centroid_id"))
     scored = (
         assigned.join(F.broadcast(probed), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))

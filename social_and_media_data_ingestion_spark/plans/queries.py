@@ -1077,11 +1077,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # customer/supplier scale WITH the data, so they carry no broadcast
+    # hint: below autoBroadcastJoinThreshold the planner broadcasts them
+    # anyway (plan-guarded at test SF), and at 100x customer AQE degrades
+    # to a shuffle join instead of OOMing on a forced broadcast. Only the
+    # fixed-cardinality dims (nation: 25 rows, region: 5) keep the hint.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -1838,57 +1843,66 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stacks incl. recall audits, quantization, multimodal, event/session
 # analytics, text/LLM-pipeline stages, corpus curation, and the hardest
 # TPC-H rewrite). Everything else follows in registration order.
+# The driver samples the FIRST 50 registry entries per round. Rotation
+# policy (round-3 advice): entries whose code changed this round lead (they
+# need fresh driver evidence), the rest are queries the driver has NEVER
+# sampled — so driver-green evidence accumulates across rounds instead of
+# re-proving the same 50. Everything dropped from the head stays covered by
+# the local gate (tools/verify_local.py runs all 167 with the identical
+# oracle mechanism).
 PRIORITY_HEAD = [
+    # -- changed or fixed in round 3: re-prove under the driver
     "flagship_submission_extract",
-    "p1_project_defaults",
-    "f2_keyword_substring",
-    "f3_keyword_word_boundary",
-    "j1_semi_join",
-    "j2_fk_join_agg",
-    "j3_self_join_next_line",
-    "j5_asof_last_login",
-    "j6_range_band_join",
-    "a2_dedup_keep_first",
-    "a3_keep_latest",
-    "a6_max_watermark",
-    "agg_pricing_summary",
-    "agg_rollup_revenue",
-    "window_topk_orders",
-    "union_events_orders",
-    "scalar_german_date",
-    "scalar_json_extract",
-    "dedup_fingerprint",
-    "text_token_counts",
-    "text_language_id",
-    "text_quality_score",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_near_dup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_minhash_calibration",
-    "sim_cosine_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_ann_recall",
-    "sim_ivf_recall",
-    "emb_quantize_int8",
-    "sim_int8_topk",
-    "emb_kmeans_assign",
-    "multimodal_image_profile",
-    "multimodal_frame_sample",
-    "multimodal_audio_chunks",
-    "events_windowed_agg",
     "events_sessionize",
-    "events_session_window",
     "stream_windowed_counts",
-    "events_funnel_conversion",
-    "text_chunk_documents",
-    "pii_redact_documents",
-    "corpus_decontaminate",
-    "corpus_full_curation",
-    "q21_waiting_suppliers",
+    "events_session_window_streaming",
+    "agg_linear_regression",
+    "events_time_weighted_avg",
+    "window_ntile_quartiles",
+    "orders_rfm_segmentation",
+    "sim_ivf_topk",
+    "sim_ivf_lloyd_topk",
+    "sim_ivf_lloyd_recall",
+    "q5_local_supplier_volume",
+    # -- never driver-sampled before round 3
+    "emb_pq_topk",
+    "emb_pq_recall",
+    "events_weekly_retention",
+    "text_tfidf_topterms",
+    "orders_market_basket",
+    "events_transition_matrix",
+    "sample_temperature_by_source",
+    "sample_stratified_hash",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q2_min_cost_supplier",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "q6_forecast_revenue",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_corr_stats",
+    "agg_entropy_by_source",
+    "agg_median_mad",
+    "window_running_revenue",
+    "window_lag_delta",
+    "window_dense_rank_parts",
+    "window_share_of_total",
+    "window_activity_streaks",
+    "events_hopping_window",
+    "events_daily_active",
+    "events_gap_filled_daily",
+    "events_anomaly_zscore",
+    "events_cumulative_distinct_users",
+    "text_shingles_3gram",
+    "text_inverted_index",
+    "text_bigram_logprob",
+    "text_zipf_fit",
+    "emb_kmeans_update",
+    "emb_dim_variance",
+    "dedup_canonical_selection",
+    "corpus_curate_pipeline",
 ]
 
 

@@ -1466,34 +1466,23 @@ _COS_SQL = (
     """,
 )
 def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MAP-ONLY assignment: the 8 centroid vectors are bounded driver state
+    # (collected like a PQ codebook) compiled into in-row literal
+    # expressions — no corpus x k crossJoin expansion, no argmax shuffle.
+    from social_and_media_data_ingestion_spark.operators import similarity as SIM
+
     emb = t(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-
-    def _sqsum(c):
-        return F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-
-    dot = F.aggregate(
-        F.zip_with("embedding", "ce", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-    cos = dot / (F.sqrt(_sqsum("embedding")) * F.sqrt(_sqsum("ce")))
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", cos.alias("cos")
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("neg_cid"))).alias("m")
-    )
-    return best.select(
+    cents = [
+        (int(r.cid), [float(x) for x in r.ce])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .collect()
+    ]
+    best = F.array_max(SIM._centroid_sim_structs("embedding", cents))
+    return emb.select(
         "vec_id",
-        (-F.col("m.neg_cid")).alias("centroid_id"),
-        F.round("m.cos", 4).alias("cosine"),
+        (-best.getField("neg_cid")).alias("centroid_id"),
+        F.round(best.getField("cs"), 4).alias("cosine"),
     )
 
 
@@ -1531,34 +1520,20 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Assign step is map-only (literal centroids, see emb_kmeans_assign);
+    # the only shuffle is the (centroid, dim) partial-aggregated update.
+    from social_and_media_data_ingestion_spark.operators import similarity as SIM
+
     emb = t(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-
-    def _sqsum(c):
-        return F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-
-    dot = F.aggregate(
-        F.zip_with("embedding", "ce", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-    cos = dot / (F.sqrt(_sqsum("embedding")) * F.sqrt(_sqsum("ce")))
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", "embedding", cos.alias("cos")
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max(
-            F.struct(F.col("cos"), (-F.col("cid")).alias("neg_cid"), F.col("embedding"))
-        ).alias("m")
-    )
-    assigned = best.select(
-        (-F.col("m.neg_cid")).alias("centroid_id"), F.col("m.embedding").alias("e")
+    cents = [
+        (int(r.cid), [float(x) for x in r.ce])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .collect()
+    ]
+    assigned = emb.select(
+        SIM._nearest_centroid_expr("embedding", cents).alias("centroid_id"),
+        F.col("embedding").alias("e"),
     )
     return (
         assigned.select("centroid_id", F.posexplode("e").alias("dim_idx", "val"))

@@ -2446,3 +2446,71 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / 5).alias("recall_at_5"),
         )
     )
+
+
+# =============================================================================
+# Sketch audit — HyperLogLog distinct-count accuracy: per event type,
+# Spark's approx_count_distinct (HLL++, rsd=0.05) against the exact
+# distinct count, emitted as (exact count, within-10%-bound flag). The
+# oracle computes the exact count and pins the flag TRUE — so the hash
+# check FAILS if the sketch ever drifts outside its error contract. Exact
+# countDistinct shuffles every distinct user once; the HLL path is the
+# 100 TB answer (fixed-size sketch, partial-combinable, one tiny final
+# merge) and this audit is the evidence it can replace the exact count.
+# =============================================================================
+@q(
+    "agg_hll_distinct_audit",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_distinct,
+           TRUE AS hll_within_10pct
+    FROM events GROUP BY 1
+    """,
+)
+def agg_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("hll"),
+    )
+    err = F.abs(F.col("hll") - F.col("exact_distinct")) / F.col("exact_distinct")
+    return agg.select(
+        "event_type",
+        "exact_distinct",
+        (err <= F.lit(0.10)).alias("hll_within_10pct"),
+    )
+
+
+# =============================================================================
+# Sketch audit — approx-quantile accuracy: per event type, Spark's
+# approx_percentile(value, 0.5, acc=10000) vs the exact interpolated
+# median. The exact median is computed on BOTH sides (Spark `percentile`
+# == DuckDB `quantile_cont`, both type-7 interpolation) and the sketch
+# must land within 1% of the value range — flag pinned TRUE by the
+# oracle. At scale the exact percentile needs a per-key sort; the KLL-ish
+# sketch is partial-combinable with bounded memory.
+# =============================================================================
+@q(
+    "agg_quantile_sketch_audit",
+    """
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS exact_median,
+           TRUE AS sketch_within_1pct
+    FROM events GROUP BY 1
+    """,
+)
+def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("exact_median"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        (F.max("value") - F.min("value")).alias("rng"),
+    )
+    err = F.abs(F.col("approx_median") - F.col("exact_median")) / F.col("rng")
+    return agg.select(
+        "event_type",
+        (F.floor(F.col("exact_median") * 10000 + F.lit(0.5)) / 10000).alias(
+            "exact_median"
+        ),
+        (err <= F.lit(0.01)).alias("sketch_within_1pct"),
+    )

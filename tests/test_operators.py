@@ -177,17 +177,11 @@ def test_lloyd_centroids_converge_to_cluster_means(spark):
     b = [[0.0, 1.0], [0.2, 0.8], [0.1, 0.9]]
     rows = [(0, a[0]), (1, b[0]), (2, a[1]), (3, a[2]), (4, b[1]), (5, b[2])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    cent = {
-        r.centroid_id: list(r.cent_vec)
-        for r in lloyd_centroids(df, n_centroids=2, iters=1).collect()
-    }
+    cent = dict(lloyd_centroids(df, n_centroids=2, iters=1))
     assert cent[0] == [0.9, 0.1]  # mean of cluster A
     assert cent[1] == [0.1, 0.9]  # mean of cluster B
     # deterministic: second invocation identical
-    again = {
-        r.centroid_id: list(r.cent_vec)
-        for r in lloyd_centroids(df, n_centroids=2, iters=1).collect()
-    }
+    again = dict(lloyd_centroids(df, n_centroids=2, iters=1))
     assert again == cent
 
 

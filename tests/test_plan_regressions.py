@@ -127,16 +127,13 @@ def test_curation_single_shuffle(spark):
     assert "Join" not in plan
 
 
-def test_kmeans_assign_agg_not_window(spark):
-    # argmax via struct-max aggregate (map-side combinable), never a
-    # per-vector window sort; centroids broadcast
+def test_kmeans_assign_map_only(spark):
+    # argmax over literal centroids (bounded driver state): pure map-side
+    # expression work — no window, no join, no shuffle at all
     plan = _plan(spark, "emb_kmeans_assign")
     assert "Window" not in plan
-    # struct-max argmax compiles to an aggregate (Sort/Hash/ObjectHash
-    # depending on type support) — any of them is map-side combinable
-    assert "Aggregate" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 def test_audio_chunks_map_only(spark):
@@ -242,3 +239,18 @@ def test_rfm_segmentation_no_single_partition_sort(spark):
     plan = _plan(spark, "orders_rfm_segmentation")
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_ivf_assignment_map_side(spark):
+    # nearest-centroid assignment embeds the k centroids as literals
+    # (bounded driver state): no corpus x k crossJoin expansion, no
+    # per-vector assignment window — the ONLY shuffle is the final
+    # per-query top-k
+    import re
+
+    plan = _plan(spark, "sim_ivf_topk")
+    shuffles = re.findall(
+        r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
+    )
+    assert len(shuffles) == 1, shuffles
+    assert "SinglePartition" not in plan
