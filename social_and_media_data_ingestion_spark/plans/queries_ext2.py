@@ -1650,8 +1650,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
+    # distributed top-100 first (TakeOrderedAndProject partial top-k per
+    # partition) — never a global rank window over the full vocabulary
+    top = c.orderBy(F.desc("n"), F.asc("tok")).limit(100)
     w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    r = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 100)
+    r = top.withColumn("rk", F.row_number().over(w))
     ln_n = F.log(F.col("n").cast("double"))
     ln_rk = F.log(F.col("rk").cast("double"))
     return r.agg(
@@ -2514,3 +2517,101 @@ def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (err <= F.lit(0.01)).alias("sketch_within_1pct"),
     )
+
+
+# =============================================================================
+# Structured Streaming — STREAM-STREAM interval join: the view stream
+# joined to the purchase stream per user, purchase within +/-30 min of the
+# view. Both sides watermarked (10 min) so join state is GC-able on a
+# live run; with the file source drained via processAllAvailable the
+# result equals the batch interval join, which is the oracle. Output is
+# the matched pair stream (append mode — the only mode stream-stream
+# inner joins support).
+# =============================================================================
+@q(
+    "stream_stream_join_events",
+    """
+    SELECT v.user_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           round(p.value - v.value, 4) AS value_delta
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts BETWEEN v.ts - INTERVAL 30 MINUTE AND v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from social_and_media_data_ingestion_spark.plans.tables import events_stream
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_stream_join,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = stream_stream_join(
+        views,
+        purchases,
+        keys=["user_id"],
+        delay="10 minutes",
+        within="30 minutes",
+    )
+    out = joined.select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("right_ts").alias("purchase_ts"),
+        F.round(F.col("r.value") - F.col("l.value"), 4).alias("value_delta"),
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    query = run_to_memory(out, name, output_mode="append")
+    query.stop()
+    return spark.sql(
+        f"SELECT user_id, view_ts, purchase_ts, value_delta FROM {name}"
+    )
+
+
+# =============================================================================
+# Structured Streaming — stream-static dimension enrichment: the events
+# stream broadcast-joined per micro-batch against the static customer dim
+# (user_id -> market segment), rolled up to counts per (segment,
+# event_type). Stateless stream-static equi-join (no watermark needed) +
+# complete-mode aggregate; the batch join/agg is the oracle.
+# =============================================================================
+@q(
+    "stream_static_enrich_counts",
+    """
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           count(*)::BIGINT AS n
+    FROM events e
+    JOIN customer c ON e.user_id % 1500 = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from social_and_media_data_ingestion_spark.plans.tables import events_stream
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_static_enrich,
+    )
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "c_custkey", F.col("user_id") % 1500
+    )
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_static_enrich(ev, dim, on=["c_custkey"], how="inner")
+    agg = enriched.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    query = run_to_memory(agg, name, output_mode="complete")
+    query.stop()
+    return spark.sql(f"SELECT segment, event_type, n FROM {name}")
