@@ -1872,7 +1872,6 @@ PRIORITY_HEAD = [
     "orders_market_basket",
     "events_transition_matrix",
     "sample_temperature_by_source",
-    "sample_stratified_hash",
     "q7_nation_volume",
     "q8_market_share",
     "q9_profit_by_nation",
@@ -1882,21 +1881,23 @@ PRIORITY_HEAD = [
     "q6_forecast_revenue",
     "agg_grouping_sets",
     "agg_percentiles",
-    "agg_corr_stats",
     "agg_entropy_by_source",
     "agg_median_mad",
-    "window_running_revenue",
-    "window_lag_delta",
-    "window_dense_rank_parts",
     "window_share_of_total",
     "window_activity_streaks",
     "events_hopping_window",
-    "events_daily_active",
     "events_gap_filled_daily",
     "events_anomaly_zscore",
     "events_cumulative_distinct_users",
-    "text_shingles_3gram",
     "text_inverted_index",
+    # -- new in round 3
+    "stream_stream_join_events",
+    "stream_static_enrich_counts",
+    "stream_stateful_running_totals",
+    "agg_hll_distinct_audit",
+    "agg_quantile_sketch_audit",
+    "bpe_pair_counts",
+    "docs_quality_deciles",
     "text_bigram_logprob",
     "text_zipf_fit",
     "emb_kmeans_update",

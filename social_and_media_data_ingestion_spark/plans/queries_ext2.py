@@ -2615,3 +2615,125 @@ def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = run_to_memory(agg, name, output_mode="complete")
     query.stop()
     return spark.sql(f"SELECT segment, event_type, n FROM {name}")
+
+
+# =============================================================================
+# LLM layer — BPE-training inner loop: adjacent-token pair frequencies
+# over the corpus (the statistic every merge round of byte-pair encoding
+# recomputes). Pair construction is IN-ROW (zip of the token array with
+# its own tail — no self-join, no explode-then-join), counts are
+# partial-combinable keyed on the pair string (vocab^2-bounded in theory,
+# Heaps-bounded in practice), and the top-20 goes limit-first.
+# =============================================================================
+@q(
+    "bpe_pair_counts",
+    f"""
+    WITH tk AS (SELECT {_TOKS} AS t FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(greatest(len(t) - 1, 0)),
+                    i -> t[i + 1] || ' ' || t[i + 2])) AS pair
+      FROM tk
+    ),
+    c AS (SELECT pair, count(*)::BIGINT AS n FROM pairs GROUP BY 1),
+    top AS (SELECT * FROM c ORDER BY n DESC, pair LIMIT 20)
+    SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair)::BIGINT AS rk
+    FROM top
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    d = docs.select(toks.alias("t"))
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice(
+            F.col("t"),
+            2,
+            F.greatest(F.size("t") - 1, F.lit(0)),
+        ),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    c = (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+    top = c.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+# =============================================================================
+# LLM layer — quality-decile curriculum binning: every document assigned
+# an exact quality decile (equal-frequency, deterministic doc_id
+# tie-break) — the binning used for quality-curriculum sampling. Uses the
+# DISTRIBUTED global_ntile (range partition + offsets), never an
+# unpartitioned ntile window; the oracle spells the same thing with the
+# classic window ntile over the quality CTE.
+# =============================================================================
+@q(
+    "docs_quality_deciles",
+    f"""
+    WITH qual AS ({_REG_BASE["text_quality_score"].oracle})
+    SELECT decile, count(*)::BIGINT AS n_docs,
+           min(quality) AS min_q, max(quality) AS max_q
+    FROM (
+      SELECT doc_id, quality,
+             ntile(10) OVER (ORDER BY quality, doc_id)::BIGINT AS decile
+      FROM qual
+    ) GROUP BY 1
+    """,
+)
+def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators import text_analysis as TA
+    from social_and_media_data_ingestion_spark.operators.scale import global_ntile
+
+    docs = t(spark, sf_dir, "documents")
+    qual = docs.select("doc_id", TA.quality_score("text").alias("quality"))
+    binned = global_ntile(qual, 10, ["quality", "doc_id"], out_col="decile")
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("quality").alias("min_q"),
+        F.max("quality").alias("max_q"),
+    )
+
+
+# =============================================================================
+# Structured Streaming — CUSTOM STATEFUL operator
+# (applyInPandasWithState): running per-event-type counters that persist
+# across micro-batches (streaming/stateful.py, SURVEY §2.9 beyond-parity).
+# Counters are cumulative, so after the stream drains the LAST emit per
+# key equals the batch aggregate whatever the micro-batch split was —
+# max_by(n_total) selects it, and the batch groupBy is the oracle.
+# =============================================================================
+@q(
+    "stream_stateful_running_totals",
+    """
+    SELECT event_type AS key,
+           count(*)::BIGINT AS n_total,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from social_and_media_data_ingestion_spark.plans.tables import events_stream
+    from social_and_media_data_ingestion_spark.streaming.pipeline import run_to_memory
+    from social_and_media_data_ingestion_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    totals = running_totals(ev, "event_type", "value")
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    query = run_to_memory(totals, name, output_mode="update")
+    query.stop()
+    return spark.sql(
+        f"""
+        SELECT key,
+               max(n_total) AS n_total,
+               round(max_by(sum_value, n_total), 2) AS sum_value
+        FROM {name} GROUP BY key
+        """
+    )
