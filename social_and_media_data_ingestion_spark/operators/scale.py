@@ -144,9 +144,14 @@ def _global_rank(
     3. rank locally inside each partition and add the partition's global
        offset via a literal map.
 
-    Determinism: RangePartitioner's boundary sampling is seeded from the
-    partition index (byteswap32(idx)), so the two jobs (count + rank) see
-    identical partitioning — the same contract RDD.zipWithIndex relies on.
+    Determinism: RangePartitioner's sampled boundaries are NOT stable
+    across the two jobs (AQE can re-plan the upstream stage between runs,
+    changing sample seeds), so the ranged frame is materialized ONCE via
+    localCheckpoint — both the count job and the rank job read the same
+    blocks. This also means the expensive upstream plan executes once,
+    not twice. (On a cluster where executor loss matters, swap
+    localCheckpoint for a reliable checkpoint dir — the same trade
+    documented for connected components in operators/dedup.py.)
     Returns (df with `out_col`, total row count).
     """
     from pyspark.sql import Window
@@ -157,8 +162,10 @@ def _global_rank(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     pid = "__rank_pid"
-    ranged = df.repartitionByRange(n_parts, *cols).withColumn(
-        pid, F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint()
     )
     counts = sorted(
         ranged.groupBy(pid).count().collect(), key=lambda r: r[pid]
@@ -199,6 +206,65 @@ def global_row_number(
     (include a unique tie-break column) for deterministic output."""
     out, _ = _global_rank(df, order_by, out_col, num_partitions)
     return out
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global cumulative sum of `value_col` in `order_by` order
+    WITHOUT a single-partition window (the sweep-line primitive:
+    concurrency counting, running balances, cumulative distributions).
+
+    Same two-job shape as :func:`_global_rank`: range-partition on the
+    sort key, collect per-partition TOTALS (bounded O(partitions) driver
+    state), then each partition computes a local ROWS-frame prefix sum
+    plus its predecessors' total as an offset. `order_by` should be a
+    total order for fully deterministic per-row output (with ties the
+    intra-tie prefixes depend on tie order, as with any ROWS frame).
+
+    The ranged frame is localCheckpoint-materialized so the totals job
+    and the prefix-sum job see the SAME partitioning (range boundaries
+    are sampled and not replay-stable — see :func:`_global_rank`)."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    pid = "__rsum_pid"
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = sorted(
+        ranged.groupBy(pid).agg(F.sum(value_col).alias("s")).collect(),
+        key=lambda r: r[pid],
+    )
+    offsets: list[tuple[int, float]] = []
+    acc = 0
+    for row in totals:
+        offsets.append((row[pid], acc))
+        acc += row["s"] or 0
+    off_map = F.create_map(
+        *[F.lit(v) for p, off in offsets for v in (p, off)]
+    )
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(
+            out_col, F.sum(value_col).over(w) + F.element_at(off_map, F.col(pid))
+        )
+        .drop(pid)
+    )
 
 
 def global_ntile(

@@ -1880,7 +1880,6 @@ PRIORITY_HEAD = [
     "q18_large_volume_orders",
     "q6_forecast_revenue",
     "agg_grouping_sets",
-    "agg_percentiles",
     "agg_entropy_by_source",
     "agg_median_mad",
     "window_share_of_total",
@@ -1898,6 +1897,7 @@ PRIORITY_HEAD = [
     "agg_quantile_sketch_audit",
     "bpe_pair_counts",
     "docs_quality_deciles",
+    "events_max_concurrent",
     "text_bigram_logprob",
     "text_zipf_fit",
     "emb_kmeans_update",

@@ -2737,3 +2737,51 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         FROM {name} GROUP BY key
         """
     )
+
+
+# =============================================================================
+# Time-series analytics — MAX CONCURRENT SESSIONS (sweep line): each
+# event opens a 30-min presence interval; the answer is the peak of the
+# running (+1 at start, -1 at end) sum over all boundary points in time
+# order. The cumulative sum uses the DISTRIBUTED global_running_sum
+# (range partition + per-partition totals as offsets) — the oracle spells
+# the same sweep with a plain ORDER BY window. Ends sort before starts at
+# the same instant (delta -1 < +1), so touching intervals don't overlap,
+# and the peak is tie-order-invariant (same-sign runs are monotone).
+# =============================================================================
+@q(
+    "events_max_concurrent",
+    """
+    WITH pts AS (
+      SELECT ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS delta FROM events
+    ),
+    sweep AS (
+      SELECT sum(delta) OVER (ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrent
+      FROM pts
+    )
+    SELECT max(concurrent)::BIGINT AS max_concurrent,
+           (SELECT count(*) FROM pts)::BIGINT AS n_points
+    FROM sweep
+    """,
+)
+def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_sum,
+    )
+
+    ev = t(spark, sf_dir, "events").select("ts")
+    starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends)
+    swept = global_running_sum(pts, ["t", "delta"], "delta", out_col="concurrent")
+    return swept.agg(
+        F.max("concurrent").cast("long").alias("max_concurrent"),
+        F.count("*").cast("long").alias("n_points"),
+    )

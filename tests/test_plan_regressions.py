@@ -228,17 +228,30 @@ def test_hhi_dims_broadcast(spark):
 
 def test_ntile_quartiles_no_single_partition_sort(spark):
     # equal-frequency binning must use the distributed global_ntile
-    # (range partition + offsets), never an unpartitioned ntile window
-    # that funnels the table through one task
+    # (range partition + offsets over a checkpointed frame), never an
+    # unpartitioned ntile window that funnels the table through one task.
+    # The range exchange lives in the checkpoint sub-job; the final plan
+    # reads the materialized blocks (ExistingRDD).
     plan = _plan(spark, "window_ntile_quartiles")
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "ExistingRDD" in plan
 
 
 def test_rfm_segmentation_no_single_partition_sort(spark):
     plan = _plan(spark, "orders_rfm_segmentation")
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "ExistingRDD" in plan
+
+
+def test_max_concurrent_no_single_partition_sort(spark):
+    # the sweep-line cumulative sum must run on the distributed
+    # global_running_sum: the prefix-sum window is PARTITIONED (by the
+    # range-partition id over the checkpointed frame), never an
+    # empty-partition global window. (The plan's one SinglePartition
+    # exchange is the final scalar max over 32 partial rows — fine.)
+    plan = _plan(spark, "events_max_concurrent")
+    assert "ExistingRDD" in plan
+    assert "windowspecdefinition(__rsum_pid" in plan
 
 
 def test_ivf_assignment_map_side(spark):

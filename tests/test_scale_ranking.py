@@ -1,0 +1,80 @@
+"""Unit + property tests for the distributed global ranking helpers
+(operators.scale.global_row_number / global_ntile / global_running_sum):
+they must agree EXACTLY with the unpartitioned-window spellings they
+replace, across sizes that straddle partition boundaries, and be
+deterministic across repeated invocations (the round-3 lesson:
+repartitionByRange boundaries are not replay-stable, hence the
+localCheckpoint inside the helpers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.operators.scale import (
+    global_ntile,
+    global_row_number,
+    global_running_sum,
+)
+
+
+def _df(spark, n, seed_mult=7919):
+    rows = [(i, (i * seed_mult) % 104729, float((i * 31) % 97) - 48) for i in range(n)]
+    return spark.createDataFrame(rows, "id bigint, key bigint, val double")
+
+
+@pytest.mark.parametrize("n", [1, 5, 33, 1000])
+def test_global_row_number_matches_window(spark, n):
+    df = _df(spark, n)
+    got = {
+        r.id: r.rn
+        for r in global_row_number(df, ["key", "id"], out_col="rn").collect()
+    }
+    w = Window.orderBy("key", "id")
+    want = {
+        r.id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,k", [(1, 4), (3, 4), (103, 4), (1000, 7)])
+def test_global_ntile_matches_window(spark, n, k):
+    df = _df(spark, n)
+    got = {
+        r.id: r.b for r in global_ntile(df, k, ["key", "id"], out_col="b").collect()
+    }
+    w = Window.orderBy("key", "id")
+    want = {
+        r.id: r.b
+        for r in df.withColumn("b", F.ntile(k).over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_global_running_sum_matches_window(spark):
+    df = _df(spark, 500)
+    got = {
+        r.id: r.rs
+        for r in global_running_sum(df, ["key", "id"], "val", out_col="rs").collect()
+    }
+    w = Window.orderBy("key", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: r.rs for r in df.withColumn("rs", F.sum("val").over(w)).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+
+
+def test_helpers_deterministic_across_invocations(spark):
+    # the union input makes upstream partitioning AQE-sensitive — exactly
+    # the shape that exposed the replay-instability of range boundaries
+    base = _df(spark, 400)
+    df = base.unionAll(base.select("id", (F.col("key") + 1).alias("key"), "val"))
+    a = sorted((r.id, r.key, r.rn) for r in global_row_number(df, ["key", "id"], out_col="rn").collect())
+    b = sorted((r.id, r.key, r.rn) for r in global_row_number(df, ["key", "id"], out_col="rn").collect())
+    assert a == b
