@@ -68,14 +68,23 @@ def near_dedup(
     text_col: str = "text",
     keep_col: str = "n_chars",
     threshold: float = 0.75,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates -> exact Jaccard verify ->
     connected components -> keep the canonical member per cluster
-    (max keep_col, id tie-break). Docs in no cluster survive as-is."""
-    sigs = D.minhash_signatures(docs, id_col, text_col, n=1, num_hashes=8)
+    (max keep_col, id tie-break). Docs in no cluster survive as-is.
+
+    shingle_n=3 (word 3-grams) is load-bearing at scale: unigram
+    shingles give unrelated docs high background Jaccard, so minhash
+    bands collide constantly and the LSH candidate set degenerates
+    toward all-pairs (measured 6.8M candidate pairs from 4.3k docs on
+    the synthetic corpus — 73% of n^2/2). 3-gram shingles make the
+    background overlap ~0 while true near-dups keep most shingles, so
+    candidates stay proportional to the real duplicate count."""
+    sigs = D.minhash_signatures(docs, id_col, text_col, n=shingle_n, num_hashes=8)
     cand = D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
     edges = D.ngram_jaccard_pairs(
-        docs, id_col, text_col, n=1, threshold=threshold, candidates=cand
+        docs, id_col, text_col, n=shingle_n, threshold=threshold, candidates=cand
     )
     clusters = D.connected_components(edges)
     member = clusters.join(
@@ -99,20 +108,27 @@ def decontaminate(
     text_col: str = "text",
     max_overlap: float = 0.1,
 ) -> DataFrame:
-    """Drop training docs whose distinct-bigram overlap with the eval set
-    exceeds max_overlap. Eval shingles broadcast; probe is map-side."""
+    """Drop training docs whose distinct word-3-gram overlap with the
+    eval set exceeds max_overlap. Eval shingles broadcast; probe is
+    map-side. 3-grams (matching the standalone corpus_decontaminate
+    operator) rather than bigrams: with a small vocabulary a large
+    enough eval split covers the entire bigram space, flagging EVERY
+    training doc as contaminated — longer shingles keep the overlap
+    signal tied to actual shared passages (the reason production
+    decontamination sweeps use 8-13-gram windows)."""
 
-    def bigram_set(df: DataFrame, with_id: bool) -> DataFrame:
+    def shingle_set(df: DataFrame, with_id: bool) -> DataFrame:
         toks = F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda x: x != "")
         arr = F.expr(
-            "transform(sequence(1, greatest(size(__toks) - 1, 1)), "
-            "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i+1)))"
+            "transform(sequence(1, greatest(size(__toks) - 2, 1)), "
+            "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i+1), "
+            "' ', element_at(__toks, i+2)))"
         )
         base = (
             df.withColumn("__toks", toks)
             .withColumn(
                 "__sh",
-                F.when(F.size("__toks") >= 2, arr).otherwise(
+                F.when(F.size("__toks") >= 3, arr).otherwise(
                     F.array().cast("array<string>")
                 ),
             )
@@ -122,8 +138,8 @@ def decontaminate(
             *cols, F.explode(F.array_distinct("__sh")).alias("shingle")
         )
 
-    tr = bigram_set(docs, with_id=True)
-    ev = bigram_set(eval_docs, with_id=False).distinct()
+    tr = shingle_set(docs, with_id=True)
+    ev = shingle_set(eval_docs, with_id=False).distinct()
     tot = tr.groupBy(id_col).agg(F.count("*").alias("__n"))
     hit = (
         tr.join(F.broadcast(ev), "shingle")

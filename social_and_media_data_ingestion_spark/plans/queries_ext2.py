@@ -1479,6 +1479,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 from social_and_media_data_ingestion_spark import pipelines as PL  # noqa: E402
 from social_and_media_data_ingestion_spark.plans.queries import (  # noqa: E402
+    _SHINGLE_SQL,
     _lang_hits_sql,
 )
 from social_and_media_data_ingestion_spark.plans.queries_ext import (  # noqa: E402
@@ -1527,7 +1528,11 @@ _FC_OVERLAP = 0.85
       FROM train d JOIN exact e ON d.doc_id = e.doc_id
     ),
     hashed AS (
-      SELECT doc_id AS id, n_chars, {_POLYHASH_SQL.format(arr="toks")} AS hs FROM surv
+      -- 3-gram shingles (see pipelines.near_dedup): discriminative at
+      -- scale, unlike unigrams whose background overlap floods the bands
+      SELECT doc_id AS id, n_chars,
+             {_POLYHASH_SQL.format(arr=_SHINGLE_SQL)} AS hs
+      FROM surv
     ),
     sigs AS (SELECT id, {_HASH_MINS} FROM hashed),
     banded AS (SELECT id, {_LSH_BUCKETS} FROM sigs),
@@ -1538,7 +1543,8 @@ _FC_OVERLAP = 0.85
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM longf a JOIN longf b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     ),
-    sh AS (SELECT DISTINCT doc_id AS id, unnest(toks) AS shingle FROM surv),
+    sh AS (SELECT DISTINCT doc_id AS id, unnest({_SHINGLE_SQL}) AS shingle
+           FROM surv),
     sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
     -- candidate-restricted intersection (mirrors the engine: Jaccard is
     -- verified only on LSH candidates, never all-pairs)
@@ -1580,15 +1586,16 @@ _FC_OVERLAP = 0.85
       )
     ),
     tr_sh AS MATERIALIZED (
+      -- word-3-gram shingles, matching pipelines.decontaminate
       SELECT doc_id, unnest(list_distinct(
-        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
       FROM nd_surv
     ),
     ev_sh AS (
       SELECT DISTINCT unnest(list_distinct(
-        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
       FROM (SELECT {_TOKS} AS toks FROM documents WHERE source = 'src0')
     ),
     tot AS (SELECT doc_id, count(*)::BIGINT AS n FROM tr_sh GROUP BY 1),
@@ -2197,7 +2204,7 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     by_nation = sup_rev.join(
-        F.broadcast(sup), sup_rev.l_suppkey == sup.s_suppkey
+        sup, sup_rev.l_suppkey == sup.s_suppkey
     ).join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
     w = Window.partitionBy("n_name")
     shares = by_nation.select(
