@@ -1617,11 +1617,11 @@ def corpus_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
     eval_docs = docs.filter(F.col("source") == "src0")
-    # persist=False here: at sf0.01 the cache barrier costs more than the
-    # lineage recompute it saves (measured 28s vs 22s); on a cluster-scale
-    # corpus the persist flag is the right call — see pipelines.py.
+    # persist=True: the gate+dedup lineage re-executes once per later
+    # stage otherwise (measured 125s vs 51s at sf0.1 — the stage-boundary
+    # cache is the same call a cluster run would make with checkpoints).
     stages = PL.pretraining_corpus_pipeline(
-        train, eval_docs, max_overlap=_FC_OVERLAP
+        train, eval_docs, max_overlap=_FC_OVERLAP, persist=True
     )
     return stages["decontaminated"].select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
