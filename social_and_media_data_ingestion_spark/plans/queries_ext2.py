@@ -2792,3 +2792,87 @@ def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("concurrent").cast("long").alias("max_concurrent"),
         F.count("*").cast("long").alias("n_points"),
     )
+
+
+# =============================================================================
+# Retrieval-quality audit — MEAN RECIPROCAL RANK of every ANN method
+# against its metric's brute-force truth (cosine top-5 for LSH/IVF,
+# squared-L2 top-5 for PQ): rr(query) = 1/rank of the first true
+# neighbor the method returns (0 if none in its top-5); MRR = mean over
+# the 10 query vectors. Complements the recall@5 audits with a
+# rank-aware score — a method can have identical recall but worse MRR if
+# true neighbors surface late. Composes the already-verified per-method
+# oracles, so the whole metric is hash-pinned.
+# =============================================================================
+_L2_EXACT_ORACLE = """
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_sum(list_transform(range(len(q.embedding)),
+                 i -> (q.embedding[i + 1]::DOUBLE - e.embedding[i + 1]::DOUBLE)
+                    * (q.embedding[i + 1]::DOUBLE - e.embedding[i + 1]::DOUBLE))) ASC,
+               e.vec_id ASC) AS rk
+      FROM embeddings q CROSS JOIN embeddings e
+      WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+    ) WHERE rk <= 5
+"""
+
+
+def _mrr_sql(method: str, approx_oracle: str, exact_oracle: str) -> str:
+    return f"""
+    SELECT '{method}' AS method,
+           floor(avg(rr) * 10000 + 0.5) / 10000 AS mrr
+    FROM (
+      SELECT e.query_id,
+             coalesce(1.0 / min(a.rank), 0.0) AS rr
+      FROM (SELECT DISTINCT query_id FROM ({exact_oracle})) e
+      LEFT JOIN (
+        SELECT a.query_id, a.rank FROM ({approx_oracle}) a
+        JOIN ({exact_oracle}) x
+          ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      ) a ON a.query_id = e.query_id
+      GROUP BY e.query_id
+    )
+    """
+
+
+@q(
+    "sim_retrieval_mrr",
+    f"""
+    {_mrr_sql("lsh", _REG_BASE["sim_lsh_topk"].oracle, _REG_BASE["sim_cosine_topk"].oracle)}
+    UNION ALL
+    {_mrr_sql("ivf", _REG_BASE["sim_ivf_topk"].oracle, _REG_BASE["sim_cosine_topk"].oracle)}
+    UNION ALL
+    {_mrr_sql("pq", _PQ_TOPK_ORACLE, _L2_EXACT_ORACLE)}
+    """,
+)
+def sim_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def mrr(method: str, approx: DataFrame, exact: DataFrame) -> DataFrame:
+        rel = exact.select("query_id", "neighbor_id")
+        qs = rel.select("query_id").distinct()
+        hits = approx.select("query_id", "neighbor_id", "rank").join(
+            rel, ["query_id", "neighbor_id"]
+        )
+        first = hits.groupBy("query_id").agg(F.min("rank").alias("first_rank"))
+        rr = qs.join(first, "query_id", "left").select(
+            "query_id",
+            F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0)).alias("rr"),
+        )
+        return rr.agg(
+            F.lit(method).alias("method"),
+            (F.floor(F.avg("rr") * 10000 + F.lit(0.5)) / 10000).alias("mrr"),
+        )
+
+    exact_cos = SIM.cosine_topk(emb, queries, k=5)
+    exact_l2 = SIM.l2_topk(emb, queries, k=5)
+    out = (
+        mrr("lsh", SIM.lsh_bucketed_topk(emb, queries, k=5), exact_cos)
+        .unionAll(mrr("ivf", SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2), exact_cos))
+        .unionAll(
+            mrr("pq", SIM.pq_topk(emb, queries, k=5, m_subvectors=_PQ_M, n_codes=_PQ_K), exact_l2)
+        )
+    )
+    return out
