@@ -67,10 +67,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        # best of 2 measured runs: steady-state throughput, robust to
+        # best of 3 measured runs: steady-state throughput, robust to
         # one-off scheduler/GC hiccups on a shared machine
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = reg[name].spark(spark, sf_dir).count()
             best = min(best, time.time() - t0)
