@@ -2876,3 +2876,85 @@ def sim_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# =============================================================================
+# Graph analytics — PageRank over the customer<->supplier purchase graph
+# (undirected: both directions of every distinct (customer, supplier)
+# trading pair from orders x lineitem). 3 synchronous rounds, damping
+# 0.85, per-round 1e-10 rounding for cross-engine determinism (the
+# lloyd trick). One shuffle per iteration (contribution aggregate keyed
+# on the receiving node); N is a scalar count, no data collect. The
+# oracle unrolls the identical 3 rounds as CTEs. Output: top-20 nodes.
+# =============================================================================
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    prev = "pr0"
+    for i in range(1, _PR_ITERS + 1):
+        rounds.append(f"""
+    pr{i} AS (
+      SELECT n.node,
+             round((1 - {_PR_D}) / (SELECT nn FROM cnt)
+                   + {_PR_D} * coalesce(c.c_sum, 0.0), 10) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.t AS node, sum(p.pr / d.deg) AS c_sum
+        FROM e JOIN {prev} p ON p.node = e.s
+        JOIN deg d ON d.node = e.s
+        GROUP BY e.t
+      ) c ON c.node = n.node
+    )""")
+        prev = f"pr{i}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (
+      SELECT 'c' || ck AS s, 's' || sk AS t FROM pairs
+      UNION ALL
+      SELECT 's' || sk AS s, 'c' || ck AS t FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM e),
+    deg AS (SELECT s AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+    cnt AS (SELECT count(*)::DOUBLE AS nn FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT nn FROM cnt) AS pr FROM nodes),
+    {",".join(rounds)},
+    top AS (
+      SELECT node, pr FROM pr{_PR_ITERS}
+      ORDER BY pr DESC, node LIMIT 20
+    )
+    SELECT node, floor(pr * 1000000 + 0.5) / 1000000 AS pr,
+           row_number() OVER (ORDER BY pr DESC, node)::BIGINT AS rk
+    FROM top
+    """
+
+
+@q("graph_pagerank_purchases", _pagerank_oracle())
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.graph import pagerank
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank(edges, iters=_PR_ITERS, damping=_PR_D)
+    top = pr.orderBy(F.desc("pr"), F.asc("node")).limit(20)
+    w = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return top.select(
+        "node",
+        (F.floor(F.col("pr") * 1000000 + F.lit(0.5)) / 1000000).alias("pr"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    )

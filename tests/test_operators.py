@@ -231,3 +231,21 @@ def test_ivf_lloyd_matches_exact_on_separable_data(spark):
         df, q, k=2, n_centroids=2, nprobe=2, lloyd_iters=2
     ).orderBy("rank").collect()
     assert got and got[0].neighbor_id == 2
+
+
+def test_pagerank_star_graph(spark):
+    """Undirected star (hub 0 - spokes 1..4): the hub must dominate, the
+    spokes must tie, and total mass stays ~1 (no dangling loss with
+    bidirectional edges)."""
+    from social_and_media_data_ingestion_spark.operators.graph import pagerank
+
+    spokes = [1, 2, 3, 4]
+    rows = [(0, s) for s in spokes] + [(s, 0) for s in spokes]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    pr = {r.node: r.pr for r in pagerank(edges, iters=5).collect()}
+    assert pr[0] > pr[1]
+    assert len({pr[s] for s in spokes}) == 1  # spokes identical
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    # deterministic across invocations
+    again = {r.node: r.pr for r in pagerank(edges, iters=5).collect()}
+    assert again == pr
