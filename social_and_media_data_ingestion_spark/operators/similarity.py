@@ -491,3 +491,48 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- Power-iteration PCA (top principal direction) ---------------------------
+
+
+def power_iteration_top_component(
+    corpus: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    round_dp: int = 8,
+) -> tuple[list[float], float]:
+    """(v, rayleigh) — the dominant eigenvector of the (uncentered) Gram
+    matrix X^T X by matrix-free power iteration, plus its Rayleigh
+    quotient (v^T X^T X v = sum of squared projections).
+
+    Per round: s = x·v is an in-row expression (v is a plan literal,
+    like the PQ codebook), and the d accumulator sums are ONE
+    partial-combinable scalar aggregate — no posexplode, no shuffle of
+    corpus rows, driver state is d floats. Cross-engine determinism:
+    the raw accumulator sums are rounded to `round_dp` decimals BEFORE
+    normalizing (absorbing engine-dependent float summation order), and
+    the normalized vector is rounded again.
+    """
+    d = len(corpus.select(vec_col).first()[0])
+    v = [round(1.0 / d ** 0.5, round_dp)] * d
+    ray = 0.0
+    for _ in range(iters):
+        vlit = _lit_vec(v)
+        s = F.aggregate(
+            F.zip_with(F.col(vec_col), vlit, lambda x, b: x.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sums_row = corpus.select(
+            *[
+                F.sum(F.element_at(vec_col, j + 1).cast("double") * s).alias(f"a{j}")
+                for j in range(d)
+            ],
+            F.sum(s * s).alias("ray"),
+        ).first()
+        acc = [round(float(sums_row[f"a{j}"]), round_dp) for j in range(d)]
+        ray = round(float(sums_row["ray"]), round_dp)
+        norm = sum(a * a for a in acc) ** 0.5
+        v = [round(a / norm, round_dp) for a in acc]
+    return v, ray

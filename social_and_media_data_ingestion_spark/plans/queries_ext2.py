@@ -2958,3 +2958,79 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("pr") * 1000000 + F.lit(0.5)) / 1000000).alias("pr"),
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+# =============================================================================
+# Embedding analytics — TOP PRINCIPAL COMPONENT by matrix-free power
+# iteration (3 rounds on the uncentered Gram matrix): per round the
+# projection s = x·v is in-row against the literal current vector, the d
+# accumulator sums are one partial-combinable scalar aggregate (no
+# shuffle of corpus rows, no posexplode), and the d-float normalize
+# happens driver-side — bounded state, the pq_codebooks pattern. Raw
+# sums are rounded to 8dp before normalizing on BOTH engines, absorbing
+# float summation order, so the unrolled CTE oracle hash-matches.
+# Output: per-dim loading of v_3 plus the Rayleigh quotient (the
+# dominant-eigenvalue estimate = sum of squared projections).
+# =============================================================================
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    prev = "v0"
+    rounds = []
+    for k in range(1, _PCA_ITERS + 1):
+        rounds.append(f"""
+    s{k} AS (
+      SELECT e.x,
+             list_sum(list_transform(range(len(e.x)),
+               i -> e.x[i + 1] * v.vec[i + 1])) AS s
+      FROM e CROSS JOIN {prev} v
+    ),
+    ray{k} AS (SELECT round(sum(s * s), 8) AS ray FROM s{k}),
+    acc{k} AS (
+      SELECT list(a ORDER BY j) AS acc
+      FROM (
+        SELECT j, round(sum(val * s), 8) AS a
+        FROM (
+          SELECT unnest(x) AS val, generate_subscripts(x, 1) AS j, s
+          FROM s{k}
+        ) GROUP BY j
+      )
+    ),
+    v{k} AS (
+      SELECT list_transform(acc, a -> round(a / sqrt(list_sum(
+               list_transform(acc, b -> b * b))), 8)) AS vec,
+             ray
+      FROM acc{k} CROSS JOIN ray{k}
+    )""")
+        prev = f"v{k}"
+    return f"""
+    WITH e AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS x FROM embeddings
+    ),
+    dim AS (SELECT len(x) AS d FROM e LIMIT 1),
+    v0 AS (
+      SELECT list_transform(range(d), i -> round(1.0 / sqrt(d), 8)) AS vec
+      FROM dim
+    ),
+    {",".join(rounds)}
+    SELECT generate_subscripts(vec, 1)::BIGINT - 1 AS dim_idx,
+           unnest(vec) AS loading,
+           ray AS rayleigh
+    FROM v{_PCA_ITERS}
+    """
+
+
+@q("emb_pca_top_component", _pca_oracle())
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    v, ray = power_iteration_top_component(emb, iters=_PCA_ITERS)
+    spark2 = emb.sparkSession
+    return spark2.createDataFrame(
+        [(j, v[j], ray) for j in range(len(v))],
+        "dim_idx bigint, loading double, rayleigh double",
+    )
