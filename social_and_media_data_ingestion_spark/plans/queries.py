@@ -1898,12 +1898,12 @@ PRIORITY_HEAD = [
     "bpe_pair_counts",
     "docs_quality_deciles",
     "events_max_concurrent",
-    "text_bigram_logprob",
     "text_zipf_fit",
     "emb_kmeans_update",
-    "emb_dim_variance",
-    "dedup_canonical_selection",
     "corpus_curate_pipeline",
+    "sim_retrieval_mrr",
+    "graph_pagerank_purchases",
+    "emb_pca_top_component",
 ]
 
 
