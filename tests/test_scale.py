@@ -127,3 +127,33 @@ def test_partition_pruning(spark, tmp_path):
     n_types = ev.select("event_type").distinct().count()
     assert n_types > 1
     assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_salt_spreads_hot_key_across_partitions(spark):
+    """Correctness of salted ops is proven above; this pins the POINT of
+    salting — a key that is 90% of the input must occupy >1 shuffle
+    partition after salting (it occupies exactly 1 without)."""
+    from pyspark.sql import functions as F
+
+    from social_and_media_data_ingestion_spark.operators.scale import with_salt
+
+    rows = [("hot", i) for i in range(9000)] + [(f"k{i}", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    n = 8
+    plain_parts = (
+        df.repartition(16, "k")
+        .where(F.col("k") == "hot")
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    salted_parts = (
+        with_salt(df, n)
+        .repartition(16, "k", "__salt")
+        .where(F.col("k") == "hot")
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert plain_parts == 1
+    assert salted_parts > 1
