@@ -4,9 +4,10 @@ Connected components lives in operators/dedup.py (it grew out of the
 near-dup clustering path); this module holds the general-purpose
 algorithms. Everything is expressed as joins + partial-combinable
 aggregates per iteration — the plan shape that scales: one shuffle per
-iteration keyed on the node id, lineage kept flat by construction
-(fixed iteration count unrolled into one Catalyst plan, or checkpointed
-by the caller between rounds for long runs).
+iteration keyed on the node id, lineage kept flat by periodic
+localCheckpoint truncation (the same trade documented for connected
+components in operators/dedup.py) so long runs don't grow an unbounded
+Catalyst tree.
 """
 
 from __future__ import annotations
@@ -27,21 +28,39 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     round_dp: int = 10,
+    checkpoint_every: int = 5,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """(node, pr) after `iters` synchronous PageRank rounds from a
-    uniform start: pr = (1-d)/N + d * sum_in(pr_src / outdeg_src).
+    uniform start: pr = (1-d)/N + d * (sum_in(pr_src / outdeg_src) + D)
+    where D is the redistributed dangling mass (see below).
 
     `edges` is a directed (src, dst) list; callers wanting undirected
-    semantics pass both directions. Dangling mass (nodes with no
-    out-edges) is dropped, the classic simplification — supply
-    bidirectional edges to avoid it.
+    semantics pass both directions. Nodes are the UNION of sources and
+    destinations, so destination-only (dangling) nodes hold rank too.
+    Dangling handling is selectable:
+
+    - redistribute_dangling=False (default): contributions from dangling
+      nodes are simply dropped — the classic simplification; exact for
+      bidirectional edge lists, where no node is dangling.
+    - redistribute_dangling=True: textbook PageRank — each round the
+      total rank sitting on dangling nodes is spread uniformly over all
+      N nodes (D = dangling_mass / N). Costs one extra scalar aggregate
+      per round (a 1-row frame crossJoined back in — no driver collect,
+      no extra pass over the edges).
 
     Per-iteration ranks are rounded to `round_dp` decimals so the
     result is reproducible across engines (float summation order
     differs; 1e-10 rounding absorbs it — the lloyd_centroids trick).
-    Each iteration costs ONE shuffle: the contribution aggregate keyed
+    Each iteration costs ONE shuffle of the contribution aggregate keyed
     on dst; the degree/rank joins re-use that partitioning. N and the
     iteration count are plan literals — no driver-side data collect.
+
+    Lineage: every `checkpoint_every` rounds the rank frame (N rows —
+    small next to the edges) is localCheckpoint-ed, truncating the plan
+    so 20+-iteration runs keep a bounded Catalyst tree instead of an
+    iters-deep unrolled join stack (0 disables truncation; on a cluster
+    where executor loss matters, swap for a reliable checkpoint dir).
     """
     e = edges.select(F.col("src").alias("s"), F.col("dst").alias("t"))
     nodes = (
@@ -53,7 +72,15 @@ def pagerank(
     n_nodes = nodes.count()  # scalar: one number to the driver, like a codebook
     pr = nodes.select(F.col("node").alias("p_node"), F.lit(1.0 / n_nodes).alias("pr"))
     teleport = (1.0 - damping) / n_nodes
-    for _ in range(iters):
+    for i in range(iters):
+        if redistribute_dangling:
+            # rank sitting on nodes with no out-edges, as a 1-row frame:
+            # broadcast back in so the whole round stays one lazy plan
+            dang = (
+                pr.join(deg, pr.p_node == deg.d_node, "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang_mass"))
+            )
+            extra = F.col("dang_mass") / F.lit(float(n_nodes))
         contrib = (
             e.join(pr, e.s == F.col("p_node"))
             .join(deg, F.col("d_node") == e.s)
@@ -61,11 +88,16 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c_sum"))
         )
-        pr = nodes.join(contrib, "node", "left").select(
+        base = nodes.join(contrib, "node", "left")
+        if redistribute_dangling:
+            base = base.crossJoin(F.broadcast(dang))
+            gain = F.coalesce("c_sum", F.lit(0.0)) + extra
+        else:
+            gain = F.coalesce("c_sum", F.lit(0.0))
+        pr = base.select(
             F.col("node").alias("p_node"),
-            F.round(
-                F.lit(teleport) + F.lit(damping) * F.coalesce("c_sum", F.lit(0.0)),
-                round_dp,
-            ).alias("pr"),
+            F.round(F.lit(teleport) + F.lit(damping) * gain, round_dp).alias("pr"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            pr = pr.localCheckpoint()
     return pr.select(F.col("p_node").alias("node"), "pr")

@@ -33,6 +33,15 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def _default_partitions(spark: SparkSession) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating non-numeric
+    values (some deployments set it to "auto" under AQE)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        return 32
+
+
 def with_salt(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """Uniform salt in [0, n). `rand` is re-evaluated on task retry, which
     is safe here: every salt value joins against a full replica of the
@@ -158,9 +167,7 @@ def _global_rank(
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     spark = df.sparkSession
-    n_parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    n_parts = num_partitions or _default_partitions(spark)
     pid = "__rank_pid"
     ranged = (
         df.repartitionByRange(n_parts, *cols)
@@ -233,9 +240,7 @@ def global_running_sum(
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     spark = df.sparkSession
-    n_parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    n_parts = num_partitions or _default_partitions(spark)
     pid = "__rsum_pid"
     ranged = (
         df.repartitionByRange(n_parts, *cols)

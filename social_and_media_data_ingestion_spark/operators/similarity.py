@@ -17,8 +17,19 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """floor(x*10^dp + 0.5)/10^dp — the repo's cross-engine rounding
+    convention (Python round() is banker's/half-even; DuckDB round() is
+    half-away-from-zero; this floor form is identical on both engines
+    when spelled the same way in the oracle SQL)."""
+    m = 10.0 ** dp
+    return math.floor(x * m + 0.5) / m
 
 
 def _dot(a: str, b: str):
@@ -512,10 +523,12 @@ def power_iteration_top_component(
     corpus rows, driver state is d floats. Cross-engine determinism:
     the raw accumulator sums are rounded to `round_dp` decimals BEFORE
     normalizing (absorbing engine-dependent float summation order), and
-    the normalized vector is rounded again.
+    the normalized vector is rounded again — both with the
+    floor(x*10^dp + 0.5) convention mirrored in the oracle SQL (Python
+    round() is half-even and would diverge on exact halves).
     """
     d = len(corpus.select(vec_col).first()[0])
-    v = [round(1.0 / d ** 0.5, round_dp)] * d
+    v = [_round_half_up(1.0 / d ** 0.5, round_dp)] * d
     ray = 0.0
     for _ in range(iters):
         vlit = _lit_vec(v)
@@ -531,8 +544,8 @@ def power_iteration_top_component(
             ],
             F.sum(s * s).alias("ray"),
         ).first()
-        acc = [round(float(sums_row[f"a{j}"]), round_dp) for j in range(d)]
-        ray = round(float(sums_row["ray"]), round_dp)
+        acc = [_round_half_up(float(sums_row[f"a{j}"]), round_dp) for j in range(d)]
+        ray = _round_half_up(float(sums_row["ray"]), round_dp)
         norm = sum(a * a for a in acc) ** 0.5
-        v = [round(a / norm, round_dp) for a in acc]
+        v = [_round_half_up(a / norm, round_dp) for a in acc]
     return v, ray

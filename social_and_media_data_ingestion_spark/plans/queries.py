@@ -1632,6 +1632,34 @@ def sim_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# The Lloyd-refined centroids THEMSELVES (index-build inspection: the
+# k-means model a cluster operator would persist), emitted flat as
+# (centroid_id, dim_idx, value) — no array output column, so every
+# downstream canonicalizer can hash it. Oracle reuses the identical
+# unrolled Lloyd CTE chain as sim_ivf_lloyd_topk.
+# =============================================================================
+@q(
+    "emb_lloyd_centroids",
+    f"""
+    WITH {_lloyd_cte_sql(8, _LLOYD_ITERS)}
+    SELECT centroid_id::BIGINT AS centroid_id,
+           generate_subscripts(ce, 1)::BIGINT - 1 AS dim_idx,
+           unnest(ce) AS value
+    FROM cent{_LLOYD_ITERS}
+    """,
+)
+def emb_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cdf = SIM.lloyd_centroids_df(emb, n_centroids=8, iters=_LLOYD_ITERS)
+    return cdf.select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.posexplode("cent_vec").alias("dim_idx", "value"),
+    ).select(
+        "centroid_id", F.col("dim_idx").cast("long").alias("dim_idx"), "value"
+    )
+
+
+# =============================================================================
 # Structured Streaming — windowed counts over the events stream, drained
 # synchronously to a memory sink. Same result contract as the batch
 # spelling, so the batch SQL is the oracle (complete output mode).
@@ -1833,7 +1861,11 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+        # two scalar columns (not one array) so every downstream
+        # canonicalizer — including ones that hash raw row values — can
+        # digest the result
+        F.percentile_approx("l_extendedprice", 0.25).alias("approx_q25"),
+        F.percentile_approx("l_extendedprice", 0.75).alias("approx_q75"),
     )
 
 

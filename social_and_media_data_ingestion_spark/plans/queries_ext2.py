@@ -2517,12 +2517,18 @@ def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("value") - F.min("value")).alias("rng"),
     )
     err = F.abs(F.col("approx_median") - F.col("exact_median")) / F.col("rng")
+    # rng == 0 (a constant-valued group) would make err NULL and fail the
+    # pinned-TRUE oracle through no fault of the sketch — degrade to exact
+    # equality in that case.
+    within = F.when(
+        F.col("rng") == 0, F.col("approx_median") == F.col("exact_median")
+    ).otherwise(err <= F.lit(0.01))
     return agg.select(
         "event_type",
         (F.floor(F.col("exact_median") * 10000 + F.lit(0.5)) / 10000).alias(
             "exact_median"
         ),
-        (err <= F.lit(0.01)).alias("sketch_within_1pct"),
+        within.alias("sketch_within_1pct"),
     )
 
 
@@ -2891,15 +2897,32 @@ _PR_D = 0.85
 _PR_ITERS = 3
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_oracle(
+    iters: int = _PR_ITERS, bidirectional: bool = True, dangling: bool = False
+) -> str:
+    """Unrolled PageRank CTE chain over the customer<->supplier trading
+    graph. Nodes are the UNION of edge sources and destinations —
+    matching operators.graph.pagerank — so the oracle stays correct for
+    DIRECTED edge lists with destination-only nodes, not just the
+    bidirectional graph (where the two spellings coincide).
+    dangling=True adds the per-round redistributed dangling mass
+    (sum of rank on out-degree-0 nodes, spread uniformly)."""
     rounds = []
     prev = "pr0"
-    for i in range(1, _PR_ITERS + 1):
+    for i in range(1, iters + 1):
+        dang_term = ""
+        if dangling:
+            rounds.append(f"""
+    dang{i - 1} AS (
+      SELECT coalesce(sum(p.pr), 0.0) AS dm FROM {prev} p
+      WHERE p.node NOT IN (SELECT node FROM deg)
+    )""")
+            dang_term = f" + (SELECT dm FROM dang{i - 1}) / (SELECT nn FROM cnt)"
         rounds.append(f"""
     pr{i} AS (
       SELECT n.node,
              round((1 - {_PR_D}) / (SELECT nn FROM cnt)
-                   + {_PR_D} * coalesce(c.c_sum, 0.0), 10) AS pr
+                   + {_PR_D} * (coalesce(c.c_sum, 0.0){dang_term}), 10) AS pr
       FROM nodes n LEFT JOIN (
         SELECT e.t AS node, sum(p.pr / d.deg) AS c_sum
         FROM e JOIN {prev} p ON p.node = e.s
@@ -2908,23 +2931,28 @@ def _pagerank_oracle() -> str:
       ) c ON c.node = n.node
     )""")
         prev = f"pr{i}"
+    edge_sql = "SELECT 'c' || ck AS s, 's' || sk AS t FROM pairs"
+    if bidirectional:
+        edge_sql += "\n      UNION ALL\n      SELECT 's' || sk AS s, 'c' || ck AS t FROM pairs"
     return f"""
     WITH pairs AS (
       SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
     e AS (
-      SELECT 'c' || ck AS s, 's' || sk AS t FROM pairs
-      UNION ALL
-      SELECT 's' || sk AS s, 'c' || ck AS t FROM pairs
+      {edge_sql}
     ),
-    nodes AS (SELECT DISTINCT s AS node FROM e),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT s AS node FROM e UNION ALL SELECT t AS node FROM e
+      )
+    ),
     deg AS (SELECT s AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
     cnt AS (SELECT count(*)::DOUBLE AS nn FROM nodes),
     pr0 AS (SELECT node, 1.0 / (SELECT nn FROM cnt) AS pr FROM nodes),
     {",".join(rounds)},
     top AS (
-      SELECT node, pr FROM pr{_PR_ITERS}
+      SELECT node, pr FROM pr{iters}
       ORDER BY pr DESC, node LIMIT 20
     )
     SELECT node, floor(pr * 1000000 + 0.5) / 1000000 AS pr,
@@ -2933,10 +2961,12 @@ def _pagerank_oracle() -> str:
     """
 
 
-@q("graph_pagerank_purchases", _pagerank_oracle())
-def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from social_and_media_data_ingestion_spark.operators.graph import pagerank
-
+def _trading_edges(
+    spark: SparkSession, sf_dir: str, bidirectional: bool = True
+) -> DataFrame:
+    """Directed (src, dst) customer->supplier trading edges (each distinct
+    trading pair from orders x lineitem); bidirectional adds the reverse
+    direction (the undirected-graph spelling)."""
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -2947,10 +2977,15 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    pr = pagerank(edges, iters=_PR_ITERS, damping=_PR_D)
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    if bidirectional:
+        edges = edges.unionAll(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+    return edges
+
+
+def _pr_top20(pr: DataFrame) -> DataFrame:
     top = pr.orderBy(F.desc("pr"), F.asc("node")).limit(20)
     w = Window.orderBy(F.desc("pr"), F.asc("node"))
     return top.select(
@@ -2958,6 +2993,57 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("pr") * 1000000 + F.lit(0.5)) / 1000000).alias("pr"),
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+@q("graph_pagerank_purchases", _pagerank_oracle())
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.graph import pagerank
+
+    edges = _trading_edges(spark, sf_dir, bidirectional=True)
+    pr = pagerank(edges, iters=_PR_ITERS, damping=_PR_D)
+    return _pr_top20(pr)
+
+
+# =============================================================================
+# PageRank, LONG-RUN variant — 12 synchronous rounds with the rank frame
+# localCheckpoint-ed every 5 rounds: truncated lineage keeps the Catalyst
+# tree bounded (the plan would otherwise unroll 12 join+agg layers deep —
+# fine at 3 iterations, a planner/lineage blow-up at 20+ on a cluster).
+# Same trading graph and per-round arithmetic as graph_pagerank_purchases;
+# the oracle unrolls the identical 12 rounds, so the hash check proves
+# checkpoint truncation does not perturb the values.
+# =============================================================================
+@q("graph_pagerank_iters12", _pagerank_oracle(iters=12))
+def graph_pagerank_iters12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.graph import pagerank
+
+    edges = _trading_edges(spark, sf_dir, bidirectional=True)
+    pr = pagerank(edges, iters=12, damping=_PR_D, checkpoint_every=5)
+    return _pr_top20(pr)
+
+
+# =============================================================================
+# PageRank, DANGLING-MASS variant — the DIRECTED customer->supplier graph
+# (no reverse edges), where every supplier node is dangling (out-degree
+# 0). redistribute_dangling=True spreads the rank parked on dangling
+# nodes uniformly each round — textbook PageRank, rather than the
+# drop-dangling simplification (which here would leak ~half the total
+# mass out of the system every round). One extra scalar aggregate per
+# round, broadcast back in; no driver collect. Oracle unrolls the same
+# recurrence including the dang_i mass terms.
+# =============================================================================
+@q(
+    "graph_pagerank_dangling",
+    _pagerank_oracle(iters=_PR_ITERS, bidirectional=False, dangling=True),
+)
+def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.graph import pagerank
+
+    edges = _trading_edges(spark, sf_dir, bidirectional=False)
+    pr = pagerank(
+        edges, iters=_PR_ITERS, damping=_PR_D, redistribute_dangling=True
+    )
+    return _pr_top20(pr)
 
 
 # =============================================================================
@@ -2974,6 +3060,12 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 _PCA_ITERS = 3
 
+# floor(x*1e8 + 0.5)/1e8 on BOTH engines (the repo's cross-engine
+# rounding convention): DuckDB round() is half-away-from-zero while the
+# driver-side Python used to use round() (half-even) — a sum landing
+# exactly on a half at the 8th decimal would have hash-mismatched.
+_PCA_R8 = "floor(({x}) * 100000000 + 0.5) / 100000000"
+
 
 def _pca_oracle() -> str:
     prev = "v0"
@@ -2986,11 +3078,11 @@ def _pca_oracle() -> str:
                i -> e.x[i + 1] * v.vec[i + 1])) AS s
       FROM e CROSS JOIN {prev} v
     ),
-    ray{k} AS (SELECT round(sum(s * s), 8) AS ray FROM s{k}),
+    ray{k} AS (SELECT {_PCA_R8.format(x="sum(s * s)")} AS ray FROM s{k}),
     acc{k} AS (
       SELECT list(a ORDER BY j) AS acc
       FROM (
-        SELECT j, round(sum(val * s), 8) AS a
+        SELECT j, {_PCA_R8.format(x="sum(val * s)")} AS a
         FROM (
           SELECT unnest(x) AS val, generate_subscripts(x, 1) AS j, s
           FROM s{k}
@@ -2998,8 +3090,8 @@ def _pca_oracle() -> str:
       )
     ),
     v{k} AS (
-      SELECT list_transform(acc, a -> round(a / sqrt(list_sum(
-               list_transform(acc, b -> b * b))), 8)) AS vec,
+      SELECT list_transform(acc, a -> {_PCA_R8.format(
+               x="a / sqrt(list_sum(list_transform(acc, b -> b * b)))")}) AS vec,
              ray
       FROM acc{k} CROSS JOIN ray{k}
     )""")
@@ -3010,7 +3102,7 @@ def _pca_oracle() -> str:
     ),
     dim AS (SELECT len(x) AS d FROM e LIMIT 1),
     v0 AS (
-      SELECT list_transform(range(d), i -> round(1.0 / sqrt(d), 8)) AS vec
+      SELECT list_transform(range(d), i -> {_PCA_R8.format(x="1.0 / sqrt(d)")}) AS vec
       FROM dim
     ),
     {",".join(rounds)}
