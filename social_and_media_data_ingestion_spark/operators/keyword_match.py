@@ -10,12 +10,12 @@
 
 Physical strategy: a single compiled regex alternation evaluated inside
 WholeStageCodegen (one pattern per task, JVM-side). For very large
-keyword sets (>= AHOCORASICK_THRESHOLD) the alternation degrades, so we
-switch to an Arrow-batched pandas UDF running a trie-based multi-pattern
-scan (Aho-Corasick without the external dependency: Python's `re` with
-a pre-built trie regex is still O(n*alternatives); instead we use a
-set-based token/substring scan that is O(n) per row for boundary mode
-and a scan over keywords only for rows, vectorized via pandas .str).
+keyword sets (>= AHOCORASICK_THRESHOLD) a regex alternation degrades to
+O(text * patterns) per row, so we switch to an Arrow-batched pandas UDF
+running a real Aho-Corasick automaton (stdlib-only: dict-goto trie +
+BFS failure links, O(text) per row INDEPENDENT of keyword count). The
+automaton is built lazily ONCE per Python worker from the pickled
+keyword tuple and memoized — batches pay a dict lookup, not a rebuild.
 
 All builders take the keyword list driver-side: keyword dims are small
 (thousands), so they are plan-time literals — the same decision the
@@ -123,23 +123,97 @@ def filter_keyword_word(
     return df.filter(matches_any_word(cols, keywords))
 
 
-# --- Large-keyword-set fast path (Arrow-batched pandas UDF) -----------------
+# --- Large-keyword-set fast path (Aho-Corasick pandas UDF) ------------------
+
+
+class AhoCorasick:
+    """Classic Aho-Corasick multi-pattern automaton (stdlib only).
+
+    Build: trie of all patterns (dict goto per state) + BFS failure
+    links, with terminal flags OR-ed down the failure chain. Search:
+    one transition per input character — O(len(text)) per row no matter
+    how many patterns (the property the >= 5k-keyword regime needs; a
+    regex alternation is O(len(text) * n_patterns) there).
+
+    Only "does ANY pattern occur" is tracked (`search_any`), matching
+    the reference's short-circuit `any(kw in text)` semantics
+    (reddit_subm_extraction.py:57-59).
+    """
+
+    __slots__ = ("goto", "fail", "out")
+
+    def __init__(self, patterns: Sequence[str]):
+        goto: list[dict[str, int]] = [{}]
+        out: list[bool] = [False]
+        for p in patterns:
+            if not p:
+                continue
+            s = 0
+            for ch in p:
+                nxt = goto[s].get(ch)
+                if nxt is None:
+                    nxt = len(goto)
+                    goto[s][ch] = nxt
+                    goto.append({})
+                    out.append(False)
+                s = nxt
+            out[s] = True
+        fail = [0] * len(goto)
+        queue = list(goto[0].values())  # depth-1 states: fail -> root
+        i = 0
+        while i < len(queue):
+            r = queue[i]
+            i += 1
+            for ch, s in goto[r].items():
+                queue.append(s)
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                nxt = goto[f].get(ch, 0)
+                fail[s] = nxt if nxt != s else 0
+                out[s] = out[s] or out[fail[s]]
+        self.goto, self.fail, self.out = goto, fail, out
+
+    def search_any(self, text: str) -> bool:
+        goto, fail, out = self.goto, self.fail, self.out
+        s = 0
+        for ch in text:
+            g = goto[s]
+            while s and ch not in g:
+                s = fail[s]
+                g = goto[s]
+            s = g.get(ch, 0)
+            if out[s]:
+                return True
+        return False
+
+
+# Per-worker automaton memo: the UDF closure ships only the keyword
+# tuple (small); each Python worker builds the automaton once on its
+# first batch and every later batch is a dict hit.
+_AC_CACHE: dict[tuple[str, ...], AhoCorasick] = {}
+
+
+def _ac_for(kws: tuple[str, ...]) -> AhoCorasick:
+    ac = _AC_CACHE.get(kws)
+    if ac is None:
+        ac = _AC_CACHE[kws] = AhoCorasick(kws)
+    return ac
 
 
 def contains_any_large(cols: Sequence[str], keywords: Sequence[str]) -> Column:
     """Substring any-match for keyword sets too large for one regex
-    alternation. Vectorized per Arrow batch; keywords captured once per
-    Python worker (closure pickled once per task, not per row)."""
-    kws = [k.lower() for k in keywords]
-    # Group keywords by length-1 prefix to prune the scan per row.
-    compiled = re.compile("|".join(re.escape(k) for k in sorted(kws, key=len, reverse=True)))
+    alternation: Aho-Corasick over each Arrow batch — O(text) per row
+    independent of keyword count."""
+    kws = tuple(dict.fromkeys(k.lower() for k in keywords))
 
     @F.pandas_udf(T.BooleanType())
     def _match(*series: pd.Series) -> pd.Series:
+        ac = _ac_for(kws)
         joined = series[0].fillna("").str.lower()
         for s in series[1:]:
             joined = joined + "\n" + s.fillna("").str.lower()
-        return joined.str.contains(compiled, regex=True)
+        return joined.map(ac.search_any)
 
     return _match(*[F.col(c) for c in cols])
 

@@ -1811,3 +1811,51 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "negative_id", F.round("cos", 4).alias("cosine"), "rank")
     )
+
+
+# =============================================================================
+# Large-keyword-set substring match — the >= 5k-pattern regime where a
+# regex alternation degrades to O(text * patterns): 5000 deterministic
+# 4-token phrases (md5-sampled from the corpus vocabulary's 4-gram
+# space) matched per document via the Aho-Corasick pandas UDF
+# (auto_contains_any dispatches to it above AHOCORASICK_THRESHOLD).
+# The keyword dim is bounded driver state (5k short strings, the class
+# of the reference's keyword file); the oracle replays the same phrase
+# sample and pins every per-doc boolean via correlated EXISTS/contains.
+# =============================================================================
+@q(
+    "f2_keyword_substring_5k",
+    f"""
+    WITH v AS (SELECT DISTINCT unnest({_TOKS2}) AS tok FROM documents),
+    p AS (
+      SELECT a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok AS kw
+      FROM v a, v b, v c, v d
+    ),
+    kws AS (SELECT kw FROM p ORDER BY md5(kw), kw LIMIT 5000)
+    SELECT d.doc_id,
+           EXISTS (SELECT 1 FROM kws k WHERE contains(lower(d.text), k.kw))
+             AS matched
+    FROM documents d
+    """,
+)
+def f2_keyword_substring_5k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators import keyword_match as KM
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    vocab = docs.select(F.explode(toks).alias("tok")).distinct()
+    parts = [vocab.select(F.col("tok").alias(n)) for n in ("a", "b", "c", "d")]
+    phrases = (
+        parts[0]
+        .crossJoin(parts[1])
+        .crossJoin(parts[2])
+        .crossJoin(parts[3])
+        .select(F.concat_ws(" ", "a", "b", "c", "d").alias("kw"))
+        .orderBy(F.md5(F.encode(F.col("kw"), "utf-8")), F.col("kw"))
+        .limit(5000)
+    )
+    kws = [r.kw for r in phrases.collect()]  # bounded keyword dim
+    assert len(kws) >= KM.AHOCORASICK_THRESHOLD  # must exercise the AC path
+    return docs.select(
+        "doc_id", KM.auto_contains_any(["text"], kws).alias("matched")
+    )

@@ -99,3 +99,76 @@ def test_property_substring_equivalence(spark, texts):
 
 def test_hyphen_variant_expansion():
     assert expand_hyphen_variants(["a-b", "c"]) == ["a-b", "a b", "c"]
+
+
+# --- Aho-Corasick automaton (the >= 5k-keyword fast path) -------------------
+
+
+def test_aho_corasick_fuzz_vs_naive():
+    import random
+
+    from social_and_media_data_ingestion_spark.operators.keyword_match import (
+        AhoCorasick,
+    )
+
+    random.seed(11)
+    alpha = "abcd "
+    for _ in range(500):
+        pats = [
+            "".join(random.choice(alpha) for _ in range(random.randint(1, 6))).strip()
+            for _ in range(random.randint(1, 15))
+        ]
+        pats = [p for p in pats if p]
+        if not pats:
+            continue
+        text = "".join(random.choice(alpha) for _ in range(random.randint(0, 50)))
+        assert AhoCorasick(pats).search_any(text) == any(p in text for p in pats)
+
+
+def test_aho_corasick_suffix_and_overlap_edges():
+    from social_and_media_data_ingestion_spark.operators.keyword_match import (
+        AhoCorasick,
+    )
+
+    ac = AhoCorasick(["abcde", "cd"])
+    # "cd" must be found mid-way through a partial "abcde" walk (the
+    # failure-link case a naive trie scan misses)
+    assert ac.search_any("xxabcdxx")
+    assert ac.search_any("abcde")
+    assert not ac.search_any("abce")
+    ac2 = AhoCorasick(["aa", "aaa"])
+    assert ac2.search_any("aa") and not ac2.search_any("a")
+    # out-flag propagation down the failure chain
+    ac3 = AhoCorasick(["b", "ab"])
+    assert ac3.search_any("ab") and ac3.search_any("cb")
+
+
+def test_auto_dispatch_agrees_across_paths(spark):
+    """auto_contains_any must give identical answers through all three
+    physical strategies (contains-chain, rlike alternation, Aho-Corasick
+    pandas UDF) on the same data."""
+    from social_and_media_data_ingestion_spark.operators.keyword_match import (
+        AHOCORASICK_THRESHOLD,
+        auto_contains_any,
+        contains_any,
+        contains_any_large,
+    )
+
+    texts = ["alpha beta", "gamma delta", "epsilon zeta", "kw17 embedded", ""]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    kws_small = ["gamma", "kw17"]
+    kws_large = [f"kw{i}" for i in range(AHOCORASICK_THRESHOLD)] + ["gamma"]
+    expect_small = {t for t in texts if any(k in t for k in kws_small)}
+    expect_large = {t for t in texts if any(k in t for k in kws_large)}
+    assert {
+        r.text for r in df.filter(auto_contains_any(["text"], kws_small)).collect()
+    } == expect_small
+    assert {
+        r.text for r in df.filter(auto_contains_any(["text"], kws_large)).collect()
+    } == expect_large
+    assert {
+        r.text for r in df.filter(contains_any(["text"], kws_large)).collect()
+    } == expect_large
+    assert {
+        r.text for r in df.filter(contains_any_large(["text"], kws_small)).collect()
+    } == expect_small
