@@ -1,11 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: best_sec}, "runs": {name: [sec, ...]}, "sf": ...}.
 
 Each query is materialized via a count-collect (no driver-side data pull)
-after a warm-up run of the flagship to amortize JVM/session startup out
-of the first measurement.
+after a warm-up pass to amortize JVM/session startup out of the first
+measurement. The artifact is self-diagnosing: per-run times for every
+query are recorded (not just the best), so a round-over-round drift can
+be attributed to machine-load variance (wide spread within the round)
+or a real plan regression (tight spread at a higher level) from the JSON
+alone.
 """
 
 from __future__ import annotations
@@ -50,6 +54,13 @@ HEADLINE = [
     "corpus_decontaminate",
     "emb_quantize_int8",
     "events_time_bucket_rollup",
+    # distributed-rank scale helpers (round 4): global_ntile /
+    # global_running_sum pay 2 jobs + localCheckpoint — benched so a
+    # regression in that machinery shows up in the artifact
+    "window_ntile_quartiles",
+    "orders_rfm_segmentation",
+    "docs_quality_deciles",
+    "events_max_concurrent",
 ]
 
 
@@ -66,18 +77,27 @@ def main() -> None:
         reg[name].spark(spark, sf_dir).count()
 
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        # best of 3 measured runs: steady-state throughput, robust to
-        # one-off scheduler/GC hiccups on a shared machine
-        best, n = float("inf"), 0
+        # 3 measured runs, ALL recorded; headline value is the best
+        # (steady-state throughput, robust to one-off scheduler/GC
+        # hiccups on a shared machine) but the full spread stays in the
+        # artifact for drift attribution
+        rs: list[float] = []
+        n = 0
         for _ in range(3):
             t0 = time.time()
             n = reg[name].spark(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+            rs.append(round(time.time() - t0, 3))
+        runs[name] = rs
+        times[name] = min(rs)
+        print(f"# {name}: {n} rows in {times[name]}s (runs: {rs})", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    spread = {
+        name: round((max(rs) - min(rs)) / min(rs), 3) if min(rs) > 0 else 0.0
+        for name, rs in runs.items()
+    }
     print(
         json.dumps(
             {
@@ -85,6 +105,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "runs": runs,
+                "rel_spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
