@@ -3126,3 +3126,46 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(j, v[j], ray) for j in range(len(v))],
         "dim_idx bigint, loading double, rayleigh double",
     )
+
+
+# =============================================================================
+# Structured Streaming — WATERMARKED DEDUPLICATION as a first-class
+# query (T8, previously exercised only by tests): suppress to one event
+# per (user, event_type, 5-minute bucket) over the live events stream
+# via withWatermark + dropDuplicates — state is bounded by the
+# watermark, so the operator survives unbounded streams. Output is the
+# deduplicated KEY SET (which-row-kept is scheduler-dependent; the key
+# set is not), so the drained stream must equal the batch DISTINCT —
+# the oracle.
+# =============================================================================
+@q(
+    "stream_dedup_watermark",
+    """
+    SELECT DISTINCT user_id,
+           event_type,
+           floor(epoch(ts) / 300)::BIGINT AS bucket
+    FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from social_and_media_data_ingestion_spark.plans.tables import events_stream
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        dedup_within_watermark,
+        run_to_memory,
+    )
+
+    stream = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / 300).cast("long").alias("bucket"),
+    )
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type", "bucket"], "ts", include_ts=False
+    ).select("user_id", "event_type", "bucket")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = run_to_memory(deduped, name, output_mode="append")
+    query.stop()
+    return spark.sql(f"SELECT user_id, event_type, bucket FROM {name}")

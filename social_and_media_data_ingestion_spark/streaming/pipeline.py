@@ -27,11 +27,21 @@ def read_stream(
 
 
 def dedup_within_watermark(
-    df: DataFrame, id_col: str, ts_col: str, delay: str = "10 minutes"
+    df: DataFrame,
+    id_col: str | list[str],
+    ts_col: str,
+    delay: str = "10 minutes",
+    include_ts: bool = True,
 ) -> DataFrame:
-    """T8: exactly-once-per-id within the watermark horizon. State is
-    bounded by the watermark — safe for unbounded streams."""
-    return df.withWatermark(ts_col, delay).dropDuplicates([id_col, ts_col])
+    """T8: exactly-once-per-key within the watermark horizon. State is
+    bounded by the watermark — safe for unbounded streams. `id_col` may
+    be one column or a composite key list; include_ts=False dedups on
+    the key alone (e.g. one-event-per-user-per-bucket suppression,
+    where the bucket column already encodes coarse event time)."""
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
+    if include_ts:
+        keys = keys + [ts_col]
+    return df.withWatermark(ts_col, delay).dropDuplicates(keys)
 
 
 def windowed_counts(

@@ -249,3 +249,30 @@ def test_pagerank_star_graph(spark):
     # deterministic across invocations
     again = {r.node: r.pr for r in pagerank(edges, iters=5).collect()}
     assert again == pr
+
+
+def test_sql_double_literal_exact_roundtrip(spark):
+    """The SQL-string expression compiler embeds doubles as
+    CAST('<repr>' AS DOUBLE); every IEEE-754 double must survive the
+    round-trip bit-exactly (repr is shortest-round-trip decimal)."""
+    import math
+    import random
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators.similarity import (
+        _sql_arr,
+    )
+
+    random.seed(3)
+    vals = [0.0, -0.0, 1.0, -1.5, 1e-300, -1e300, 2.0**-52, math.pi]
+    for _ in range(40):
+        b = random.getrandbits(64)
+        v = struct.unpack("<d", struct.pack("<Q", b))[0]
+        if math.isnan(v) or math.isinf(v):
+            continue
+        vals.append(v)
+    row = spark.sql(f"SELECT {_sql_arr(vals)} AS a").first()
+    got = list(row.a)
+    assert len(got) == len(vals)
+    for g, w in zip(got, vals):
+        assert struct.pack("<d", g) == struct.pack("<d", w), (g, w)
