@@ -172,3 +172,16 @@ def test_auto_dispatch_agrees_across_paths(spark):
     assert {
         r.text for r in df.filter(contains_any_large(["text"], kws_small)).collect()
     } == expect_small
+
+
+def test_5k_query_uses_arrow_python_path(spark):
+    """f2_keyword_substring_5k must dispatch to the Aho-Corasick pandas
+    UDF (ArrowEvalPython in the physical plan), not a JVM regex — the
+    whole point of the >=5k regime."""
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+
+    df = registry()["f2_keyword_substring_5k"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan

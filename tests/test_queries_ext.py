@@ -83,3 +83,18 @@ def test_hopping_window_covers_each_event_twice(spark):
     # 2 events x 2 windows each, 3 distinct windows (the middle one shared)
     assert sum(r["n"] for r in out) == 4
     assert len(out) == 3
+
+
+def test_kmeans_centroid_memo_keyed_by_sf_dir(spark):
+    """The per-sf_dir centroid memo must not leak centroids across
+    scale factors (different files -> different vectors)."""
+    from social_and_media_data_ingestion_spark.plans.queries_ext import (
+        _kmeans_seed_centroids,
+    )
+
+    a = _kmeans_seed_centroids(spark, "/root/testdata/sf0.001")
+    b = _kmeans_seed_centroids(spark, "/root/testdata/sf0.01")
+    assert len(a) == len(b) == 8
+    assert [cid for cid, _ in a] == list(range(8))
+    # memo returns the SAME object on a second call (no re-collect)
+    assert _kmeans_seed_centroids(spark, "/root/testdata/sf0.001") is a
