@@ -127,6 +127,40 @@ def _shingle_array(text_col: str, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+# --- SQL-string twins of the above (the similarity.py compiler pattern) ------
+#
+# MinHash signatures repeat the shingle+hash expression num_hashes times;
+# built through the Column DSL that costs hundreds of Py4J round-trips of
+# driver time per query build. These helpers emit the SAME expressions
+# as ONE parsed SQL string. The SQL mirrors the DSL operation-for-
+# operation; the cross-engine DuckDB oracles pin the equivalence.
+
+
+def _sql_tokens(text_col: str) -> str:
+    return f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t != '')"
+
+
+def _sql_shingles(text_col: str, n: int) -> str:
+    toks = _sql_tokens(text_col)
+    if n == 1:
+        return toks
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def _sql_hash_id(s: str, hash_fn: str) -> str:
+    if hash_fn == "xxhash64":
+        return f"pmod(xxhash64({s}), {_P})"
+    return (
+        f"aggregate(split({s}, ''), CAST(0 AS BIGINT), "
+        f"(acc, ch) -> (acc * {_POLY_BASE} + ascii(ch)) % {_POLY_MOD})"
+    )
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) — distinct word n-grams per document, exploded for
     inverted-index joins (Jaccard verify stage)."""
@@ -148,21 +182,17 @@ def minhash_signatures(
     MAP-ONLY: h_i = min over shingles of (a_i * hash(shingle) + b_i) % P,
     computed inside the row via transform + array_min — no explode, no
     shuffle, no token dictionary. hash_fn: "poly" (cross-engine
-    deterministic) or "xxhash64" (native JVM, fastest)."""
-    shingles = _shingle_array(text_col, n)
-    if hash_fn == "xxhash64":
-        sid = lambda s: F.pmod(F.xxhash64(s), F.lit(_P))  # noqa: E731
-    else:
-        sid = _polyhash
-    hashed = F.transform(shingles, sid)
-    mins = [
-        F.array_min(
-            F.transform(hashed, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_P))
-        ).alias(f"h{i}")
-        for i, (a, b) in enumerate(_HASH_AB[:num_hashes])
-    ]
-    return df.select(F.col(id_col).alias("id"), *mins).select(
-        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    deterministic) or "xxhash64" (native JVM, fastest). The whole
+    signature is compiled to one parsed SQL expression (the num_hashes-
+    way repetition through the Column DSL costs ~0.3 s of driver-side
+    build per query)."""
+    hashed = f"transform({_sql_shingles(text_col, n)}, s -> {_sql_hash_id('s', hash_fn)})"
+    hs = ",".join(
+        f"array_min(transform({hashed}, x -> ({a} * x + {b}) % {_P}))"
+        for a, b in _HASH_AB[:num_hashes]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.expr(f"array({hs})").alias("sig")
     )
 
 
@@ -186,25 +216,17 @@ def minhash_lsh_candidates(
     set across tasks; buckets at or under the cap keep the in-row fast
     path."""
     assert bands * rows_per_band <= 12
+    band_entries = ",".join(
+        "named_struct('band', {b}, 'bucket', concat_ws('_', {cols}))".format(
+            b=b,
+            cols=",".join(
+                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", F.explode(F.expr(f"array({band_entries})")).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
     ids = F.array_sort(F.collect_set("id"))
     pairs = F.flatten(

@@ -158,8 +158,11 @@ def _global_rank(
     changing sample seeds), so the ranged frame is materialized ONCE via
     localCheckpoint — both the count job and the rank job read the same
     blocks. This also means the expensive upstream plan executes once,
-    not twice. (On a cluster where executor loss matters, swap
-    localCheckpoint for a reliable checkpoint dir — the same trade
+    not twice. The checkpoint is LAZY (eager=False): the count job —
+    the first action — materializes the blocks as it counts, saving one
+    full pass over the frame vs an eager checkpoint; the rank job then
+    reads the pinned blocks. (On a cluster where executor loss matters,
+    swap localCheckpoint for a reliable checkpoint dir — the same trade
     documented for connected components in operators/dedup.py.)
     Returns (df with `out_col`, total row count).
     """
@@ -172,7 +175,7 @@ def _global_rank(
     ranged = (
         df.repartitionByRange(n_parts, *cols)
         .withColumn(pid, F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         ranged.groupBy(pid).count().collect(), key=lambda r: r[pid]
@@ -233,9 +236,10 @@ def global_running_sum(
     total order for fully deterministic per-row output (with ties the
     intra-tie prefixes depend on tie order, as with any ROWS frame).
 
-    The ranged frame is localCheckpoint-materialized so the totals job
-    and the prefix-sum job see the SAME partitioning (range boundaries
-    are sampled and not replay-stable — see :func:`_global_rank`)."""
+    The ranged frame is localCheckpoint-materialized (lazily — the
+    totals job materializes as it aggregates, see :func:`_global_rank`)
+    so the totals job and the prefix-sum job see the SAME partitioning
+    (range boundaries are sampled and not replay-stable)."""
     from pyspark.sql import Window
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -245,7 +249,7 @@ def global_running_sum(
     ranged = (
         df.repartitionByRange(n_parts, *cols)
         .withColumn(pid, F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     totals = sorted(
         ranged.groupBy(pid).agg(F.sum(value_col).alias("s")).collect(),
