@@ -61,6 +61,8 @@ HEADLINE = [
     "orders_rfm_segmentation",
     "docs_quality_deciles",
     "events_max_concurrent",
+    # Aho-Corasick large-keyword path (round 4): 5000 patterns per doc
+    "f2_keyword_substring_5k",
 ]
 
 
