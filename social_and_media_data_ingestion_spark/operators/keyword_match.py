@@ -135,16 +135,22 @@ class AhoCorasick:
     how many patterns (the property the >= 5k-keyword regime needs; a
     regex alternation is O(len(text) * n_patterns) there).
 
-    Only "does ANY pattern occur" is tracked (`search_any`), matching
-    the reference's short-circuit `any(kw in text)` semantics
-    (reddit_subm_extraction.py:57-59).
+    `search_any` tracks "does ANY pattern occur", matching the
+    reference's short-circuit `any(kw in text)` semantics
+    (reddit_subm_extraction.py:57-59). `search_any_word` additionally
+    requires word boundaries around the match — the JVM-regex
+    `\\b(...)\\b` semantics of matches_any_word — by checking the
+    characters flanking each match span (pattern lengths are kept per
+    terminal state, OR-merged down the failure chain, so span starts
+    are recoverable without re-scanning).
     """
 
-    __slots__ = ("goto", "fail", "out")
+    __slots__ = ("goto", "fail", "out", "out_lens")
 
     def __init__(self, patterns: Sequence[str]):
         goto: list[dict[str, int]] = [{}]
         out: list[bool] = [False]
+        out_lens: list[tuple[int, ...]] = [()]
         for p in patterns:
             if not p:
                 continue
@@ -156,8 +162,11 @@ class AhoCorasick:
                     goto[s][ch] = nxt
                     goto.append({})
                     out.append(False)
+                    out_lens.append(())
                 s = nxt
             out[s] = True
+            if len(p) not in out_lens[s]:
+                out_lens[s] = out_lens[s] + (len(p),)
         fail = [0] * len(goto)
         queue = list(goto[0].values())  # depth-1 states: fail -> root
         i = 0
@@ -172,7 +181,10 @@ class AhoCorasick:
                 nxt = goto[f].get(ch, 0)
                 fail[s] = nxt if nxt != s else 0
                 out[s] = out[s] or out[fail[s]]
-        self.goto, self.fail, self.out = goto, fail, out
+                merged = [l for l in out_lens[fail[s]] if l not in out_lens[s]]
+                if merged:
+                    out_lens[s] = out_lens[s] + tuple(merged)
+        self.goto, self.fail, self.out, self.out_lens = goto, fail, out, out_lens
 
     def search_any(self, text: str) -> bool:
         goto, fail, out = self.goto, self.fail, self.out
@@ -185,6 +197,36 @@ class AhoCorasick:
             s = g.get(ch, 0)
             if out[s]:
                 return True
+        return False
+
+    @staticmethod
+    def _is_word(ch: str) -> bool:
+        # JVM-regex default \b word class: ASCII [a-zA-Z0-9_] only
+        # (matches the rlike spelling this path must agree with)
+        return ch.isascii() and (ch.isalnum() or ch == "_")
+
+    def search_any_word(self, text: str) -> bool:
+        goto, fail, out_lens = self.goto, self.fail, self.out_lens
+        word = self._is_word
+        n = len(text)
+        s = 0
+        for i, ch in enumerate(text):
+            g = goto[s]
+            while s and ch not in g:
+                s = fail[s]
+                g = goto[s]
+            s = g.get(ch, 0)
+            for length in out_lens[s]:
+                # \b at a position = word-ness differs across it (text
+                # edges count as non-word) — the general form, correct
+                # even for patterns whose edge chars are non-word
+                start = i + 1 - length
+                start_ok = word(text[start]) != (
+                    start > 0 and word(text[start - 1])
+                )
+                end_ok = word(text[i]) != (i + 1 < n and word(text[i + 1]))
+                if start_ok and end_ok:
+                    return True
         return False
 
 
@@ -218,8 +260,46 @@ def contains_any_large(cols: Sequence[str], keywords: Sequence[str]) -> Column:
     return _match(*[F.col(c) for c in cols])
 
 
+def matches_any_word_large(
+    cols: Sequence[str], keywords: Sequence[str]
+) -> Column:
+    """Word-boundary any-match for keyword sets too large for one regex
+    alternation: Aho-Corasick over lowercased text with per-match
+    boundary checks (the JVM \\b ASCII word class), hyphen variants
+    expanded like the rlike spelling. Case-insensitivity comes from
+    lowercasing both sides — exact for ASCII keywords (the reference's
+    keyword files)."""
+    kws = tuple(
+        dict.fromkeys(
+            k.lower() for k in expand_hyphen_variants(keywords) if k
+        )
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def _match(*series: pd.Series) -> pd.Series:
+        ac = _ac_for(kws)
+        joined = series[0].fillna("").str.lower()
+        for s in series[1:]:
+            joined = joined + "\n" + s.fillna("").str.lower()
+        return joined.map(ac.search_any_word)
+
+    return _match(*[F.col(c) for c in cols])
+
+
 def auto_contains_any(cols: Sequence[str], keywords: Sequence[str]) -> Column:
     """Strategy pick by keyword count (SURVEY §7 'custom work' item)."""
     if len(keywords) >= AHOCORASICK_THRESHOLD:
         return contains_any_large(cols, keywords)
     return contains_any(cols, keywords)
+
+
+def auto_matches_any_word(
+    cols: Sequence[str], keywords: Sequence[str]
+) -> Column:
+    """Word-boundary twin of auto_contains_any: rlike alternation below
+    the threshold (JVM-side, codegen), Aho-Corasick + boundary checks
+    above it (counting the hyphen-expanded variants, which is what the
+    alternation would actually contain)."""
+    if len(expand_hyphen_variants(keywords)) >= AHOCORASICK_THRESHOLD:
+        return matches_any_word_large(cols, keywords)
+    return matches_any_word(cols, keywords)

@@ -1873,3 +1873,43 @@ def f2_keyword_substring_5k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", KM.auto_contains_any(["text"], kws).alias("matched")
     )
+
+
+# =============================================================================
+# Large-keyword-set WORD-BOUNDARY match — the \b(...)\b semantics of
+# matches_any_word at 5000 patterns, via the Aho-Corasick automaton
+# with per-match boundary checks (auto_matches_any_word dispatches to
+# it above the threshold). Same memoized 4-gram phrase dim as the
+# substring twin; the discriminating cases are phrases whose first
+# token is a suffix of a longer corpus token (substring hit, boundary
+# miss). Oracle: the corpus is single-space [a-z ] text (asserted by
+# the whitespace/charset audit in RESULTS), so \b-bounded phrase match
+# is exactly padded-space substring containment — no per-pair regex
+# compilation in DuckDB.
+# =============================================================================
+@q(
+    "f3_keyword_word_5k",
+    f"""
+    WITH v AS (SELECT DISTINCT unnest({_TOKS2}) AS tok FROM documents),
+    p AS (
+      SELECT a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok AS kw
+      FROM v a, v b, v c, v d
+    ),
+    kws AS (SELECT kw FROM p ORDER BY md5(kw), kw LIMIT 5000)
+    SELECT d.doc_id,
+           EXISTS (SELECT 1 FROM kws k
+                   WHERE contains(' ' || lower(trim(d.text)) || ' ',
+                                  ' ' || k.kw || ' '))
+             AS matched
+    FROM documents d
+    """,
+)
+def f3_keyword_word_5k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators import keyword_match as KM
+
+    docs = t(spark, sf_dir, "documents")
+    kws = _kw5k_phrases(spark, sf_dir)
+    assert len(kws) >= KM.AHOCORASICK_THRESHOLD  # must exercise the AC path
+    return docs.select(
+        "doc_id", KM.auto_matches_any_word(["text"], kws).alias("matched")
+    )

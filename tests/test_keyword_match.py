@@ -185,3 +185,73 @@ def test_5k_query_uses_arrow_python_path(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+# --- word-boundary Aho-Corasick (matches_any_word_large) --------------------
+
+
+def test_word_boundary_ac_fuzz_vs_regex_model():
+    import random
+
+    from social_and_media_data_ingestion_spark.operators.keyword_match import (
+        AhoCorasick,
+    )
+
+    random.seed(23)
+    alpha = "ab-_ .x"
+    for _ in range(800):
+        pats = [
+            "".join(random.choice(alpha) for _ in range(random.randint(1, 5)))
+            for _ in range(random.randint(1, 10))
+        ]
+        pats = [p for p in pats if p]
+        if not pats:
+            continue
+        text = "".join(random.choice(alpha) for _ in range(random.randint(0, 40)))
+        pat = r"\b(" + "|".join(re.escape(p) for p in pats) + r")\b"
+        # Java \b uses the ASCII word class by default -> re.ASCII model
+        want = re.search(pat, text, re.ASCII) is not None
+        assert AhoCorasick(pats).search_any_word(text) == want, (pats, text)
+
+
+def test_word_boundary_dispatch_agrees_with_rlike(spark):
+    """auto_matches_any_word must agree between the rlike alternation
+    (small sets) and the Aho-Corasick path (large sets) on data where
+    the two semantics genuinely bite (substring-but-not-word cases,
+    hyphen variants)."""
+    from social_and_media_data_ingestion_spark.operators.keyword_match import (
+        AHOCORASICK_THRESHOLD,
+        auto_matches_any_word,
+        matches_any_word,
+        matches_any_word_large,
+    )
+
+    texts = [
+        "SPARK is here",
+        "sparkling water",      # substring hit, word-boundary miss
+        "the data-set is big",
+        "a data set indeed",    # hyphen-variant word match
+        "dataset unbroken",     # neither
+        "kw17 embedded",
+        "xkw17y",               # no boundary
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    base = ["spark", "data-set", "kw17"]
+    pad = [f"zz{i}" for i in range(AHOCORASICK_THRESHOLD)]
+    expect = {
+        r.text
+        for r in df.filter(matches_any_word(["text"], base)).collect()
+    }
+    got_large = {
+        r.text
+        for r in df.filter(matches_any_word_large(["text"], base + pad)).collect()
+    }
+    got_auto = {
+        r.text
+        for r in df.filter(auto_matches_any_word(["text"], base + pad)).collect()
+    }
+    assert got_large == expect
+    assert got_auto == expect
+    assert "sparkling water" not in got_large
+    assert "a data set indeed" in got_large
