@@ -1938,11 +1938,17 @@ PRIORITY_HEAD = [
     "docs_topk_per_source",
     "sample_fixed_quota_per_source",
     "events_percent_change_daily",
-    "agg_bitwise_masks",
-    "events_hour_profile",
-    "customer_segment_mix",
-    "orders_size_distribution",
-    "lineitem_ship_latency",
+    # -- new in round 4 (second batch): temporal joins, repetition
+    #    signals, and the word-boundary Aho-Corasick query — first
+    #    driver evidence needed. The 5 never-sampled entries displaced
+    #    (agg_bitwise_masks, events_hour_profile, customer_segment_mix,
+    #    orders_size_distribution, lineitem_ship_latency) rotate in
+    #    next round.
+    "f3_keyword_word_5k",
+    "j9_asof_view_purchase",
+    "j10_asof_tolerance_1h",
+    "events_coactivity_histogram",
+    "text_repetition_signals",
 ]
 
 
@@ -1951,6 +1957,7 @@ def registry() -> dict[str, QueryDef]:
     from social_and_media_data_ingestion_spark.plans import (  # noqa: F401
         queries_ext,
         queries_ext2,
+        queries_ext3,
         queries_tpch,
     )
 

@@ -1,0 +1,285 @@
+"""Registry extension 3 — round-4 additions: generalized temporal joins
+(as-of, bounded time-band) and Gopher-style repetition quality signals.
+
+The temporal joins are the two classic operators Spark lacks natively
+(SURVEY §2.8's "operators the reference's row-loop scripts imply");
+both are spelled shuffle-equi (operators/temporal_join.py), never a
+BroadcastNestedLoopJoin. Oracles: DuckDB's native ASOF JOIN for the
+as-of pair (a genuinely independent implementation), a plain
+inequality join for the band join, and unnest+agg SQL for the
+repetition metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.operators.temporal_join import (
+    asof_join,
+    time_band_join,
+)
+from social_and_media_data_ingestion_spark.plans.queries import _TOKS, q
+from social_and_media_data_ingestion_spark.plans.tables import t
+
+
+def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pre-dedup to one reference row per (user, instant) so the as-of
+    # match is deterministic on BOTH engines (max value wins)
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+
+
+def _views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts")
+    )
+
+
+_ASOF_CTES = """
+    WITH pur AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    vw AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+"""
+
+
+# =============================================================================
+# J9 — generalized AS-OF join between two distinct streams: for every
+# 'view' event, the value of the same user's most recent prior-or-equal
+# 'purchase'. Operator: union + carry-forward window (ONE shuffle on
+# user_id, no theta-join). Oracle: DuckDB's native ASOF JOIN — an
+# independent engine-level implementation of the same semantics.
+# =============================================================================
+@q(
+    "j9_asof_view_purchase",
+    _ASOF_CTES
+    + """
+    SELECT v.event_id,
+           p.ts    AS last_purchase_ts,
+           p.value AS last_purchase_value
+    FROM vw v ASOF LEFT JOIN pur p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def j9_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = asof_join(
+        _views(spark, sf_dir),
+        _purchases(spark, sf_dir),
+        on=["user_id"],
+        probe_ts="ts",
+        ref_ts="ts",
+        value_cols=["value"],
+        direction="backward",
+    )
+    return res.select(
+        "event_id",
+        F.col("matched_ts").alias("last_purchase_ts"),
+        F.col("value").alias("last_purchase_value"),
+    )
+
+
+# =============================================================================
+# J10 — AS-OF with a match tolerance: same join, but a purchase older
+# than 1 hour is no match (the standard "stale reference" guard in
+# feature-store point-in-time lookups). Oracle: ASOF JOIN + CASE; the
+# interval arithmetic is DuckDB-native, the null-out rule is the spec.
+# =============================================================================
+@q(
+    "j10_asof_tolerance_1h",
+    _ASOF_CTES
+    + """
+    SELECT v.event_id,
+           CASE WHEN v.ts - p.ts <= INTERVAL 3600 SECOND THEN p.ts END
+             AS last_purchase_ts,
+           CASE WHEN v.ts - p.ts <= INTERVAL 3600 SECOND THEN p.value END
+             AS last_purchase_value
+    FROM vw v ASOF LEFT JOIN pur p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def j10_asof_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = asof_join(
+        _views(spark, sf_dir),
+        _purchases(spark, sf_dir),
+        on=["user_id"],
+        probe_ts="ts",
+        ref_ts="ts",
+        value_cols=["value"],
+        direction="backward",
+        tolerance_seconds=3600,
+    )
+    return res.select(
+        "event_id",
+        F.col("matched_ts").alias("last_purchase_ts"),
+        F.col("value").alias("last_purchase_value"),
+    )
+
+
+# =============================================================================
+# Bounded time-band join — co-activity: for every event, how many events
+# by OTHER users happened within ±60 s; reported as a histogram
+# (coactivity level -> number of events). The operator buckets time at
+# the band width and equi-joins on the bucket id (probe exploded to the
+# 3 covering buckets), so the plan is hash-partitioned and
+# AQE-skew-splittable — the O(n²) BroadcastNestedLoopJoin the naive
+# |Δt|<=band predicate would compile to never appears. Oracle: DuckDB
+# inequality join (IEJoin), exact integer-microsecond comparison on
+# both engines.
+# =============================================================================
+@q(
+    "events_coactivity_histogram",
+    """
+    WITH pairs AS (
+      SELECT e1.event_id AS pid, count(*)::BIGINT AS n
+      FROM events e1 JOIN events e2
+        ON e2.ts >= e1.ts - INTERVAL 60 SECOND
+       AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+       AND e1.user_id <> e2.user_id
+      GROUP BY 1
+    )
+    SELECT coalesce(p.n, 0)::BIGINT AS coactivity,
+           count(*)::BIGINT AS n_events
+    FROM events e LEFT JOIN pairs p ON e.event_id = p.pid
+    GROUP BY 1
+    """,
+)
+def events_coactivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pairs = time_band_join(ev, ev, "ts", "ts", band_seconds=60.0)
+    cnt = (
+        pairs.filter(F.col("p_user_id") != F.col("r_user_id"))
+        .groupBy("p_event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        ev.join(cnt, ev.event_id == cnt.p_event_id, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("coactivity"))
+        .groupBy("coactivity")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# =============================================================================
+# Gopher-style repetition signals (Rae et al. 2021 quality filters):
+# per-document top-word fraction, top-bigram fraction, and duplicate-
+# trigram fraction, averaged per source. The n-gram mode fractions go
+# through explode + two-level agg (partial-combinable, scales to any
+# document length); the duplicate-trigram fraction is computed IN-ROW
+# from array_distinct — zero extra shuffle. floor(x*1e6+0.5)/1e6
+# rounding on both engines (repo convention).
+# =============================================================================
+_SPARK_TOKS = r"filter(split(lower(trim(text)), '\\s+'), x -> x != '')"
+_SPARK_BIGRAMS = (
+    "transform(sequence(1, size(toks) - 1), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+)
+_SPARK_TRIGRAMS = (
+    "transform(sequence(1, size(toks) - 2), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
+    "element_at(toks, i + 2)))"
+)
+_DUCK_BIGRAMS = (
+    "list_transform(range(1, len(toks)), "
+    "i -> toks[i] || ' ' || toks[i + 1])"
+)
+_DUCK_TRIGRAMS = (
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+)
+
+
+@q(
+    "text_repetition_signals",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ),
+    base AS (SELECT * FROM tk WHERE len(toks) >= 3),
+    wc AS (
+      SELECT doc_id, w, count(*)::BIGINT AS c
+      FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2
+    ),
+    wstat AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_word_frac FROM wc GROUP BY 1
+    ),
+    bc AS (
+      SELECT doc_id, b, count(*)::BIGINT AS c
+      FROM (SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS b FROM base) GROUP BY 1, 2
+    ),
+    bstat AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bc GROUP BY 1
+    ),
+    tstat AS (
+      SELECT doc_id,
+             1.0 - len(list_distinct(tg))::DOUBLE / len(tg) AS dup_trigram_frac
+      FROM (SELECT doc_id, {_DUCK_TRIGRAMS} AS tg FROM base)
+    )
+    SELECT b.source,
+           floor(avg(w.top_word_frac)   * 1000000 + 0.5) / 1000000 AS avg_top_word_frac,
+           floor(avg(bs.top_bigram_frac) * 1000000 + 0.5) / 1000000 AS avg_top_bigram_frac,
+           floor(avg(ts.dup_trigram_frac) * 1000000 + 0.5) / 1000000 AS avg_dup_trigram_frac,
+           count(*)::BIGINT AS n_docs
+    FROM base b
+    JOIN wstat w USING (doc_id)
+    JOIN bstat bs USING (doc_id)
+    JOIN tstat ts USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_SPARK_TOKS).alias("toks")
+    )
+    base = docs.filter(F.size("toks") >= 3)
+    wstat = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac")
+        )
+    )
+    bstat = (
+        base.select("doc_id", F.explode(F.expr(_SPARK_BIGRAMS)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
+        )
+    )
+    tstat = base.select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.expr(_SPARK_TRIGRAMS))).cast("double")
+            / F.size(F.expr(_SPARK_TRIGRAMS))
+        ).alias("dup_trigram_frac"),
+    )
+
+    def r6(col):
+        return F.floor(F.avg(col) * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    per_doc = (
+        base.select("doc_id", "source")
+        .join(wstat, "doc_id")
+        .join(bstat, "doc_id")
+        .join(tstat, "doc_id")
+    )
+    return per_doc.groupBy("source").agg(
+        r6("top_word_frac").alias("avg_top_word_frac"),
+        r6("top_bigram_frac").alias("avg_top_bigram_frac"),
+        r6("dup_trigram_frac").alias("avg_dup_trigram_frac"),
+        F.count("*").alias("n_docs"),
+    )

@@ -311,3 +311,21 @@ def test_pagerank_dangling_mass_conserved(spark):
     leaky = pagerank(edges, iters=8, redistribute_dangling=False)
     total_leaky = leaky.agg({"pr": "sum"}).first()[0]
     assert total_leaky < 0.9
+
+
+def test_asof_registry_query_is_join_free(spark):
+    """The as-of registry query must stay the union+window spelling:
+    the only join allowed is none at all (no theta-join fallback)."""
+    plan = _plan(spark, "j9_asof_view_purchase")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_coactivity_band_join_is_equi(spark):
+    """The time-band join must compile to a hash/sort equi-join on the
+    bucket id, never the O(n^2) nested-loop the raw band predicate
+    would produce."""
+    plan = _plan(spark, "events_coactivity_histogram")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,201 @@
+"""Temporal joins (operators/temporal_join.py) vs a brute-force model,
+plus the plan-shape guards that make them scale-legal: no
+BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from social_and_media_data_ingestion_spark.operators.temporal_join import (
+    asof_join,
+    time_band_join,
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds: float) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=seconds)
+
+
+def _frames(spark, seed=7, n_probe=300, n_ref=120, n_keys=9):
+    rng = random.Random(seed)
+    probe = [
+        (i, rng.randrange(n_keys), _ts(rng.uniform(0, 5000)))
+        for i in range(n_probe)
+    ]
+    ref = [
+        (rng.randrange(n_keys), _ts(rng.uniform(0, 5000)), round(rng.uniform(1, 100), 2))
+        for _ in range(n_ref)
+    ]
+    # force some exact-equality instants (inclusive-match edge)
+    ref.append((probe[0][1], probe[0][2], 555.0))
+    p_schema = StructType(
+        [
+            StructField("pid", LongType()),
+            StructField("k", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    r_schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    return (
+        spark.createDataFrame(probe, p_schema),
+        spark.createDataFrame(ref, r_schema),
+        probe,
+        ref,
+    )
+
+
+def _model_asof(probe, ref, direction="backward", tol=None):
+    out = {}
+    for pid, k, pts in probe:
+        if direction == "backward":
+            cands = [(rts, v) for rk, rts, v in ref if rk == k and rts <= pts]
+            best = max(cands) if cands else None
+        else:
+            cands = [(rts, v) for rk, rts, v in ref if rk == k and rts >= pts]
+            best = min(cands) if cands else None
+        if best is not None and tol is not None:
+            if abs((pts - best[0]).total_seconds()) > tol:
+                best = None
+        out[pid] = best
+    return out
+
+
+def _run_asof(spark, direction, tol=None):
+    p, r, probe, ref = _frames(spark)
+    got = asof_join(
+        p,
+        r,
+        on=["k"],
+        probe_ts="ts",
+        ref_ts="ts",
+        value_cols=["v"],
+        direction=direction,
+        tolerance_seconds=tol,
+    ).collect()
+    want = _model_asof(probe, ref, direction, tol)
+    assert len(got) == len(probe)
+    for row in got:
+        exp = want[row.pid]
+        if exp is None:
+            assert row.matched_ts is None and row.v is None, row
+        else:
+            assert row.matched_ts == exp[0] and row.v == exp[1], (row, exp)
+
+
+def test_asof_backward_matches_bruteforce(spark):
+    _run_asof(spark, "backward")
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    _run_asof(spark, "forward")
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    _run_asof(spark, "backward", tol=120.0)
+
+
+def test_asof_inner_drops_unmatched(spark):
+    p, r, probe, ref = _frames(spark)
+    got = asof_join(
+        p, r, on=["k"], probe_ts="ts", ref_ts="ts", value_cols=["v"], how="inner"
+    ).collect()
+    want = _model_asof(probe, ref)
+    assert {row.pid for row in got} == {k for k, v in want.items() if v is not None}
+
+
+def test_asof_tiebreak_largest_wins(spark):
+    t0 = _ts(100)
+    p = spark.createDataFrame([(1, 1, _ts(200))], ["pid", "k", "ts"])
+    r = spark.createDataFrame(
+        [(1, t0, 10.0, 1), (1, t0, 99.0, 2), (1, t0, 50.0, 0)],
+        ["k", "ts", "v", "pref"],
+    )
+    got = asof_join(
+        p,
+        r,
+        on=["k"],
+        probe_ts="ts",
+        ref_ts="ts",
+        value_cols=["v"],
+        ref_tiebreak="pref",
+    ).collect()
+    assert got[0].v == 99.0  # largest tiebreak wins deterministically
+
+
+def test_asof_plan_has_no_nested_loop(spark):
+    p, r, _, _ = _frames(spark)
+    df = asof_join(p, r, on=["k"], probe_ts="ts", ref_ts="ts", value_cols=["v"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pure union + window: no join operator at all
+
+
+def _model_band(probe, ref, band):
+    pairs = set()
+    for pid, pk, pts in probe:
+        for j, (rk, rts, _) in enumerate(ref):
+            if abs((pts - rts).total_seconds()) <= band:
+                pairs.add((pid, j))
+    return pairs
+
+
+def test_band_join_matches_bruteforce_and_no_dupes(spark):
+    p, r, probe, ref = _frames(spark, n_probe=150, n_ref=80)
+    r_idx = r.withColumn("rid", F.monotonically_increasing_id())
+    rows = r_idx.collect()
+    ref_indexed = [(row.k, row.ts, row.v) for row in rows]
+    got = time_band_join(p, r_idx, "ts", "ts", band_seconds=90.0).collect()
+    # exactly-once: no (probe, ref) pair may repeat
+    seen = [(row.p_pid, row.r_rid) for row in got]
+    assert len(seen) == len(set(seen))
+    rid_of = {i: rows[i].rid for i in range(len(rows))}
+    want = {
+        (pid, rid_of[j]) for pid, j in _model_band(probe, ref_indexed, 90.0)
+    }
+    assert set(seen) == want
+
+
+def test_band_join_with_key_restricts_pairs(spark):
+    p, r, probe, ref = _frames(spark, n_probe=100, n_ref=60)
+    got = time_band_join(p, r, "ts", "ts", band_seconds=90.0, on=["k"]).collect()
+    for row in got:
+        assert row.p_k == row.r_k
+        assert abs((row.p_ts - row.r_ts).total_seconds()) <= 90.0
+
+
+def test_band_join_plan_is_equi_not_nested_loop(spark):
+    p, r, _, _ = _frames(spark)
+    df = time_band_join(p, r, "ts", "ts", band_seconds=60.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_join_boundary_inclusive(spark):
+    p = spark.createDataFrame([(1, 0, _ts(100))], ["pid", "k", "ts"])
+    r = spark.createDataFrame(
+        [(0, _ts(40.0), 1.0), (0, _ts(160.0), 2.0), (0, _ts(160.000001), 3.0)],
+        ["k", "ts", "v"],
+    )
+    got = time_band_join(p, r, "ts", "ts", band_seconds=60.0).collect()
+    vs = sorted(row.r_v for row in got)
+    assert vs == [1.0, 2.0]  # ±60 s inclusive; 60.000001 s excluded
