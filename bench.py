@@ -63,6 +63,11 @@ HEADLINE = [
     "events_max_concurrent",
     # Aho-Corasick large-keyword path (round 4): 5000 patterns per doc
     "f2_keyword_substring_5k",
+    # temporal joins (round 4): as-of via union+window (one shuffle),
+    # band join via bucket equi-join — benched so a theta-join fallback
+    # would show up as a cliff, not just a failed plan guard
+    "j9_asof_view_purchase",
+    "events_coactivity_histogram",
 ]
 
 

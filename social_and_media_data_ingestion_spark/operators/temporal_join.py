@@ -53,11 +53,15 @@ def asof_join(
     tolerance_seconds: float | None = None,
     ref_tiebreak: str | None = None,
     how: str = "left",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For every probe row, attach `value_cols` from the reference row
-    with the greatest `ref_ts` <= `probe_ts` (direction='backward') or
-    the least `ref_ts` >= `probe_ts` ('forward'), matching on the `on`
-    keys — DuckDB/pandas `ASOF JOIN` semantics, inclusive at equality.
+    with the greatest `ref_ts` <= `probe_ts` (direction='backward'),
+    the least `ref_ts` >= `probe_ts` ('forward'), or whichever of the
+    two is closer in time ('nearest', backward wins exact-distance
+    ties), matching on the `on` keys — pandas `merge_asof` / DuckDB
+    `ASOF JOIN` semantics. `allow_exact_matches=False` makes the time
+    comparison strict (pandas parity), excluding equal-instant refs.
 
     `tolerance_seconds` nulls the match when |probe_ts - matched ref_ts|
     exceeds it (timestamp columns only). `ref_tiebreak` names a
@@ -67,11 +71,14 @@ def asof_join(
     partition-order-dependent result (pre-dedup the reference instead).
     `how` is 'left' (unmatched probes keep NULL values) or 'inner'.
 
-    Plan shape: union -> single Exchange on `on` -> window. No
-    BroadcastNestedLoopJoin, no cartesian product.
+    Plan shape: union -> single Exchange on `on` -> window ('nearest'
+    adds a second sort over the SAME partitioning, not a second
+    shuffle). No BroadcastNestedLoopJoin, no cartesian product.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
     on = list(on)
@@ -101,46 +108,81 @@ def asof_join(
     unioned = probe_side.unionByName(ref_side, allowMissingColumns=True)
 
     # Backward: latest ref at or before the probe -> ascending time,
-    # references BEFORE probes at equal instants so equality matches.
-    # Forward is the mirror image on descending time.
-    asc = direction == "backward"
-    order = [
-        F.col(_T).asc() if asc else F.col(_T).desc(),
-        F.col(_PROBE).asc(),
-        F.col(_TIE).asc(),  # last() sees the largest tiebreak latest
-    ]
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # references BEFORE probes at equal instants so equality matches
+    # (AFTER probes when matches must be strict). Forward is the mirror
+    # image on descending time. 'nearest' evaluates both windows — same
+    # partitioning, so Catalyst plans one Exchange and two sorts.
     is_ref = F.col(_PROBE) == 0
-    carried = unioned.select(
-        *unioned.columns,
-        *[
-            F.last(F.when(is_ref, F.col(v)), ignorenulls=True)
-            .over(w)
-            .alias(f"__c_{v}")
-            for v in value_cols
-        ],
-        F.last(F.when(is_ref, F.col(_T)), ignorenulls=True).over(w).alias(_REF_T),
-    )
-    out = carried.filter(F.col(_PROBE) == 1)
+    probe_order = F.col(_PROBE).asc() if allow_exact_matches else F.col(_PROBE).desc()
 
-    if tolerance_seconds is not None:
-        gap_ok = F.abs(
-            F.unix_micros(F.col(_T)) - F.unix_micros(F.col(_REF_T))
-        ) <= F.lit(int(tolerance_seconds * 1_000_000))
+    def _carry(df: DataFrame, asc: bool, suffix: str) -> DataFrame:
+        order = [
+            F.col(_T).asc() if asc else F.col(_T).desc(),
+            probe_order,
+            F.col(_TIE).asc(),  # last() sees the largest tiebreak latest
+        ]
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.select(
+            *df.columns,
+            *[
+                F.last(F.when(is_ref, F.col(v)), ignorenulls=True)
+                .over(w)
+                .alias(f"__c{suffix}_{v}")
+                for v in value_cols
+            ],
+            F.last(F.when(is_ref, F.col(_T)), ignorenulls=True)
+            .over(w)
+            .alias(f"{_REF_T}{suffix}"),
+        )
+
+    def _within_tol(ref_t_col: str):
+        if tolerance_seconds is None:
+            return F.col(ref_t_col).isNotNull()
+        # coalesce: a NULL ref time must read as "no match" (false), not
+        # SQL NULL, or the nearest-side selection below mis-branches
+        return F.coalesce(
+            F.abs(F.unix_micros(F.col(_T)) - F.unix_micros(F.col(ref_t_col)))
+            <= F.lit(int(tolerance_seconds * 1_000_000)),
+            F.lit(False),
+        )
+
+    if direction in ("backward", "forward"):
+        carried = _carry(unioned, asc=direction == "backward", suffix="")
+        out = carried.filter(F.col(_PROBE) == 1)
+        ok = _within_tol(_REF_T)
         out = out.select(
             *probe_out,
-            F.when(gap_ok, F.col(_REF_T)).alias(_REF_T),
+            F.when(ok, F.col(_REF_T)).alias(_REF_T),
+            *[F.when(ok, F.col(f"__c_{v}")).alias(f"__c_{v}") for v in value_cols],
+        )
+    else:  # nearest
+        carried = _carry(_carry(unioned, asc=True, suffix="_b"), asc=False, suffix="_f")
+        out = carried.filter(F.col(_PROBE) == 1)
+        ok_b = _within_tol(f"{_REF_T}_b")
+        ok_f = _within_tol(f"{_REF_T}_f")
+        gap_b = F.abs(F.unix_micros(F.col(_T)) - F.unix_micros(F.col(f"{_REF_T}_b")))
+        gap_f = F.abs(F.unix_micros(F.col(_T)) - F.unix_micros(F.col(f"{_REF_T}_f")))
+        # backward wins exact-distance ties (pandas 'nearest' behavior)
+        use_b = ok_b & (~ok_f | (gap_b <= gap_f))
+        use_f = ok_f & ~use_b
+        out = out.select(
+            *probe_out,
+            F.when(use_b, F.col(f"{_REF_T}_b"))
+            .when(use_f, F.col(f"{_REF_T}_f"))
+            .alias(_REF_T),
             *[
-                F.when(gap_ok, F.col(f"__c_{v}")).alias(f"__c_{v}")
+                F.when(use_b, F.col(f"__c_b_{v}"))
+                .when(use_f, F.col(f"__c_f_{v}"))
+                .alias(f"__c_{v}")
                 for v in value_cols
             ],
         )
     if how == "inner":
-        out = out.filter(F.col(f"__c_{value_cols[0]}").isNotNull())
+        out = out.filter(F.col(_REF_T).isNotNull())
     return out.select(
         *probe_out,
         F.col(_REF_T).alias("matched_ts"),

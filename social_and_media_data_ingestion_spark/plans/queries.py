@@ -1937,16 +1937,17 @@ PRIORITY_HEAD = [
     "events_audience_overlap",
     "docs_topk_per_source",
     "sample_fixed_quota_per_source",
-    "events_percent_change_daily",
     # -- new in round 4 (second batch): temporal joins, repetition
     #    signals, and the word-boundary Aho-Corasick query — first
-    #    driver evidence needed. The 5 never-sampled entries displaced
-    #    (agg_bitwise_masks, events_hour_profile, customer_segment_mix,
+    #    driver evidence needed. The 6 never-sampled entries displaced
+    #    (events_percent_change_daily, agg_bitwise_masks,
+    #    events_hour_profile, customer_segment_mix,
     #    orders_size_distribution, lineitem_ship_latency) rotate in
     #    next round.
     "f3_keyword_word_5k",
     "j9_asof_view_purchase",
     "j10_asof_tolerance_1h",
+    "j11_asof_nearest_purchase",
     "events_coactivity_histogram",
     "text_repetition_signals",
 ]

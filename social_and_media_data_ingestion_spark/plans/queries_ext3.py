@@ -126,6 +126,58 @@ def j10_asof_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# J11 — AS-OF 'nearest': the closer of the last-prior and first-later
+# purchase (backward wins exact-distance ties — pandas merge_asof
+# parity). Operator: both carry directions over ONE shuffle (two sorts,
+# same hashpartitioning). Oracle: two DuckDB ASOF joins (>= and <=)
+# merged by explicit microsecond gap comparison.
+# =============================================================================
+@q(
+    "j11_asof_nearest_purchase",
+    _ASOF_CTES
+    + """
+    , b AS (
+      SELECT v.event_id, p.ts AS bts, p.value AS bval
+      FROM vw v ASOF LEFT JOIN pur p
+        ON v.user_id = p.user_id AND v.ts >= p.ts
+    ),
+    f AS (
+      SELECT v.event_id, p.ts AS fts, p.value AS fval
+      FROM vw v ASOF LEFT JOIN pur p
+        ON v.user_id = p.user_id AND v.ts <= p.ts
+    )
+    SELECT v.event_id,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                     epoch_us(v.ts) - epoch_us(bts)
+                       <= epoch_us(fts) - epoch_us(v.ts))
+                THEN bts ELSE fts END AS nearest_purchase_ts,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                     epoch_us(v.ts) - epoch_us(bts)
+                       <= epoch_us(fts) - epoch_us(v.ts))
+                THEN bval ELSE fval END AS nearest_purchase_value
+    FROM vw v
+    JOIN b USING (event_id)
+    JOIN f USING (event_id)
+    """,
+)
+def j11_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = asof_join(
+        _views(spark, sf_dir),
+        _purchases(spark, sf_dir),
+        on=["user_id"],
+        probe_ts="ts",
+        ref_ts="ts",
+        value_cols=["value"],
+        direction="nearest",
+    )
+    return res.select(
+        "event_id",
+        F.col("matched_ts").alias("nearest_purchase_ts"),
+        F.col("value").alias("nearest_purchase_value"),
+    )
+
+
+# =============================================================================
 # Bounded time-band join — co-activity: for every event, how many events
 # by OTHER users happened within ±60 s; reported as a histogram
 # (coactivity level -> number of events). The operator buckets time at

@@ -199,3 +199,82 @@ def test_band_join_boundary_inclusive(spark):
     got = time_band_join(p, r, "ts", "ts", band_seconds=60.0).collect()
     vs = sorted(row.r_v for row in got)
     assert vs == [1.0, 2.0]  # ±60 s inclusive; 60.000001 s excluded
+
+
+def _model_nearest(probe, ref, tol=None, exact=True):
+    out = {}
+    for pid, k, pts in probe:
+        best = None
+        for rk, rts, v in ref:
+            if rk != k:
+                continue
+            if not exact and rts == pts:
+                continue
+            gap = abs((pts - rts).total_seconds())
+            if tol is not None and gap > tol:
+                continue
+            # backward (rts <= pts) wins exact-distance ties
+            rank = (gap, 0 if rts <= pts else 1, -rts.timestamp())
+            if best is None or rank < best[0]:
+                best = (rank, rts, v)
+        out[pid] = None if best is None else (best[1], best[2])
+    return out
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    p, r, probe, ref = _frames(spark)
+    got = asof_join(
+        p, r, on=["k"], probe_ts="ts", ref_ts="ts", value_cols=["v"],
+        direction="nearest",
+    ).collect()
+    want = _model_nearest(probe, ref)
+    for row in got:
+        exp = want[row.pid]
+        if exp is None:
+            assert row.matched_ts is None and row.v is None, row
+        else:
+            assert row.matched_ts == exp[0], (row, exp)
+
+
+def test_asof_nearest_with_tolerance(spark):
+    p, r, probe, ref = _frames(spark)
+    got = asof_join(
+        p, r, on=["k"], probe_ts="ts", ref_ts="ts", value_cols=["v"],
+        direction="nearest", tolerance_seconds=50.0,
+    ).collect()
+    want = _model_nearest(probe, ref, tol=50.0)
+    for row in got:
+        exp = want[row.pid]
+        if exp is None:
+            assert row.matched_ts is None, row
+        else:
+            assert row.matched_ts == exp[0], (row, exp)
+
+
+def test_asof_strict_excludes_equal_instant(spark):
+    t0 = _ts(100)
+    p = spark.createDataFrame([(1, 1, t0)], ["pid", "k", "ts"])
+    r = spark.createDataFrame(
+        [(1, t0, 9.0), (1, _ts(50), 5.0)], ["k", "ts", "v"]
+    )
+    incl = asof_join(
+        p, r, on=["k"], probe_ts="ts", ref_ts="ts", value_cols=["v"]
+    ).collect()
+    strict = asof_join(
+        p, r, on=["k"], probe_ts="ts", ref_ts="ts", value_cols=["v"],
+        allow_exact_matches=False,
+    ).collect()
+    assert incl[0].v == 9.0      # equal instant matches by default
+    assert strict[0].v == 5.0    # strict falls back to the earlier ref
+
+
+def test_asof_nearest_single_exchange(spark):
+    p, r, _, _ = _frames(spark)
+    df = asof_join(
+        p, r, on=["k"], probe_ts="ts", ref_ts="ts", value_cols=["v"],
+        direction="nearest",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # both window passes share one hashpartitioning exchange on k
+    assert plan.count("Exchange hashpartitioning") == 1
