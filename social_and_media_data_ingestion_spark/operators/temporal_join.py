@@ -64,7 +64,9 @@ def asof_join(
     comparison strict (pandas parity), excluding equal-instant refs.
 
     `tolerance_seconds` nulls the match when |probe_ts - matched ref_ts|
-    exceeds it (timestamp columns only). `ref_tiebreak` names a
+    exceeds it (in seconds for timestamp axes; in the column's own units
+    for numeric ordering axes — versions, offsets, sequence numbers).
+    `ref_tiebreak` names a
     reference column that deterministically breaks ties between
     reference rows sharing (keys, ts): the row with the LARGEST
     tiebreak value wins; without it, equal-ts reference rows give a
@@ -139,14 +141,25 @@ def asof_join(
             .alias(f"{_REF_T}{suffix}"),
         )
 
+    # gap arithmetic: exact integer microseconds for timestamps, plain
+    # numeric difference for numeric ordering axes (versions, offsets)
+    ts_is_time = "timestamp" in dict(probe.dtypes)[probe_ts]
+
+    def _num(c):
+        return F.unix_micros(F.col(c)) if ts_is_time else F.col(c).cast("double")
+
+    def _tol_lit():
+        return F.lit(
+            int(tolerance_seconds * 1_000_000) if ts_is_time else tolerance_seconds
+        )
+
     def _within_tol(ref_t_col: str):
         if tolerance_seconds is None:
             return F.col(ref_t_col).isNotNull()
         # coalesce: a NULL ref time must read as "no match" (false), not
         # SQL NULL, or the nearest-side selection below mis-branches
         return F.coalesce(
-            F.abs(F.unix_micros(F.col(_T)) - F.unix_micros(F.col(ref_t_col)))
-            <= F.lit(int(tolerance_seconds * 1_000_000)),
+            F.abs(_num(_T) - _num(ref_t_col)) <= _tol_lit(),
             F.lit(False),
         )
 
@@ -164,8 +177,8 @@ def asof_join(
         out = carried.filter(F.col(_PROBE) == 1)
         ok_b = _within_tol(f"{_REF_T}_b")
         ok_f = _within_tol(f"{_REF_T}_f")
-        gap_b = F.abs(F.unix_micros(F.col(_T)) - F.unix_micros(F.col(f"{_REF_T}_b")))
-        gap_f = F.abs(F.unix_micros(F.col(_T)) - F.unix_micros(F.col(f"{_REF_T}_f")))
+        gap_b = F.abs(_num(_T) - _num(f"{_REF_T}_b"))
+        gap_f = F.abs(_num(_T) - _num(f"{_REF_T}_f"))
         # backward wins exact-distance ties (pandas 'nearest' behavior)
         use_b = ok_b & (~ok_f | (gap_b <= gap_f))
         use_f = ok_f & ~use_b
@@ -211,13 +224,22 @@ def time_band_join(
     once because a reference row occupies a single bucket.
 
     Output columns are prefixed (`p_`/`r_`) to keep self-joins legal.
-    Time comparison is exact integer microseconds on both sides.
+    Time comparison is exact integer microseconds for timestamp axes;
+    numeric ordering axes (versions, offsets) compare in their own
+    units, with `band_seconds` read as a plain band width.
     """
-    band_us = int(band_seconds * 1_000_000)
+    if band_seconds <= 0:
+        raise ValueError(f"band_seconds must be > 0, got {band_seconds!r}")
+    ts_is_time = "timestamp" in dict(probe.dtypes)[probe_ts]
+    band_us = int(band_seconds * 1_000_000) if ts_is_time else band_seconds
     on = list(on)
 
     def bucketed(df: DataFrame, ts: str, prefix: str, explode: bool) -> DataFrame:
-        us = F.unix_micros(F.col(ts))
+        us = (
+            F.unix_micros(F.col(ts))
+            if ts_is_time
+            else F.col(ts).cast("double")
+        )
         b = F.floor(us / F.lit(band_us))
         cols = [F.col(c).alias(f"{prefix}{c}") for c in df.columns]
         keys = [F.col(k).alias(f"__k_{k}") for k in on]

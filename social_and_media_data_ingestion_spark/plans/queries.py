@@ -1935,12 +1935,12 @@ PRIORITY_HEAD = [
     "emb_dim_variance",
     "dedup_canonical_selection",
     "events_audience_overlap",
-    "docs_topk_per_source",
-    "sample_fixed_quota_per_source",
     # -- new in round 4 (second batch): temporal joins, repetition
-    #    signals, and the word-boundary Aho-Corasick query — first
-    #    driver evidence needed. The 6 never-sampled entries displaced
-    #    (events_percent_change_daily, agg_bitwise_masks,
+    #    signals, decayed-activity features, weighted reservoir
+    #    sampling, and the word-boundary Aho-Corasick query — first
+    #    driver evidence needed. The 8 never-sampled entries displaced
+    #    (docs_topk_per_source, sample_fixed_quota_per_source,
+    #    events_percent_change_daily, agg_bitwise_masks,
     #    events_hour_profile, customer_segment_mix,
     #    orders_size_distribution, lineitem_ship_latency) rotate in
     #    next round.
@@ -1950,6 +1950,8 @@ PRIORITY_HEAD = [
     "j11_asof_nearest_purchase",
     "events_coactivity_histogram",
     "text_repetition_signals",
+    "events_decayed_activity",
+    "sample_weighted_reservoir",
 ]
 
 

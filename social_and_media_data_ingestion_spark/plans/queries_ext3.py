@@ -222,6 +222,70 @@ def events_coactivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Time-decayed activity feature (EWMA-style, feature-store staple): for
+# every event, sum of 2^(-age/1800s) over the same user's events in the
+# PRECEDING hour (half-life 30 min), averaged per event type. Built ON
+# the band join: the classic carry-forward EWMA factorization
+# (exp(-λt)·Σ exp(λt_i)) overflows double once t_i spans days, so the
+# decay exponent is computed PER PAIR — bounded [0, 2] inside the 1 h
+# band — which the bucket equi-join makes scale-legal. Oracle: DuckDB
+# inequality join with the identical per-pair formula.
+# =============================================================================
+@q(
+    "events_decayed_activity",
+    """
+    WITH pairs AS (
+      SELECT e1.event_id AS pid,
+             sum(power(2.0, -(epoch_us(e1.ts) - epoch_us(e2.ts)) / 1800000000.0))
+               AS decayed
+      FROM events e1 JOIN events e2
+        ON e2.user_id = e1.user_id
+       AND e2.ts >= e1.ts - INTERVAL 3600 SECOND
+       AND e2.ts < e1.ts
+      GROUP BY 1
+    )
+    SELECT e.event_type,
+           floor(avg(coalesce(p.decayed, 0.0)) * 10000 + 0.5) / 10000
+             AS avg_decayed_activity,
+           count(*)::BIGINT AS n_events
+    FROM events e LEFT JOIN pairs p ON e.event_id = p.pid
+    GROUP BY 1
+    """,
+)
+def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    pairs = time_band_join(
+        ev.select("event_id", "user_id", "ts"),
+        ev.select("user_id", "ts"),
+        "ts",
+        "ts",
+        band_seconds=3600.0,
+        on=["user_id"],
+    )
+    age_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("r_ts"))
+    decayed = (
+        pairs.filter((age_us > 0) & (age_us <= 3_600_000_000))
+        .groupBy("p_event_id")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -age_us / F.lit(1_800_000_000.0))).alias(
+                "decayed"
+            )
+        )
+    )
+    return (
+        ev.join(decayed, ev.event_id == decayed.p_event_id, "left")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.floor(F.avg(F.coalesce("decayed", F.lit(0.0))) * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("avg_decayed_activity"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# =============================================================================
 # Gopher-style repetition signals (Rae et al. 2021 quality filters):
 # per-document top-word fraction, top-bigram fraction, and duplicate-
 # trigram fraction, averaged per source. The n-gram mode fractions go
@@ -230,6 +294,67 @@ def events_coactivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from array_distinct — zero extra shuffle. floor(x*1e6+0.5)/1e6
 # rounding on both engines (repo convention).
 # =============================================================================
+# =============================================================================
+# Weighted reservoir sampling (Efraimidis–Espirakis A-ES): top-5 docs per
+# source ranked by u^(1/w), u a deterministic integer-hash uniform and
+# w = ln(1 + n_chars) the sampling weight — longer documents win
+# proportionally more often, and the draw is reproducible across engines
+# and runs (repo convention: pure-integer hashing, no RNG). One window
+# shuffle on source; at scale the per-partition top-k pre-reduction
+# (TakeOrdered-style) bounds the exchange. Complements the uniform
+# quota/rate samplers (sample_fixed_quota_per_source, stratified_hash).
+# =============================================================================
+@q(
+    "sample_weighted_reservoir",
+    """
+    WITH k AS (
+      SELECT source, doc_id,
+             (((doc_id * 2654435761) % 1000000007) % 1000000 + 1) / 1000001.0
+               AS u,
+             ln(1.0 + greatest(n_chars, 1)) AS w
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, power(u, 1.0 / w) AS key,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY power(u, 1.0 / w) DESC, doc_id ASC
+             ) AS rk
+      FROM k
+    )
+    SELECT source, doc_id,
+           floor(key * 1000000 + 0.5) / 1000000 AS sample_key
+    FROM r WHERE rk <= 5
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)) % F.lit(1000000)
+        + 1
+    ) / F.lit(1000001.0)
+    # greatest(n_chars, 1): an empty doc must not put a zero in the
+    # weight denominator (engines disagree on double x/0)
+    key = F.pow(
+        u, F.lit(1.0) / F.log(F.lit(1.0) + F.greatest("n_chars", F.lit(1)))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", key.alias("key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "doc_id",
+            (F.floor(F.col("key") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "sample_key"
+            ),
+        )
+    )
+
+
 _SPARK_TOKS = r"filter(split(lower(trim(text)), '\\s+'), x -> x != '')"
 _SPARK_BIGRAMS = (
     "transform(sequence(1, size(toks) - 1), "

@@ -278,3 +278,42 @@ def test_asof_nearest_single_exchange(spark):
     assert "Join" not in plan
     # both window passes share one hashpartitioning exchange on k
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_numeric_axis_with_tolerance(spark):
+    # as-of on a plain numeric ordering axis (schema versions), not time
+    p = spark.createDataFrame(
+        [(1, 1, 17), (2, 1, 4), (3, 1, 100)], ["pid", "k", "ver"]
+    )
+    r = spark.createDataFrame(
+        [(1, 3, 30.0), (1, 15, 150.0), (1, 40, 400.0)], ["k", "ver", "v"]
+    )
+    got = {
+        row.pid: (row.matched_ts, row.v)
+        for row in asof_join(
+            p, r, on=["k"], probe_ts="ver", ref_ts="ver", value_cols=["v"],
+            tolerance_seconds=5,  # 5 "versions" on a numeric axis
+        ).collect()
+    }
+    assert got[1] == (15, 150.0)       # gap 2 <= 5
+    assert got[2] == (3, 30.0)         # gap 1 <= 5
+    assert got[3] == (None, None)      # nearest prior is 40, gap 60 > 5
+
+
+def test_band_join_numeric_axis(spark):
+    p = spark.createDataFrame([(1, 0, 100), (2, 0, 250)], ["pid", "k", "x"])
+    r = spark.createDataFrame(
+        [(0, 90, 1.0), (0, 160, 2.0), (0, 240, 3.0)], ["k", "x", "v"]
+    )
+    got = time_band_join(p, r, "x", "x", band_seconds=60).collect()
+    pairs = sorted((row.p_pid, row.r_v) for row in got)
+    assert pairs == [(1, 1.0), (1, 2.0), (2, 3.0)]
+
+
+def test_band_join_rejects_nonpositive_band(spark):
+    p = spark.createDataFrame([(1, 0, 100)], ["pid", "k", "x"])
+    try:
+        time_band_join(p, p, "x", "x", band_seconds=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
