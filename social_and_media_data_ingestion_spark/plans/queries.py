@@ -1934,12 +1934,12 @@ PRIORITY_HEAD = [
     "text_boilerplate_fraction",
     "emb_dim_variance",
     "dedup_canonical_selection",
-    "events_audience_overlap",
-    # -- new in round 4 (second batch): temporal joins, repetition
-    #    signals, decayed-activity features, weighted reservoir
-    #    sampling, and the word-boundary Aho-Corasick query — first
-    #    driver evidence needed. The 8 never-sampled entries displaced
-    #    (docs_topk_per_source, sample_fixed_quota_per_source,
+    # -- new in round 4 (second batch): temporal joins (batch and
+    #    streaming), repetition signals, decayed-activity features,
+    #    weighted reservoir sampling, and the word-boundary Aho-Corasick
+    #    query — first driver evidence needed. The 9 never-sampled
+    #    entries displaced (events_audience_overlap,
+    #    docs_topk_per_source, sample_fixed_quota_per_source,
     #    events_percent_change_daily, agg_bitwise_masks,
     #    events_hour_profile, customer_segment_mix,
     #    orders_size_distribution, lineitem_ship_latency) rotate in
@@ -1952,6 +1952,7 @@ PRIORITY_HEAD = [
     "text_repetition_signals",
     "events_decayed_activity",
     "sample_weighted_reservoir",
+    "stream_asof_enrich_purchases",
 ]
 
 

@@ -295,6 +295,55 @@ def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounding on both engines (repo convention).
 # =============================================================================
 # =============================================================================
+# Streaming point-in-time enrichment — the j9 as-of join run as a
+# STREAM: views arrive as micro-batches, each batch as-of joins the
+# static purchase reference via foreachBatch (the window as-of spelling
+# can't run natively on a stream), results append to parquet, the
+# drained output is returned. Per-batch as-of == whole-stream as-of
+# because a probe's match depends only on the static reference — so the
+# SAME DuckDB ASOF JOIN oracle as the batch query must hash-match.
+# =============================================================================
+@q(
+    "stream_asof_enrich_purchases",
+    _ASOF_CTES
+    + """
+    SELECT v.event_id,
+           p.ts    AS last_purchase_ts,
+           p.value AS last_purchase_value
+    FROM vw v ASOF LEFT JOIN pur p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def stream_asof_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from social_and_media_data_ingestion_spark.plans.tables import events_stream
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        stream_asof_enrich,
+    )
+
+    views = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select("event_id", "user_id", "ts")
+    base = tempfile.mkdtemp(prefix="asof_stream_")
+    out = stream_asof_enrich(
+        views,
+        _purchases(spark, sf_dir),
+        out_dir=f"{base}/out",
+        checkpoint_dir=f"{base}/chk",
+        on=["user_id"],
+        probe_ts="ts",
+        ref_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        F.col("matched_ts").alias("last_purchase_ts"),
+        F.col("value").alias("last_purchase_value"),
+    )
+
+
+# =============================================================================
 # Weighted reservoir sampling (Efraimidis–Espirakis A-ES): top-5 docs per
 # source ranked by u^(1/w), u a deterministic integer-hash uniform and
 # w = ln(1 + n_chars) the sampling weight — longer documents win

@@ -178,3 +178,57 @@ def stream_static_enrich(
     allowlist semi-join (reddit_subm_extraction.py:52-55) applied to a
     live feed."""
     return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def stream_asof_enrich(
+    stream_df: DataFrame,
+    ref_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    on: list[str],
+    probe_ts: str,
+    ref_ts: str,
+    value_cols: list[str],
+    **asof_kwargs,
+) -> DataFrame:
+    """Streaming point-in-time (as-of) enrichment against a STATIC
+    reference: each micro-batch runs operators.temporal_join.asof_join
+    via foreachBatch and appends to `out_dir` (parquet). Correct under
+    ANY batching: a probe's match depends only on the static reference,
+    never on other probes, so per-batch as-of == whole-stream as-of
+    (pinned by tests/test_temporal_join.py::test_stream_asof_multi_batch
+    with a multi-file multi-batch source).
+
+    The window-based as-of spelling itself cannot run inside Structured
+    Streaming (non-time windows are unsupported on streams); foreachBatch
+    is the standard escape hatch, and the feature-store "enrich events
+    with the latest model/price/config version at event time" pattern is
+    exactly this shape. Drains with availableNow and returns a batch
+    DataFrame over the appended output.
+    """
+    from social_and_media_data_ingestion_spark.operators.temporal_join import (
+        asof_join,
+    )
+
+    spark = stream_df.sparkSession
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        asof_join(
+            batch_df,
+            ref_df,
+            on=on,
+            probe_ts=probe_ts,
+            ref_ts=ref_ts,
+            value_cols=value_cols,
+            **asof_kwargs,
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

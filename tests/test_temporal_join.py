@@ -317,3 +317,64 @@ def test_band_join_rejects_nonpositive_band(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_stream_asof_multi_batch(spark, tmp_path):
+    """Per-micro-batch as-of == whole-input as-of: a 3-file source with
+    maxFilesPerTrigger=1 forces 3 micro-batches; the drained result must
+    equal the batch join bit-for-bit."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        stream_asof_enrich,
+    )
+
+    rng = random.Random(11)
+    probe = [(i, rng.randrange(5), rng.randrange(0, 5000)) for i in range(90)]
+    ref = [(rng.randrange(5), rng.randrange(0, 5000), float(i)) for i in range(40)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for fi in range(3):
+        chunk = [r for r in probe if r[0] % 3 == fi]
+        tbl = pa.table(
+            {
+                "pid": pa.array([r[0] for r in chunk], pa.int64()),
+                "k": pa.array([r[1] for r in chunk], pa.int64()),
+                "x": pa.array([r[2] for r in chunk], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(src / f"f{fi}.parquet"))
+
+    r_df = spark.createDataFrame(ref, "k bigint, x bigint, v double")
+    stream = (
+        spark.readStream.schema("pid bigint, k bigint, x bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_asof_enrich(
+        stream,
+        r_df,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        on=["k"],
+        probe_ts="x",
+        ref_ts="x",
+        value_cols=["v"],
+    )
+    p_df = spark.createDataFrame(probe, "pid bigint, k bigint, x bigint")
+    from social_and_media_data_ingestion_spark.operators.temporal_join import (
+        asof_join,
+    )
+
+    want = asof_join(
+        p_df, r_df, on=["k"], probe_ts="x", ref_ts="x", value_cols=["v"]
+    )
+    got_rows = sorted((r.pid, r.matched_ts, r.v) for r in out.collect())
+    want_rows = sorted((r.pid, r.matched_ts, r.v) for r in want.collect())
+    assert got_rows == want_rows
+    # the source really was split into 3 micro-batches
+    commits = os.listdir(tmp_path / "chk" / "commits")
+    assert len([c for c in commits if not c.startswith(".")]) == 3
