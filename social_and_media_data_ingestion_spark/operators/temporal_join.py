@@ -85,6 +85,12 @@ def asof_join(
         raise ValueError(f"how must be left|inner, got {how!r}")
     on = list(on)
     value_cols = list(value_cols)
+    clash = set(value_cols) & set(probe.columns)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} collide with probe columns — "
+            "rename one side before joining"
+        )
     ref_types = dict(ref.dtypes)
     probe_out = [c for c in probe.columns]
 

@@ -378,3 +378,13 @@ def test_stream_asof_multi_batch(spark, tmp_path):
     # the source really was split into 3 micro-batches
     commits = os.listdir(tmp_path / "chk" / "commits")
     assert len([c for c in commits if not c.startswith(".")]) == 3
+
+
+def test_asof_rejects_value_col_collision(spark):
+    p = spark.createDataFrame([(1, 1, 10, 0.0)], ["pid", "k", "ts", "v"])
+    r = spark.createDataFrame([(1, 5, 1.0)], ["k", "ts", "v"])
+    try:
+        asof_join(p, r, on=["k"], probe_ts="ts", ref_ts="ts", value_cols=["v"])
+        raise AssertionError("expected ValueError")
+    except ValueError as ex:
+        assert "collide" in str(ex)
