@@ -344,6 +344,143 @@ def stream_asof_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Streaming near-duplicate filter — ONLINE ingestion dedup: documents
+# arrive as micro-batches and each batch is probed against the STATIC
+# already-ingested corpus (doc_id < 250) through an inverted word-3-gram
+# shingle index; a new doc is flagged dup when its Jaccard vs any static
+# doc reaches 0.5 (dup_of = best match, ties to the lowest id). The
+# index join shuffles on the shingle (vocabulary-bounded), the verify is
+# candidates-only — the same scale posture as the batch near-dedup
+# stack, applied per batch. Per-batch == whole-stream because each new
+# doc is judged against the static side only. The reference dedupes
+# batch-wise before its regex filter (parser_media_articles.py:84-85);
+# this is that semantic on a live feed. Oracle: the identical
+# split/index/Jaccard computation in DuckDB SQL.
+# =============================================================================
+_NEARDUP_SPLIT = 250
+_DUCK_SH3 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+@q(
+    "stream_neardup_filter",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tg AS (SELECT doc_id, {_DUCK_SH3} AS sh FROM tok),
+    sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM tg),
+    stat AS (SELECT doc_id AS sid, unnest(sh) AS s FROM tg
+             WHERE doc_id < {_NEARDUP_SPLIT}),
+    new AS (SELECT doc_id AS nid, unnest(sh) AS s FROM tg
+            WHERE doc_id >= {_NEARDUP_SPLIT}),
+    inter AS (
+      SELECT nid, sid, count(*)::BIGINT AS i
+      FROM new JOIN stat ON new.s = stat.s
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT nid, sid,
+             i::DOUBLE / (sn.sz + ss.sz - i) AS j
+      FROM inter
+      JOIN sizes sn ON sn.doc_id = nid
+      JOIN sizes ss ON ss.doc_id = sid
+      WHERE i::DOUBLE / (sn.sz + ss.sz - i) >= 0.5
+    ),
+    best AS (
+      SELECT nid, sid, j,
+             row_number() OVER (PARTITION BY nid ORDER BY j DESC, sid) AS rk
+      FROM jac
+    )
+    SELECT t.doc_id,
+           b.sid IS NOT NULL AS is_dup,
+           b.sid AS dup_of,
+           round(b.j, 6) AS jaccard
+    FROM tg t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+      ON t.doc_id = b.nid
+    WHERE t.doc_id >= {_NEARDUP_SPLIT}
+    """,
+)
+def stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        _shingle_array,
+        word_shingles,
+    )
+    from social_and_media_data_ingestion_spark.plans.tables import documents_stream
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        stream_transform_to_parquet,
+    )
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    static = docs.filter(F.col("doc_id") < _NEARDUP_SPLIT)
+    # built once, reused by every micro-batch probe
+    static_idx = word_shingles(static, "doc_id", "text", n=3).select(
+        F.col("id").alias("sid"), F.col("shingle").alias("s")
+    ).cache()
+    static_sizes = static.select(
+        F.col("doc_id").alias("sid"),
+        F.size(F.array_distinct(_shingle_array("text", 3))).cast("long").alias(
+            "s_sz"
+        ),
+    ).cache()
+
+    def probe(batch_df: DataFrame) -> DataFrame:
+        new = batch_df.select(
+            "doc_id",
+            F.array_distinct(_shingle_array("text", 3)).alias("sh"),
+        )
+        new_sh = new.select(
+            F.col("doc_id").alias("nid"), F.explode("sh").alias("s")
+        )
+        inter = (
+            new_sh.join(static_idx, "s")
+            .groupBy("nid", "sid")
+            .agg(F.count("*").alias("i"))
+        )
+        jac = (
+            inter.join(
+                new.select(
+                    F.col("doc_id").alias("nid"),
+                    F.size("sh").cast("long").alias("n_sz"),
+                ),
+                "nid",
+            )
+            .join(static_sizes, "sid")
+            .withColumn(
+                "j", F.col("i") / (F.col("n_sz") + F.col("s_sz") - F.col("i"))
+            )
+            .filter(F.col("j") >= 0.5)
+        )
+        w = Window.partitionBy("nid").orderBy(F.desc("j"), F.asc("sid"))
+        best = (
+            jac.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("nid", "sid", "j")
+        )
+        return (
+            new.select("doc_id")
+            .join(best, new.doc_id == best.nid, "left")
+            .select(
+                "doc_id",
+                F.col("sid").isNotNull().alias("is_dup"),
+                F.col("sid").alias("dup_of"),
+                F.round("j", 6).alias("jaccard"),
+            )
+        )
+
+    base = tempfile.mkdtemp(prefix="neardup_stream_")
+    stream = documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") >= _NEARDUP_SPLIT
+    )
+    return stream_transform_to_parquet(
+        stream, probe, f"{base}/out", f"{base}/chk"
+    )
+
+
+# =============================================================================
 # Weighted reservoir sampling (Efraimidis–Espirakis A-ES): top-5 docs per
 # source ranked by u^(1/w), u a deterministic integer-hash uniform and
 # w = ln(1 + n_chars) the sampling weight — longer documents win

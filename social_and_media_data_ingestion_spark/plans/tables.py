@@ -80,6 +80,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_ts(stream)
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over documents.parquet (schema probed from a batch
+    read — metadata-only; no timestamp column, so no normalization)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        # glob form: FileStreamSource requires a directory basePath
+        .load(f"{sf_dir}/documents.parque[t]")
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view so callers can use the
     plain SQL entry point (spark.sql) over the same data the DataFrame

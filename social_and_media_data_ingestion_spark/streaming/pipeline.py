@@ -180,6 +180,34 @@ def stream_static_enrich(
     return stream_df.join(F.broadcast(dim_df), on, how)
 
 
+def stream_transform_to_parquet(
+    stream_df: DataFrame,
+    transform,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Run an arbitrary batch transform per micro-batch (foreachBatch),
+    appending each batch's result to `out_dir`; drain with availableNow
+    and return a batch DataFrame over the combined output. The escape
+    hatch for operators Structured Streaming can't express natively
+    (non-time windows, iterative logic) — correct whenever the transform
+    treats rows independently of which batch they arrive in."""
+    spark = stream_df.sparkSession
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        transform(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def stream_asof_enrich(
     stream_df: DataFrame,
     ref_df: DataFrame,
@@ -210,10 +238,9 @@ def stream_asof_enrich(
         asof_join,
     )
 
-    spark = stream_df.sparkSession
-
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        asof_join(
+    return stream_transform_to_parquet(
+        stream_df,
+        lambda batch_df: asof_join(
             batch_df,
             ref_df,
             on=on,
@@ -221,14 +248,7 @@ def stream_asof_enrich(
             ref_ts=ref_ts,
             value_cols=value_cols,
             **asof_kwargs,
-        ).write.mode("append").parquet(out_dir)
-
-    q = (
-        stream_df.writeStream.foreachBatch(handle)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        ),
+        out_dir,
+        checkpoint_dir,
     )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)
