@@ -424,3 +424,67 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def neardup_probe(
+    new_docs: DataFrame,
+    static_index: DataFrame,
+    static_sizes: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flag each row of `new_docs` against an already-built inverted
+    shingle index of a static corpus: (doc_id, is_dup, dup_of, jaccard)
+    with dup_of = the static doc with the highest word-n-gram Jaccard
+    >= threshold (ties to the lowest id). `static_index` is the
+    (sid, s) exploded-distinct-shingle frame from `word_shingles`
+    (renamed), `static_sizes` the (sid, s_sz) distinct-shingle counts —
+    build both ONCE and cache when probing repeatedly (the streaming
+    ingestion-dedup pattern: each micro-batch probes the same static
+    side, see plans/queries_ext3.stream_neardup_filter).
+
+    Scale: one shuffle keyed on the shingle (vocabulary-bounded), the
+    Jaccard verify runs on candidates only — never all-pairs.
+    """
+    from pyspark.sql import Window
+
+    new = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(_shingle_array(text_col, n)).alias("sh"),
+    )
+    new_sh = new.select(F.col("doc_id").alias("nid"), F.explode("sh").alias("s"))
+    inter = (
+        new_sh.join(static_index, "s").groupBy("nid", "sid").agg(
+            F.count("*").alias("i")
+        )
+    )
+    jac = (
+        inter.join(
+            new.select(
+                F.col("doc_id").alias("nid"),
+                F.size("sh").cast("long").alias("n_sz"),
+            ),
+            "nid",
+        )
+        .join(static_sizes, "sid")
+        .withColumn("j", F.col("i") / (F.col("n_sz") + F.col("s_sz") - F.col("i")))
+        .filter(F.col("j") >= threshold)
+    )
+    w = Window.partitionBy("nid").orderBy(F.desc("j"), F.asc("sid"))
+    best = (
+        jac.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("nid", "sid", "j")
+    )
+    return (
+        new.select("doc_id")
+        .join(best, new.doc_id == best.nid, "left")
+        .select(
+            "doc_id",
+            F.col("sid").isNotNull().alias("is_dup"),
+            F.col("sid").alias("dup_of"),
+            F.round("j", 6).alias("jaccard"),
+        )
+    )

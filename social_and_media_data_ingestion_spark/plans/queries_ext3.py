@@ -406,13 +406,13 @@ def stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from social_and_media_data_ingestion_spark.operators.dedup import (
         _shingle_array,
+        neardup_probe,
         word_shingles,
     )
     from social_and_media_data_ingestion_spark.plans.tables import documents_stream
     from social_and_media_data_ingestion_spark.streaming.pipeline import (
         stream_transform_to_parquet,
     )
-    from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
     static = docs.filter(F.col("doc_id") < _NEARDUP_SPLIT)
@@ -427,56 +427,17 @@ def stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).cache()
 
-    def probe(batch_df: DataFrame) -> DataFrame:
-        new = batch_df.select(
-            "doc_id",
-            F.array_distinct(_shingle_array("text", 3)).alias("sh"),
-        )
-        new_sh = new.select(
-            F.col("doc_id").alias("nid"), F.explode("sh").alias("s")
-        )
-        inter = (
-            new_sh.join(static_idx, "s")
-            .groupBy("nid", "sid")
-            .agg(F.count("*").alias("i"))
-        )
-        jac = (
-            inter.join(
-                new.select(
-                    F.col("doc_id").alias("nid"),
-                    F.size("sh").cast("long").alias("n_sz"),
-                ),
-                "nid",
-            )
-            .join(static_sizes, "sid")
-            .withColumn(
-                "j", F.col("i") / (F.col("n_sz") + F.col("s_sz") - F.col("i"))
-            )
-            .filter(F.col("j") >= 0.5)
-        )
-        w = Window.partitionBy("nid").orderBy(F.desc("j"), F.asc("sid"))
-        best = (
-            jac.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("nid", "sid", "j")
-        )
-        return (
-            new.select("doc_id")
-            .join(best, new.doc_id == best.nid, "left")
-            .select(
-                "doc_id",
-                F.col("sid").isNotNull().alias("is_dup"),
-                F.col("sid").alias("dup_of"),
-                F.round("j", 6).alias("jaccard"),
-            )
-        )
-
     base = tempfile.mkdtemp(prefix="neardup_stream_")
     stream = documents_stream(spark, sf_dir).filter(
         F.col("doc_id") >= _NEARDUP_SPLIT
     )
     return stream_transform_to_parquet(
-        stream, probe, f"{base}/out", f"{base}/chk"
+        stream,
+        lambda batch: neardup_probe(
+            batch, static_idx, static_sizes, "doc_id", "text", n=3, threshold=0.5
+        ),
+        f"{base}/out",
+        f"{base}/chk",
     )
 
 

@@ -388,3 +388,78 @@ def test_asof_rejects_value_col_collision(spark):
         raise AssertionError("expected ValueError")
     except ValueError as ex:
         assert "collide" in str(ex)
+
+
+def test_stream_neardup_multi_batch(spark, tmp_path):
+    """Per-micro-batch near-dup probing == whole-input probing: each new
+    doc is judged against the STATIC index only, so batch boundaries
+    cannot change the verdicts."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        _shingle_array,
+        neardup_probe,
+        word_shingles,
+    )
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        stream_transform_to_parquet,
+    )
+
+    static_rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+    ]
+    new_rows = [
+        (10, "alpha beta gamma delta epsilon zeta"),       # exact dup of 1
+        (11, "one two three four five six EIGHT"),         # near dup of 2
+        (12, "totally different words entirely here now"), # clean
+        (13, "alpha beta gamma delta epsilon zeta eta"),   # near dup of 1
+        (14, "unrelated content again nothing shared ok"), # clean
+        (15, "one two three four five six seven"),         # exact dup of 2
+    ]
+    static = spark.createDataFrame(static_rows, ["doc_id", "text"])
+    idx = word_shingles(static, "doc_id", "text", n=3).select(
+        F.col("id").alias("sid"), F.col("shingle").alias("s")
+    )
+    sizes = static.select(
+        F.col("doc_id").alias("sid"),
+        F.size(F.array_distinct(_shingle_array("text", 3))).cast("long").alias("s_sz"),
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for fi in range(3):
+        chunk = [r for r in new_rows if r[0] % 3 == fi]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+                    "text": pa.array([r[1] for r in chunk], pa.string()),
+                }
+            ),
+            str(src / f"f{fi}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_transform_to_parquet(
+        stream,
+        lambda b: neardup_probe(b, idx, sizes, "doc_id", "text", n=3, threshold=0.4),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    )
+    batch_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    want = neardup_probe(batch_df, idx, sizes, "doc_id", "text", n=3, threshold=0.4)
+    got_rows = sorted(tuple(r) for r in out.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert got_rows == want_rows
+    flags = {r[0]: (r[1], r[2]) for r in got_rows}
+    assert flags[10] == (True, 1) and flags[15] == (True, 2)  # exact dups
+    assert flags[13][0] is True and flags[13][1] == 1          # near dup
+    assert flags[12] == (False, None) and flags[14] == (False, None)
+    commits = os.listdir(tmp_path / "chk" / "commits")
+    assert len([c for c in commits if not c.startswith(".")]) == 3
