@@ -1931,14 +1931,13 @@ PRIORITY_HEAD = [
     "events_time_bucket_rollup",
     "text_bigram_logprob",
     "unpivot_price_components",
-    "text_boilerplate_fraction",
-    "emb_dim_variance",
     # -- new in round 4 (second batch): temporal joins (batch and
     #    streaming), repetition signals, decayed-activity features,
-    #    weighted reservoir sampling, the streaming near-dup filter, and
-    #    the word-boundary Aho-Corasick query — first driver evidence
-    #    needed. The 10 never-sampled entries displaced
-    #    (dedup_canonical_selection, events_audience_overlap,
+    #    weighted reservoir sampling, the streaming near-dup filter,
+    #    SCD2/MERGE lake ops, and the word-boundary Aho-Corasick query —
+    #    first driver evidence needed. The 12 never-sampled entries
+    #    displaced (text_boilerplate_fraction, emb_dim_variance,
+    #    dedup_canonical_selection, events_audience_overlap,
     #    docs_topk_per_source, sample_fixed_quota_per_source,
     #    events_percent_change_daily, agg_bitwise_masks,
     #    events_hour_profile, customer_segment_mix,
@@ -1954,6 +1953,8 @@ PRIORITY_HEAD = [
     "sample_weighted_reservoir",
     "stream_asof_enrich_purchases",
     "stream_neardup_filter",
+    "scd2_user_state_history",
+    "lake_merge_upsert",
 ]
 
 

@@ -286,6 +286,123 @@ def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# SCD type-2 history construction — turn the events change-log into a
+# slowly-changing-dimension state table: one row per (user, state spell)
+# with valid_from / valid_to / is_current. Pure lead() over the per-user
+# partition — ONE shuffle on the entity key, the canonical warehouse
+# spelling. Spell boundaries collapse consecutive repeats of the same
+# state first (lag != current), so re-assertions of an unchanged state
+# don't open new spells.
+# =============================================================================
+@q(
+    "scd2_user_state_history",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_type AS state,
+             lag(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, ts, state FROM log
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    log = ev.select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("state"),
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    changes = log.filter(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+# =============================================================================
+# MERGE / upsert semantics (lake table maintenance, Delta/Iceberg MERGE
+# INTO re-expressed relationally): apply a derived change-set to the
+# customer snapshot — matched keys update the balance, unmatched keys
+# insert, and matched keys flagged delete drop. The spelling is a FULL
+# OUTER join on the key (one shuffle; broadcast when the change-set is
+# small), which is exactly how a MERGE compiles when the target has no
+# transaction log. Change-set here: per-customer 1995 order revenue
+# (update), synthetic new ids (insert), and high-balance flags (delete)
+# — all derived deterministically from the test tables.
+# =============================================================================
+@q(
+    "lake_merge_upsert",
+    """
+    WITH changes AS (
+      SELECT o_custkey AS key,
+             round(sum(o_totalprice), 2) AS new_bal,
+             max(o_totalprice) > 400000 AS del
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1
+      UNION ALL
+      SELECT 1000000 + r AS key, 0.0 AS new_bal, false AS del
+      FROM (SELECT unnest(range(5)) AS r)
+    )
+    SELECT coalesce(c.c_custkey, ch.key) AS c_custkey,
+           CASE WHEN ch.key IS NULL THEN round(c.c_acctbal, 2)
+                ELSE ch.new_bal END AS c_acctbal,
+           (ch.key IS NOT NULL AND c.c_custkey IS NOT NULL) AS was_updated,
+           (c.c_custkey IS NULL) AS was_inserted
+    FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+    WHERE NOT coalesce(ch.del, false)
+    """,
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("new_bal"),
+            (F.max("o_totalprice") > 400000).alias("del"),
+        )
+    )
+    ins = spark.range(5).select(
+        (F.col("id") + 1_000_000).alias("key"),
+        F.lit(0.0).alias("new_bal"),
+        F.lit(False).alias("del"),
+    )
+    changes = upd.unionByName(ins)
+    joined = cust.join(changes, cust.c_custkey == changes.key, "full_outer")
+    return joined.filter(~F.coalesce("del", F.lit(False))).select(
+        F.coalesce(cust.c_custkey, F.col("key")).alias("c_custkey"),
+        F.when(F.col("key").isNull(), F.round("c_acctbal", 2))
+        .otherwise(F.col("new_bal"))
+        .alias("c_acctbal"),
+        (F.col("key").isNotNull() & cust.c_custkey.isNotNull()).alias(
+            "was_updated"
+        ),
+        cust.c_custkey.isNull().alias("was_inserted"),
+    )
+
+
+# =============================================================================
 # Gopher-style repetition signals (Rae et al. 2021 quality filters):
 # per-document top-word fraction, top-bigram fraction, and duplicate-
 # trigram fraction, averaged per source. The n-gram mode fractions go
