@@ -329,3 +329,20 @@ def test_coactivity_band_join_is_equi(spark):
     plan = _plan(spark, "events_coactivity_histogram")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_entity_exchange(spark):
+    """SCD2 history is windows over the entity key: exactly one
+    hash-partitioning exchange, no joins."""
+    plan = _plan(spark, "scd2_user_state_history")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_merge_upsert_is_shuffle_join_not_nested_loop(spark):
+    """MERGE compiles to a keyed full-outer join — never a nested loop;
+    at this SF the planner may pick SMJ or shuffled hash, both fine."""
+    plan = _plan(spark, "lake_merge_upsert")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
