@@ -101,3 +101,72 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             pr = pr.localCheckpoint()
     return pr.select(F.col("p_node").alias("node"), "pr")
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count + wedge count + clustering coefficient of an
+    UNDIRECTED simple graph given as (src, dst) pairs (any orientation,
+    self-loops and duplicates tolerated — canonicalized here).
+
+    Scale spelling: the degree-ordered edge iterator. Every edge is
+    oriented from the lower-(degree, id)-ranked endpoint to the higher,
+    which bounds any node's out-neighborhood by O(sqrt(m)); wedges are
+    generated per out-neighborhood self-join and closed against the
+    oriented edge set. Three hash-partitioned equi-joins total — the
+    standard distributed formulation (cf. Suri & Vassilvitskii, WWW'11,
+    "Counting Triangles and the Curse of the Last Reducer") — with no
+    quadratic hub blowup, unlike the naive undirected wedge join.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient: lower (degree, id) -> higher (degree, id)
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("o")
+        )
+        .select("o.u", "o.v")
+    )
+    w1 = ed.select(F.col("u"), F.col("v").alias("x"))
+    w2 = ed.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    closing = e.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).count()
+    n_wedges = (
+        deg.select(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long")).first()[0]
+    )
+    spark = edges.sparkSession
+    clustering = 3.0 * tri / n_wedges if n_wedges else 0.0
+    import math
+
+    return spark.createDataFrame(
+        [
+            (
+                int(tri),
+                int(n_wedges),
+                math.floor(clustering * 1_000_000 + 0.5) / 1_000_000,
+            )
+        ],
+        "n_triangles bigint, n_wedges bigint, clustering double",
+    )

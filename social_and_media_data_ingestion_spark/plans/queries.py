@@ -1930,13 +1930,13 @@ PRIORITY_HEAD = [
     "agg_mode_event_type",
     "events_time_bucket_rollup",
     "text_bigram_logprob",
-    "unpivot_price_components",
     # -- new in round 4 (second batch): temporal joins (batch and
     #    streaming), repetition signals, decayed-activity features,
     #    weighted reservoir sampling, the streaming near-dup filter,
-    #    SCD2/MERGE lake ops, and the word-boundary Aho-Corasick query —
-    #    first driver evidence needed. The 12 never-sampled entries
-    #    displaced (text_boilerplate_fraction, emb_dim_variance,
+    #    SCD2/MERGE lake ops, triangle counting, and the word-boundary
+    #    Aho-Corasick query — first driver evidence needed. The 13
+    #    never-sampled entries displaced (unpivot_price_components,
+    #    text_boilerplate_fraction, emb_dim_variance,
     #    dedup_canonical_selection, events_audience_overlap,
     #    docs_topk_per_source, sample_fixed_quota_per_source,
     #    events_percent_change_daily, agg_bitwise_masks,
@@ -1955,6 +1955,7 @@ PRIORITY_HEAD = [
     "stream_neardup_filter",
     "scd2_user_state_history",
     "lake_merge_upsert",
+    "graph_triangle_suppliers",
 ]
 
 

@@ -286,6 +286,56 @@ def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Triangle counting — global triangles / wedges / clustering coefficient
+# of the supplier co-occurrence graph (suppliers sharing an order).
+# Operator: degree-ordered edge iterator (Suri & Vassilvitskii) — each
+# edge oriented low-rank -> high-rank so no hub explodes the wedge join;
+# three keyed equi-joins, no quadratic blowup. Oracle: canonical triple
+# self-join on the a<b<c edge form.
+# =============================================================================
+@q(
+    "graph_triangle_suppliers",
+    """
+    WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+      SELECT n, count(*)::BIGINT AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY 1
+    ),
+    tri AS (
+      SELECT count(*)::BIGINT AS t
+      FROM e ab JOIN e bc ON ab.b = bc.a
+      JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    wd AS (SELECT sum(d * (d - 1) // 2)::BIGINT AS w FROM deg)
+    SELECT t AS n_triangles, w AS n_wedges,
+           CASE WHEN w = 0 THEN 0.0
+                ELSE floor(3.0 * t / w * 1000000 + 0.5) / 1000000
+           END AS clustering
+    FROM tri, wd
+    """,
+)
+def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+# =============================================================================
 # SCD type-2 history construction — turn the events change-log into a
 # slowly-changing-dimension state table: one row per (user, state spell)
 # with valid_from / valid_to / is_current. Pure lead() over the per-user

@@ -463,3 +463,23 @@ def test_stream_neardup_multi_batch(spark, tmp_path):
     assert flags[12] == (False, None) and flags[14] == (False, None)
     commits = os.listdir(tmp_path / "chk" / "commits")
     assert len([c for c in commits if not c.startswith(".")]) == 3
+
+
+def test_triangle_count_known_graphs(spark):
+    from social_and_media_data_ingestion_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4: 4 triangles, 12 wedges, clustering 1.0 — with noise the
+    # canonicalizer must absorb (dupes, reversed edges, a self-loop)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1)]
+    got = triangle_count(
+        spark.createDataFrame(noisy, ["src", "dst"])
+    ).first()
+    assert (got.n_triangles, got.n_wedges, got.clustering) == (4, 12, 1.0)
+
+    # path 0-1-2-3: no triangles, 2 wedges
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    got = triangle_count(path).first()
+    assert (got.n_triangles, got.n_wedges, got.clustering) == (0, 2, 0.0)
