@@ -68,6 +68,11 @@ HEADLINE = [
     # would show up as a cliff, not just a failed plan guard
     "j9_asof_view_purchase",
     "events_coactivity_histogram",
+    # round-4 second batch: lake ops, wedge analytics, decayed features
+    "scd2_user_state_history",
+    "lake_merge_upsert",
+    "graph_triangle_suppliers",
+    "events_decayed_activity",
 ]
 
 

@@ -117,6 +117,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     "Counting Triangles and the Curse of the Last Reducer") — with no
     quadratic hub blowup, unlike the naive undirected wedge join.
     """
+    # the canonical edge set feeds THREE consumers (degrees, wedge join,
+    # closing probe) across two actions — materialize it once instead of
+    # re-running the caller's (possibly expensive) edge derivation
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -124,6 +127,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("n"))
