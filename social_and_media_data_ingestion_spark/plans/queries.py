@@ -1929,13 +1929,13 @@ PRIORITY_HEAD = [
     "window_time_range_moving_avg",
     "agg_mode_event_type",
     "events_time_bucket_rollup",
-    "text_bigram_logprob",
     # -- new in round 4 (second batch): temporal joins (batch and
     #    streaming), repetition signals, decayed-activity features,
     #    weighted reservoir sampling, the streaming near-dup filter,
     #    SCD2/MERGE lake ops, triangle counting, and the word-boundary
-    #    Aho-Corasick query — first driver evidence needed. The 13
-    #    never-sampled entries displaced (unpivot_price_components,
+    #    Aho-Corasick query — first driver evidence needed. The 14
+    #    never-sampled entries displaced (text_bigram_logprob,
+    #    unpivot_price_components,
     #    text_boilerplate_fraction, emb_dim_variance,
     #    dedup_canonical_selection, events_audience_overlap,
     #    docs_topk_per_source, sample_fixed_quota_per_source,
@@ -1956,6 +1956,7 @@ PRIORITY_HEAD = [
     "scd2_user_state_history",
     "lake_merge_upsert",
     "graph_triangle_suppliers",
+    "text_pmi_bigrams",
 ]
 
 

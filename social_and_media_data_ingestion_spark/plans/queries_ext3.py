@@ -359,6 +359,103 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# PMI phrase detection (word2vec-style collocation scoring, Mikolov et
+# al. 2013): score adjacent bigrams by pointwise mutual information
+# ln(p(ab) / (p(a)·p(b))) with a min-count support threshold, emit the
+# top-20 collocations. Counts are partial-combinable keyed on the token
+# / bigram (vocabulary-bounded post-combine); corpus totals are scalar
+# aggregates broadcast back via cross join of a 1-row frame; top-k is
+# limit-first. The phrase-merge preprocessing step every word2vec /
+# tokenizer-training pipeline runs over a 100 TB corpus.
+# =============================================================================
+@q(
+    "text_pmi_bigrams",
+    f"""
+    WITH tk AS (SELECT {_TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT w, count(*)::BIGINT AS c
+      FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1
+    ),
+    bi AS (
+      SELECT b, count(*)::BIGINT AS c
+      FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS b
+        FROM tk
+      ) GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni)::BIGINT AS nw,
+             (SELECT sum(c) FROM bi)::BIGINT AS nb
+    ),
+    pmi AS (
+      SELECT bi.b AS bigram, bi.c AS n,
+             ln((bi.c::DOUBLE / tot.nb)
+                / ((ua.c::DOUBLE / tot.nw) * (ub.c::DOUBLE / tot.nw))) AS pmi
+      FROM bi
+      CROSS JOIN tot
+      JOIN uni ua ON ua.w = string_split(bi.b, ' ')[1]
+      JOIN uni ub ON ub.w = string_split(bi.b, ' ')[2]
+      WHERE bi.c >= 5
+    ),
+    top AS (SELECT * FROM pmi ORDER BY pmi DESC, bigram LIMIT 20)
+    SELECT bigram, n,
+           floor(pmi * 1000000 + 0.5) / 1000000 AS pmi,
+           row_number() OVER (ORDER BY pmi DESC, bigram)::BIGINT AS rk
+    FROM top
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(F.expr(_SPARK_TOKS).alias("toks"))
+    uni = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        docs.filter(F.size("toks") >= 2)
+        .select(F.explode(F.expr(_SPARK_BIGRAMS)).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("nw")).crossJoin(
+        bi.agg(F.sum("c").alias("nb"))
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    pmi = (
+        bi.filter(F.col("c") >= 5)
+        .withColumn("wa", F.split("b", " ")[0])
+        .withColumn("wb", F.split("b", " ")[1])
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("c").alias("n"),
+            F.log(
+                (F.col("c") / F.col("nb"))
+                / ((F.col("ca") / F.col("nw")) * (F.col("cb") / F.col("nw")))
+            ).alias("pmi_raw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = pmi.orderBy(F.desc("pmi_raw"), F.asc("bigram")).limit(20)
+    return top.select(
+        "bigram",
+        "n",
+        (F.floor(F.col("pmi_raw") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "pmi"
+        ),
+        F.row_number()
+        .over(Window.orderBy(F.desc("pmi_raw"), F.asc("bigram")))
+        .cast("long")
+        .alias("rk"),
+    )
+
+
+# =============================================================================
 # SCD type-2 history construction — turn the events change-log into a
 # slowly-changing-dimension state table: one row per (user, state spell)
 # with valid_from / valid_to / is_current. Pure lead() over the per-user
