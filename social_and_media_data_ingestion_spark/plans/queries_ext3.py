@@ -359,6 +359,117 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Survival analysis — customer repurchase curve: the empirical survival
+# function of inter-order gaps, S(t) = P(next order takes more than t
+# days), evaluated at the standard retention horizons. One lag() window
+# per customer (single entity-key shuffle) then scalar aggregates —
+# the churn-model feature every subscription/commerce pipeline derives.
+# =============================================================================
+@q(
+    "orders_repurchase_survival",
+    """
+    WITH gaps AS (
+      SELECT date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    h(t) AS (VALUES (7), (14), (30), (60), (90), (180))
+    SELECT h.t AS horizon_days,
+           floor(avg(CASE WHEN g.gap_days > h.t THEN 1.0 ELSE 0.0 END)
+                 * 1000000 + 0.5) / 1000000 AS survival,
+           count(*)::BIGINT AS n_gaps
+    FROM h CROSS JOIN g
+    GROUP BY 1
+    """,
+)
+def orders_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    horizons = spark.createDataFrame([(t,) for t in (7, 14, 30, 60, 90, 180)], ["t"])
+    return (
+        gaps.crossJoin(F.broadcast(horizons))
+        .groupBy(F.col("t").alias("horizon_days"))
+        .agg(
+            (
+                F.floor(
+                    F.avg(
+                        F.when(F.col("gap_days") > F.col("t"), 1.0).otherwise(0.0)
+                    )
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("survival"),
+            F.count("*").alias("n_gaps"),
+        )
+    )
+
+
+# =============================================================================
+# Benford's-law audit — data-quality / fraud screen on order amounts:
+# observed first-significant-digit frequencies vs the Benford
+# expectation log10(1 + 1/d), with the chi-square contribution per
+# digit. A 9-row vocabulary-bounded aggregate over any monetary column;
+# the classic anomaly screen run over financial fact tables at scale.
+# =============================================================================
+@q(
+    "orders_benford_audit",
+    """
+    WITH d AS (
+      -- explicit floor: DuckDB's double->BIGINT cast rounds half-even,
+      -- Spark's truncates; floor agrees everywhere
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+    tot AS (SELECT sum(n)::BIGINT AS total FROM c)
+    SELECT digit,
+           n,
+           floor(n::DOUBLE / total * 1000000 + 0.5) / 1000000 AS observed,
+           floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) / 1000000
+             AS benford,
+           floor(pow(n::DOUBLE / total - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit) * 1000000 + 0.5) / 1000000
+             AS chi2_term
+    FROM c CROSS JOIN tot
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("long").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    obs = F.col("n") / F.col("total")
+    ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+
+    def r6(x):
+        return F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        r6(obs).alias("observed"),
+        r6(ben).alias("benford"),
+        r6(F.pow(obs - ben, 2) / ben).alias("chi2_term"),
+    )
+
+
+# =============================================================================
 # PMI phrase detection (word2vec-style collocation scoring, Mikolov et
 # al. 2013): score adjacent bigrams by pointwise mutual information
 # ln(p(ab) / (p(a)·p(b))) with a min-count support threshold, emit the
