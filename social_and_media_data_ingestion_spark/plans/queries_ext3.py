@@ -359,6 +359,92 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Clustering-quality audit — per-cluster label purity of the k-means
+# assignment (majority-label fraction): the standard external evaluation
+# metric when ground-truth labels exist. Reuses the map-only assign
+# (centroid literals, no corpus×k shuffle), joins the label column, and
+# reduces to k rows via two partial-combinable aggregates. Ties on the
+# majority label break to the lower label id on both engines.
+# =============================================================================
+@q(
+    "emb_cluster_purity",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, cent.cid,
+             list_sum(list_transform(range(len(e.embedding)),
+               i -> e.embedding[i+1]::DOUBLE * ce[i+1]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE))))
+               AS cos
+      FROM embeddings e CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT vec_id, label, cid
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cid ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    lc AS (
+      SELECT cid, label, count(*)::BIGINT AS n
+      FROM assigned GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT cid, label AS majority_label, n AS n_majority,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY n DESC, label ASC) AS rk
+      FROM lc
+    ),
+    sizes AS (SELECT cid, sum(n)::BIGINT AS n_members FROM lc GROUP BY 1)
+    SELECT s.cid AS centroid_id, s.n_members,
+           b.majority_label::BIGINT AS majority_label,
+           floor(b.n_majority::DOUBLE / s.n_members * 1000000 + 0.5) / 1000000
+             AS purity
+    FROM sizes s JOIN (SELECT * FROM best WHERE rk = 1) b ON b.cid = s.cid
+    """,
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from social_and_media_data_ingestion_spark.plans.queries_ext import (
+        emb_kmeans_assign,
+    )
+
+    assigned = emb_kmeans_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lc = (
+        assigned.join(labels, "vec_id")
+        .groupBy("centroid_id", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.desc("n"), F.asc("label"))
+    best = (
+        lc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "centroid_id",
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    sizes = lc.groupBy("centroid_id").agg(F.sum("n").alias("n_members"))
+    return sizes.join(best, "centroid_id").select(
+        "centroid_id",
+        "n_members",
+        "majority_label",
+        (
+            F.floor(F.col("n_majority") / F.col("n_members") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("purity"),
+    )
+
+
+# =============================================================================
 # Survival analysis — customer repurchase curve: the empirical survival
 # function of inter-order gaps, S(t) = P(next order takes more than t
 # days), evaluated at the standard retention horizons. One lag() window
