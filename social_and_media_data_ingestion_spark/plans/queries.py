@@ -1966,6 +1966,7 @@ def registry() -> dict[str, QueryDef]:
         queries_ext,
         queries_ext2,
         queries_ext3,
+        queries_ext4,
         queries_tpch,
     )
 

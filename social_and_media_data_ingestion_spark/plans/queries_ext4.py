@@ -1,0 +1,641 @@
+"""Registry extension 4 — round-4 continuation batch: retrieval scoring
+(BM25), sketch-vs-exact frequency audit (count-min), graph link
+prediction (Adamic-Adar), time-series resample/gap-fill, robust
+(winsorized) statistics, a data-quality constraint report, and a k-NN
+label-consistency audit over the embedding corpus.
+
+These extend the LLM-training-data-pipeline layer (SURVEY §2 "beyond
+reference" operators): BM25 is the standard lexical retrieval score for
+corpus curation / dedup triage; count-min is the fixed-memory frequency
+sketch that replaces an exact groupBy at 100 TB; Adamic-Adar is the
+classic common-neighbor link-prediction feature; gap-fill is the
+dense-grid time-series prep step; the DQ report is the ingestion
+gatekeeper; the k-NN audit is the cheap label-noise detector.
+
+Scale notes (per query, also in SCALE.md):
+- BM25: ONE scalar-aggregate job (N, avgdl, per-term document
+  frequencies — the query term list is a plan-time literal), broadcast
+  back as a 1-row frame; the per-document score is then entirely
+  map-side (in-row tf over the token array). No shuffle on doc_id at
+  all — the 100 TB plan is scan + map.
+- count-min: the sketch is w×d integers; rows hash-aggregate once on
+  event_type (combiner-friendly) and everything after operates on the
+  tiny per-type frame. Cross-engine-deterministic bucket choice via the
+  polynomial string hash + universal hash family (operators/dedup.py).
+- Adamic-Adar: wedge join on the degree-bounded k-NN partner graph
+  (same edge builder as graph_triangle_suppliers — top-3 partners per
+  node keeps max degree O(k), so the wedge explosion is bounded by
+  n·k², not n·d_max²).
+- gap-fill: per-key date grids via sequence()+explode — grid size is
+  bounded by the key's own span, no driver loop, no cross join against
+  a global calendar table.
+- winsorized stats: two-pass — exact percentiles per group (one
+  hash-agg), broadcast the tiny percentile frame back, clip, aggregate.
+- DQ report: each constraint is a partial-aggregable scan; the union is
+  a plan of independent leaf scans, no shuffle beyond the final
+  1-row-per-check aggregates.
+- k-NN audit: probes are a hash-sampled subset broadcast against the
+  corpus scan (same posture as sim_cosine_topk); votes reduce per probe
+  then per label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.operators.dedup import _polyhash, _tokens
+from social_and_media_data_ingestion_spark.plans.queries import _TOKS, q
+from social_and_media_data_ingestion_spark.plans.tables import t
+
+
+def _r(col, dp: int):
+    """floor(x*10^dp + 0.5)/10^dp — the repo's cross-engine rounding
+    (half-away-from-zero on both engines, unlike round())."""
+    m = 10.0**dp
+    return F.floor(col * m + F.lit(0.5)) / F.lit(m)
+
+
+# =============================================================================
+# Retrieval — BM25 (k1=1.2, b=0.75) of every document against a fixed
+# query term set. Corpus stats (N, avgdl, df per term) come from ONE
+# scalar aggregate broadcast back as a 1-row frame; the score itself is
+# map-only (in-row term frequency over the token array). Term order in
+# the score sum is fixed (spark, vector, merge) so double addition
+# associates identically on both engines.
+# =============================================================================
+_BM25_TERMS = ["spark", "vector", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    tf = {w: f"len(list_filter(toks, x -> x = '{w}'))::DOUBLE" for w in _BM25_TERMS}
+    df_ = {
+        w: f"(SELECT count(*) FILTER (WHERE list_contains(toks, '{w}'))::DOUBLE FROM dd)"
+        for w in _BM25_TERMS
+    }
+    contrib = " + ".join(
+        f"""CASE WHEN {tf[w]} > 0 THEN
+              ln(1.0 + (s.n - s.df_{w} + 0.5) / (s.df_{w} + 0.5))
+              * ({tf[w]} * ({_BM25_K1} + 1.0))
+              / ({tf[w]} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dd.dl / s.avgdl))
+            ELSE 0.0 END"""
+        for w in _BM25_TERMS
+    )
+    df_cols = ", ".join(f"{df_[w]} AS df_{w}" for w in _BM25_TERMS)
+    any_tf = " + ".join(tf.values())
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dd AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM d),
+    s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, {df_cols} FROM dd)
+    SELECT dd.doc_id,
+           dd.dl::BIGINT AS n_tokens,
+           floor(({contrib}) * 1000000 + 0.5) / 1000000 AS bm25_r
+    FROM dd, s
+    WHERE ({any_tf}) > 0
+    """
+
+
+@q("text_bm25_scores", _bm25_oracle())
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _tokens("text").alias("toks"))
+        .withColumn("dl", F.size("toks").cast("double"))
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count_if(F.array_contains("toks", w)).cast("double").alias(f"df_{w}")
+            for w in _BM25_TERMS
+        ],
+    )
+
+    def tf(w):
+        return F.size(F.filter("toks", lambda x: x == F.lit(w))).cast("double")
+
+    def contrib(w):
+        dfw = F.col(f"df_{w}")
+        idf = F.log(1.0 + (F.col("n") - dfw + 0.5) / (dfw + 0.5))
+        denom = tf(w) + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return F.when(tf(w) > 0, idf * (tf(w) * (_BM25_K1 + 1.0)) / denom).otherwise(
+            0.0
+        )
+
+    score = None
+    for w in _BM25_TERMS:  # fixed order => identical float association
+        score = contrib(w) if score is None else score + contrib(w)
+    any_tf = None
+    for w in _BM25_TERMS:
+        any_tf = tf(w) if any_tf is None else any_tf + tf(w)
+    return (
+        docs.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("n_tokens"),
+            _r(score, 6).alias("bm25_r"),
+        )
+    )
+
+
+# =============================================================================
+# Sketch audit — count-min (d=3 rows, w=32 buckets) vs exact event_type
+# frequencies. The sketch's bucket choice is the cross-engine universal
+# hash family over the polynomial string hash (operators/dedup.py:
+# _polyhash), so both engines build the identical sketch; the audit
+# reports the guaranteed-nonnegative overcount per key. At 100 TB the
+# point of CMS is that the d×w cell grid is the ONLY reduce state —
+# here rows hash-aggregate once on the (few) event types, then all
+# sketch arithmetic runs on that tiny frame.
+# =============================================================================
+_CMS_W = 32
+_CMS_P = 2147483647
+_CMS_AB = [(1103, 12345), (97, 1013904223), (48271, 16807)]
+
+
+def _cms_oracle() -> str:
+    a_list = "[" + ", ".join(str(a) for a, _ in _CMS_AB) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b in _CMS_AB) + "]"
+    return f"""
+    WITH exact AS (
+      SELECT event_type, count(*)::BIGINT AS exact_n FROM events GROUP BY 1
+    ),
+    hashed AS (
+      SELECT event_type, exact_n,
+             list_reduce(list_transform(string_split(event_type, ''),
+                                        x -> ascii(x)::BIGINT),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      FROM exact
+    ),
+    placed AS (
+      SELECT event_type, exact_n, i.i,
+             ((({a_list}[i.i + 1] * h + {b_list}[i.i + 1]) % {_CMS_P})
+              % {_CMS_W}) AS bucket
+      FROM hashed, (SELECT unnest(range(3)) AS i) i
+    ),
+    cells AS (
+      SELECT i, bucket, sum(exact_n)::BIGINT AS cell_n
+      FROM placed GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.event_type, p.exact_n, min(c.cell_n)::BIGINT AS cms_n
+      FROM placed p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+      GROUP BY 1, 2
+    )
+    SELECT event_type, exact_n, cms_n, (cms_n - exact_n)::BIGINT AS overcount
+    FROM est
+    """
+
+
+@q("agg_countmin_audit", _cms_oracle())
+def agg_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    hashed = exact.withColumn("h", _polyhash(F.col("event_type")))
+    placed = hashed.select(
+        "event_type",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (((F.lit(a) * F.col("h") + F.lit(b)) % _CMS_P) % _CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i, (a, b) in enumerate(_CMS_AB)
+                ]
+            )
+        ).alias("ib"),
+    ).select("event_type", "exact_n", F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"))
+    cells = placed.groupBy("i", "bucket").agg(F.sum("exact_n").alias("cell_n"))
+    est = (
+        placed.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+    )
+    return est.select(
+        "event_type",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )
+
+
+# =============================================================================
+# Graph — Adamic-Adar link prediction over the degree-bounded supplier
+# partner graph (SAME edge builder as graph_triangle_suppliers: top-3
+# co-occurrence partners per supplier, undirected-deduped). For every
+# non-adjacent pair at distance 2: AA = Σ_w 1/ln(deg(w)) over common
+# neighbors w. Common neighbors always have deg >= 2, so ln(deg) > 0.
+# Wedge join is bounded by the k-NN degree cap — n·k² candidates, never
+# n·d_max² (the scale failure mode of link prediction on hub graphs).
+# =============================================================================
+_PARTNER_EDGE_CTES = """
+    WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*)::BIGINT AS n
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    knn AS (
+      SELECT u, v,
+             row_number() OVER (PARTITION BY u ORDER BY n DESC, v) AS rk
+      FROM pairs
+    ),
+    e AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM knn WHERE rk <= 3
+    )
+"""
+
+
+@q(
+    "graph_adamic_adar_suppliers",
+    _PARTNER_EDGE_CTES
+    + """,
+    und AS (
+      SELECT a AS w, b AS x FROM e UNION ALL SELECT b AS w, a AS x FROM e
+    ),
+    deg AS (SELECT w, count(*)::BIGINT AS d FROM und GROUP BY 1),
+    wedges AS (
+      SELECT n1.x AS u, n2.x AS v, n1.w AS w
+      FROM und n1 JOIN und n2 ON n1.w = n2.w AND n1.x < n2.x
+    ),
+    cand AS (
+      SELECT wd.u, wd.v, wd.w FROM wedges wd
+      LEFT JOIN e ON e.a = wd.u AND e.b = wd.v
+      WHERE e.a IS NULL
+    )
+    SELECT c.u, c.v,
+           count(*)::BIGINT AS n_common,
+           floor(sum(1.0 / ln(d.d)) * 1000000 + 0.5) / 1000000 AS aa_r
+    FROM cand c JOIN deg d ON d.w = c.w
+    GROUP BY 1, 2
+    """,
+)
+def graph_adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("v"))
+    e = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    und = e.select(F.col("a").alias("w"), F.col("b").alias("x")).unionAll(
+        e.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    deg = und.groupBy("w").agg(F.count("*").alias("d"))
+    n1 = und.select("w", F.col("x").alias("u"))
+    n2 = und.select("w", F.col("x").alias("v"))
+    wedges = n1.join(n2, "w").filter(F.col("u") < F.col("v"))
+    cand = wedges.join(
+        e, (e.a == wedges.u) & (e.b == wedges.v), "left_anti"
+    )
+    return (
+        cand.join(deg, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("n_common"),
+            _r(F.sum(1.0 / F.log(F.col("d").cast("double"))), 6).alias("aa_r"),
+        )
+    )
+
+
+# =============================================================================
+# Time series — daily resample + gap-fill per user (users 0-29): build
+# each user's dense day grid with sequence()+explode (grid bounded by
+# the user's own span — no global calendar cross join, no driver loop),
+# left-join the real daily aggregate, zero-fill counts, carry-forward
+# the last seen daily value. The daily value is rounded BEFORE the
+# carry-forward so both engines propagate the identical double.
+# =============================================================================
+@q(
+    "events_resample_gapfill",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day,
+             count(*)::BIGINT AS n_events,
+             floor(sum(value) * 1000000 + 0.5) / 1000000 AS day_value_r
+      FROM events WHERE user_id < 30 GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY))::TIMESTAMP AS day
+      FROM span
+    ),
+    joined AS (
+      SELECT g.user_id, g.day,
+             coalesce(d.n_events, 0)::BIGINT AS n_events,
+             d.day_value_r
+      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id, day, n_events,
+           last_value(day_value_r IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled_r
+    FROM joined
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _r(F.sum("value"), 6).alias("day_value_r"),
+        )
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "day_value_r",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.last("day_value_r", ignorenulls=True).over(w).alias("value_filled_r"),
+    )
+
+
+# =============================================================================
+# Robust statistics — winsorized mean/stddev of order totals per
+# priority: exact p05/p95 per group (one hash-agg), broadcast the tiny
+# percentile frame back, clip, aggregate. Means rounded to 2dp: the
+# winsorized aggregates sit on ~10^5-scale doubles whose partial-sum
+# order differs between engines; 2dp is far outside the ~1e-4 naive-
+# summation drift, so the hash is stable (same reasoning as
+# agg_pricing_summary).
+# =============================================================================
+@q(
+    "stats_winsorized_prices",
+    """
+    WITH pct AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY 1
+    ),
+    clipped AS (
+      SELECT o.o_orderpriority,
+             o.o_totalprice,
+             least(greatest(o.o_totalprice, p.p05), p.p95) AS wz
+      FROM orders o JOIN pct p USING (o_orderpriority)
+    )
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           floor(avg(o_totalprice) * 100 + 0.5) / 100 AS mean_raw_r,
+           floor(avg(wz) * 100 + 0.5) / 100 AS mean_winsor_r,
+           floor(stddev_pop(wz) * 100 + 0.5) / 100 AS sd_winsor_r
+    FROM clipped GROUP BY 1
+    """,
+)
+def stats_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    pct = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    clipped = orders.join(F.broadcast(pct), "o_orderpriority").withColumn(
+        "wz", F.least(F.greatest("o_totalprice", F.col("p05")), F.col("p95"))
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _r(F.avg("o_totalprice"), 2).alias("mean_raw_r"),
+        _r(F.avg("wz"), 2).alias("mean_winsor_r"),
+        _r(F.stddev_pop("wz"), 2).alias("sd_winsor_r"),
+    )
+
+
+# =============================================================================
+# Data quality — constraint report over the lake tables: the ingestion
+# gatekeeper a 100 TB pipeline runs before publishing a snapshot. Each
+# check is an independent partial-aggregable scan (count/count_if —
+# map-side combinable); the report is their union. Checks: row count,
+# PK uniqueness, FK orphans (orders→customer), null fraction, value
+# range, non-empty-text fraction.
+# =============================================================================
+@q(
+    "dq_constraint_report",
+    """
+    SELECT 'orders_rowcount' AS check_id,
+           count(*)::DOUBLE AS metric, count(*) > 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orders_pk_dups',
+           (count(*) - count(DISTINCT o_orderkey))::DOUBLE,
+           count(*) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_null_frac',
+           floor(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END)
+                 * 1000000 + 0.5) / 1000000,
+           count(*) FILTER (WHERE o_custkey IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer_orphans',
+           count(*)::DOUBLE, count(*) = 0
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_qty_out_of_range',
+           count(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 100)::DOUBLE,
+           count(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 100) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_ts_nulls',
+           count(*) FILTER (WHERE ts IS NULL)::DOUBLE,
+           count(*) FILTER (WHERE ts IS NULL) = 0
+    FROM events
+    UNION ALL
+    SELECT 'documents_nonempty_text_frac',
+           floor(avg(CASE WHEN len(trim(text)) > 0 THEN 1.0 ELSE 0.0 END)
+                 * 1000000 + 0.5) / 1000000,
+           avg(CASE WHEN len(trim(text)) > 0 THEN 1.0 ELSE 0.0 END) >= 0.99
+    FROM documents
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    lineitem = t(spark, sf_dir, "lineitem")
+    events = t(spark, sf_dir, "events")
+    documents = t(spark, sf_dir, "documents")
+
+    rowcount = orders.agg(
+        F.lit("orders_rowcount").alias("check_id"),
+        F.count("*").cast("double").alias("metric"),
+        (F.count("*") > 0).alias("passed"),
+    )
+    pk = orders.agg(
+        F.lit("orders_pk_dups").alias("check_id"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("double").alias("metric"),
+        (F.count("*") == F.countDistinct("o_orderkey")).alias("passed"),
+    )
+    nulls = orders.agg(
+        F.lit("orders_custkey_null_frac").alias("check_id"),
+        _r(F.avg(F.when(F.col("o_custkey").isNull(), 1.0).otherwise(0.0)), 6).alias(
+            "metric"
+        ),
+        (F.count_if(F.col("o_custkey").isNull()) == 0).alias("passed"),
+    )
+    orphans = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
+        ).agg(
+            F.lit("orders_fk_customer_orphans").alias("check_id"),
+            F.count("*").cast("double").alias("metric"),
+            (F.count("*") == 0).alias("passed"),
+        )
+    )
+    bad_qty = (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100)
+    qty = lineitem.agg(
+        F.lit("lineitem_qty_out_of_range").alias("check_id"),
+        F.count_if(bad_qty).cast("double").alias("metric"),
+        (F.count_if(bad_qty) == 0).alias("passed"),
+    )
+    ts_nulls = events.agg(
+        F.lit("events_ts_nulls").alias("check_id"),
+        F.count_if(F.col("ts").isNull()).cast("double").alias("metric"),
+        (F.count_if(F.col("ts").isNull()) == 0).alias("passed"),
+    )
+    nonempty = F.when(F.length(F.trim("text")) > 0, 1.0).otherwise(0.0)
+    txt = documents.agg(
+        F.lit("documents_nonempty_text_frac").alias("check_id"),
+        _r(F.avg(nonempty), 6).alias("metric"),
+        (F.avg(nonempty) >= 0.99).alias("passed"),
+    )
+    out = rowcount
+    for part in (pk, nulls, orphans, qty, ts_nulls, txt):
+        out = out.unionAll(part)
+    return out
+
+
+# =============================================================================
+# Embedding audit — k-NN label consistency (leave-one-out): for a
+# hash-sampled probe set (vec_id % 40 == 0), predict each probe's label
+# by majority vote of its 5 nearest neighbors (cosine; the probe itself
+# excluded), tie-break to the lower label; report per-true-label
+# accuracy. The standard cheap label-noise detector for a labeled
+# embedding corpus. Probes broadcast against the corpus scan — the same
+# 100 TB posture as sim_cosine_topk (brute force is the audit truth;
+# the serving path is the ANN trio).
+# =============================================================================
+@q(
+    "emb_knn_label_audit",
+    """
+    WITH probes AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 40 = 0
+    ),
+    scored AS (
+      SELECT p.vec_id AS query_id, p.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS n_label,
+             list_sum(list_transform(range(len(p.embedding)),
+               i -> p.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE))
+             / (sqrt(list_sum(list_transform(p.embedding,
+                  x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(c.embedding,
+                  x -> x::DOUBLE * x::DOUBLE)))) AS cos
+      FROM probes p JOIN embeddings c ON c.vec_id <> p.vec_id
+    ),
+    knn AS (
+      SELECT query_id, true_label, n_label
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored
+      ) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, n_label, count(*)::BIGINT AS nv
+      FROM knn GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, n_label AS pred_label
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY nv DESC, n_label ASC) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT true_label::BIGINT AS true_label,
+           count(*)::BIGINT AS n_probes,
+           count(*) FILTER (WHERE pred_label = true_label)::BIGINT AS n_correct,
+           floor(count(*) FILTER (WHERE pred_label = true_label)::DOUBLE
+                 / count(*) * 1000000 + 0.5) / 1000000 AS acc_r
+    FROM pred GROUP BY 1
+    """,
+)
+def emb_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 40 == 0)
+    knn = cosine_topk(emb, probes, k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    true_l = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        knn.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(true_l), "query_id")
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count("*").alias("nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("nv"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    return pred.groupBy(F.col("true_label").cast("bigint").alias("true_label")).agg(
+        F.count("*").alias("n_probes"),
+        F.count_if(F.col("pred_label") == F.col("true_label")).alias("n_correct"),
+        _r(
+            F.count_if(F.col("pred_label") == F.col("true_label"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("acc_r"),
+    )
