@@ -1883,21 +1883,46 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
-    # -- round 4: the one red r03 row, fixed (postings stringified) —
-    #    re-prove under the driver
+    # -- the one red r03 row, fixed in r4 (postings stringified) — re-prove
     "text_inverted_index",
-    # -- new in round 4 (need first driver evidence)
+    # -- newest additions with no driver evidence yet: late ext3 batch
+    #    (purity/survival/Benford) + the ext4 batch (BM25, count-min,
+    #    Adamic-Adar, gap-fill, winsorized, DQ report, k-NN label audit)
+    "emb_cluster_purity",
+    "orders_repurchase_survival",
+    "orders_benford_audit",
+    "text_bm25_scores",
+    "agg_countmin_audit",
+    "graph_adamic_adar_suppliers",
+    "events_resample_gapfill",
+    "stats_winsorized_prices",
+    "dq_constraint_report",
+    "emb_knn_label_audit",
+    # -- round-4 second batch (temporal joins, repetition signals,
+    #    reservoir sampling, streaming asof/near-dup, SCD2/MERGE,
+    #    triangles, PMI, word-boundary Aho-Corasick) — first evidence
+    "f3_keyword_word_5k",
+    "j9_asof_view_purchase",
+    "j10_asof_tolerance_1h",
+    "j11_asof_nearest_purchase",
+    "events_coactivity_histogram",
+    "text_repetition_signals",
+    "events_decayed_activity",
+    "sample_weighted_reservoir",
+    "stream_asof_enrich_purchases",
+    "stream_neardup_filter",
+    "scd2_user_state_history",
+    "lake_merge_upsert",
+    "graph_triangle_suppliers",
+    "text_pmi_bigrams",
+    # -- round-4 first batch — first evidence
     "f2_keyword_substring_5k",
     "graph_pagerank_iters12",
     "graph_pagerank_dangling",
     "emb_lloyd_centroids",
-    # -- never driver-sampled in r1-r3 (45 of the remaining 62; the
-    #    other 17 rotate in next round). Round-4-changed-but-green
-    #    queries (emb_kmeans_*, emb_pca_top_component,
-    #    agg_quantile_sketch_audit, graph_pagerank_purchases) hold
-    #    their r01-r03 rows; the identical-mechanism local gate
-    #    re-proved them after the changes, so head slots go to
-    #    never-sampled entries instead.
+    # -- never driver-sampled backlog (r1-r3 era); the rest of the
+    #    91-query never-sampled set (tools/next_head.py) rotates in
+    #    next round
     "emb_vector_stats",
     "agg_approx_stats",
     "q4_order_priority",
@@ -1919,44 +1944,6 @@ PRIORITY_HEAD = [
     "events_daily_active",
     "sql_passthrough_agg",
     "sample_hash_mod",
-    "doc_pack_contexts",
-    "sample_stratified_hash",
-    "events_value_histogram",
-    "corpus_profile",
-    "window_percentile_standing",
-    "emb_hard_negatives",
-    "emb_label_centroid_distances",
-    "window_time_range_moving_avg",
-    "agg_mode_event_type",
-    "events_time_bucket_rollup",
-    # -- new in round 4 (second batch): temporal joins (batch and
-    #    streaming), repetition signals, decayed-activity features,
-    #    weighted reservoir sampling, the streaming near-dup filter,
-    #    SCD2/MERGE lake ops, triangle counting, and the word-boundary
-    #    Aho-Corasick query — first driver evidence needed. The 14
-    #    never-sampled entries displaced (text_bigram_logprob,
-    #    unpivot_price_components,
-    #    text_boilerplate_fraction, emb_dim_variance,
-    #    dedup_canonical_selection, events_audience_overlap,
-    #    docs_topk_per_source, sample_fixed_quota_per_source,
-    #    events_percent_change_daily, agg_bitwise_masks,
-    #    events_hour_profile, customer_segment_mix,
-    #    orders_size_distribution, lineitem_ship_latency) rotate in
-    #    next round.
-    "f3_keyword_word_5k",
-    "j9_asof_view_purchase",
-    "j10_asof_tolerance_1h",
-    "j11_asof_nearest_purchase",
-    "events_coactivity_histogram",
-    "text_repetition_signals",
-    "events_decayed_activity",
-    "sample_weighted_reservoir",
-    "stream_asof_enrich_purchases",
-    "stream_neardup_filter",
-    "scd2_user_state_history",
-    "lake_merge_upsert",
-    "graph_triangle_suppliers",
-    "text_pmi_bigrams",
 ]
 
 
