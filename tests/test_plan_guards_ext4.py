@@ -1,0 +1,65 @@
+"""Plan guards for the ext4 batch (BM25, count-min, Adamic-Adar,
+gap-fill, winsorized stats, DQ report, k-NN audit): pin the scale
+properties — map-only scoring, broadcast of tiny stat frames, no
+nested-loop/cartesian joins — so refactors can't silently regress them."""
+
+from __future__ import annotations
+
+from social_and_media_data_ingestion_spark.plans.queries import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = registry()[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_score_is_map_side(spark):
+    plan = _plan(spark, "text_bm25_scores")
+    # corpus stats reduce to ONE row (single-partition exchange is fine);
+    # the per-document score must never shuffle on doc_id
+    assert "hashpartitioning(doc_id" not in plan
+    assert "SortMergeJoin" not in plan
+    # the 1-row stats frame comes back via a broadcast, not a shuffle join
+    assert "BroadcastExchange" in plan
+
+
+def test_winsorized_percentiles_broadcast_back(spark):
+    plan = _plan(spark, "stats_winsorized_prices")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_countmin_no_smj_no_cartesian(spark):
+    plan = _plan(spark, "agg_countmin_audit")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_grid_join_is_equi(spark):
+    plan = _plan(spark, "events_resample_gapfill")
+    # per-user grids join daily aggregates on (user_id, day) — an equi
+    # join, never a nested-loop range probe
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_wedge_join_is_equi(spark):
+    plan = _plan(spark, "graph_adamic_adar_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_report_anti_join_broadcasts(spark):
+    plan = _plan(spark, "dq_constraint_report")
+    assert "SortMergeJoin" not in plan
+    # FK-orphan check: anti join with the dim side broadcast
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_knn_audit_probes_broadcast(spark):
+    plan = _plan(spark, "emb_knn_label_audit")
+    # probes and label dims ride broadcasts against the corpus scan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
