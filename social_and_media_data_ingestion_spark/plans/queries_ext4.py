@@ -69,36 +69,39 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _bm25_oracle() -> str:
-    tf = {w: f"len(list_filter(toks, x -> x = '{w}'))::DOUBLE" for w in _BM25_TERMS}
-    df_ = {
-        w: f"(SELECT count(*) FILTER (WHERE list_contains(toks, '{w}'))::DOUBLE FROM dd)"
-        for w in _BM25_TERMS
-    }
+def _bm25_oracle_sql(terms: list[str], tag: str) -> str:
+    """Full SELECT (with uniquely-tagged CTE names so two instances can
+    coexist in one statement): (doc_id, n_tokens, bm25_r) for docs
+    matching any query term."""
+    d, dd, s = f"d_{tag}", f"dd_{tag}", f"s_{tag}"
+    tf = {w: f"len(list_filter(toks, x -> x = '{w}'))::DOUBLE" for w in terms}
     contrib = " + ".join(
         f"""CASE WHEN {tf[w]} > 0 THEN
-              ln(1.0 + (s.n - s.df_{w} + 0.5) / (s.df_{w} + 0.5))
+              ln(1.0 + ({s}.n - {s}.df_{w} + 0.5) / ({s}.df_{w} + 0.5))
               * ({tf[w]} * ({_BM25_K1} + 1.0))
-              / ({tf[w]} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dd.dl / s.avgdl))
+              / ({tf[w]} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * {dd}.dl / {s}.avgdl))
             ELSE 0.0 END"""
-        for w in _BM25_TERMS
+        for w in terms
     )
-    df_cols = ", ".join(f"{df_[w]} AS df_{w}" for w in _BM25_TERMS)
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE list_contains(toks, '{w}'))::DOUBLE AS df_{w}"
+        for w in terms
+    )
     any_tf = " + ".join(tf.values())
     return f"""
-    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    dd AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM d),
-    s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, {df_cols} FROM dd)
-    SELECT dd.doc_id,
-           dd.dl::BIGINT AS n_tokens,
+    WITH {d} AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    {dd} AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM {d}),
+    {s} AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, {df_cols} FROM {dd})
+    SELECT {dd}.doc_id,
+           {dd}.dl::BIGINT AS n_tokens,
            floor(({contrib}) * 1000000 + 0.5) / 1000000 AS bm25_r
-    FROM dd, s
+    FROM {dd}, {s}
     WHERE ({any_tf}) > 0
     """
 
 
-@q("text_bm25_scores", _bm25_oracle())
-def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_df(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """(doc_id, n_tokens, bm25_r) — the Spark twin of _bm25_oracle_sql."""
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id", _tokens("text").alias("toks"))
@@ -109,7 +112,7 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("dl").alias("avgdl"),
         *[
             F.count_if(F.array_contains("toks", w)).cast("double").alias(f"df_{w}")
-            for w in _BM25_TERMS
+            for w in terms
         ],
     )
 
@@ -127,10 +130,10 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     score = None
-    for w in _BM25_TERMS:  # fixed order => identical float association
+    for w in terms:  # fixed order => identical float association
         score = contrib(w) if score is None else score + contrib(w)
     any_tf = None
-    for w in _BM25_TERMS:
+    for w in terms:
         any_tf = tf(w) if any_tf is None else any_tf + tf(w)
     return (
         docs.crossJoin(F.broadcast(stats))
@@ -141,6 +144,11 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(score, 6).alias("bm25_r"),
         )
     )
+
+
+@q("text_bm25_scores", _bm25_oracle_sql(_BM25_TERMS, "q"))
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_df(spark, sf_dir, _BM25_TERMS)
 
 
 # =============================================================================
@@ -638,4 +646,243 @@ def emb_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double"),
             6,
         ).alias("acc_r"),
+    )
+
+
+# =============================================================================
+# Hybrid retrieval — reciprocal rank fusion (RRF, k=60) of two BM25
+# rankings: the standard way to merge lexical and semantic rankings in a
+# retrieval pipeline (here two lexical rankings with different query
+# term sets — the fusion operator is identical). Ranks come from
+# row_number over the ROUNDED score (ties to lower doc_id) so both
+# engines rank identically; 1/(60+rank) on small integers is then
+# bit-exact IEEE on both. Full-outer join keeps docs present in only
+# one list (their missing-list contribution is 0).
+# =============================================================================
+_RRF_K = 60
+_RRF_TERMS_A = ["spark", "vector"]
+_RRF_TERMS_B = ["merge", "batch"]
+
+
+@q(
+    "text_rrf_fusion",
+    f"""
+    WITH ra AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25_r DESC, doc_id) AS rank_a
+      FROM ({_bm25_oracle_sql(_RRF_TERMS_A, "a")})
+    ),
+    rb AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25_r DESC, doc_id) AS rank_b
+      FROM ({_bm25_oracle_sql(_RRF_TERMS_B, "b")})
+    )
+    SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+           ra.rank_a::BIGINT AS rank_a,
+           rb.rank_b::BIGINT AS rank_b,
+           floor((coalesce(1.0 / ({_RRF_K} + ra.rank_a), 0.0)
+                  + coalesce(1.0 / ({_RRF_K} + rb.rank_b), 0.0))
+                 * 1000000 + 0.5) / 1000000 AS rrf_r
+    FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    """,
+)
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def ranked(terms, out):
+        w = Window.orderBy(F.desc("bm25_r"), F.asc("doc_id"))
+        return (
+            _bm25_df(spark, sf_dir, terms)
+            .select("doc_id", F.row_number().over(w).alias(out))
+        )
+
+    ra = ranked(_RRF_TERMS_A, "rank_a")
+    rb = ranked(_RRF_TERMS_B, "rank_b")
+    # outer-merge via union + hash-agg (max of the at-most-one non-null
+    # rank per side): one exchange on doc_id, no sort-merge join
+    merged = (
+        ra.withColumn("rank_b", F.lit(None).cast("int"))
+        .unionByName(rb.withColumn("rank_a", F.lit(None).cast("int")))
+        .groupBy("doc_id")
+        .agg(F.max("rank_a").alias("rank_a"), F.max("rank_b").alias("rank_b"))
+    )
+    contrib_a = F.coalesce(1.0 / (_RRF_K + F.col("rank_a")), F.lit(0.0))
+    contrib_b = F.coalesce(1.0 / (_RRF_K + F.col("rank_b")), F.lit(0.0))
+    return merged.select(
+        "doc_id",
+        F.col("rank_a").cast("bigint").alias("rank_a"),
+        F.col("rank_b").cast("bigint").alias("rank_b"),
+        _r(contrib_a + contrib_b, 6).alias("rrf_r"),
+    )
+
+
+# =============================================================================
+# Join pre-filtering — Bloom-filter semi-join audit: build a k=3,
+# m=8192-bit Bloom filter over a selective customer subset, probe every
+# order through it, and report the false-positive rate against the
+# exact semi-join. This is the runtime-filter pattern that replaces a
+# shuffle semi-join at 100 TB (ship the bitset, not the rows); the
+# audit quantifies the extra rows a downstream exact filter must still
+# reject. Bucket choice = the cross-engine universal hash family on the
+# integer key, so both engines build the identical filter.
+# =============================================================================
+_BLOOM_M = 8192
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    a, b = _CMS_AB[i]
+    return f"((({a} * {key} + {b}) % {_CMS_P}) % {_BLOOM_M})"
+
+
+@q(
+    "join_bloom_filter_audit",
+    f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ),
+    pos AS (
+      SELECT DISTINCT unnest([{_bloom_pos_sql("c_custkey", 0)},
+                              {_bloom_pos_sql("c_custkey", 1)},
+                              {_bloom_pos_sql("c_custkey", 2)}]) AS p
+      FROM dim
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey,
+             EXISTS (SELECT 1 FROM pos WHERE p = {_bloom_pos_sql("o_custkey", 0)})
+             AND EXISTS (SELECT 1 FROM pos WHERE p = {_bloom_pos_sql("o_custkey", 1)})
+             AND EXISTS (SELECT 1 FROM pos WHERE p = {_bloom_pos_sql("o_custkey", 2)})
+               AS bloom_hit,
+             EXISTS (SELECT 1 FROM dim WHERE c_custkey = o_custkey) AS true_hit
+      FROM orders
+    )
+    SELECT count(*)::BIGINT AS n_orders,
+           count(*) FILTER (WHERE bloom_hit)::BIGINT AS n_bloom_pos,
+           count(*) FILTER (WHERE true_hit)::BIGINT AS n_true_pos,
+           count(*) FILTER (WHERE bloom_hit AND NOT true_hit)::BIGINT
+             AS n_false_pos,
+           CASE WHEN count(*) FILTER (WHERE NOT true_hit) = 0 THEN 0.0
+                ELSE floor(count(*) FILTER (WHERE bloom_hit AND NOT true_hit)::DOUBLE
+                           / count(*) FILTER (WHERE NOT true_hit)
+                           * 1000000 + 0.5) / 1000000
+           END AS fp_rate_r
+    FROM probe
+    """,
+)
+def join_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def pos(key, i):
+        a, b = _CMS_AB[i]
+        return ((F.lit(a) * F.col(key) + F.lit(b)) % _CMS_P) % _BLOOM_M
+
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    positions = dim.select(
+        F.explode(F.array(*[pos("c_custkey", i) for i in range(3)])).alias("p")
+    ).distinct()
+    probe = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", *[pos("o_custkey", i).alias(f"p{i}") for i in range(3)]
+    )
+    marked = probe
+    for i in range(3):
+        hit = positions.select(F.col("p").alias(f"p{i}"), F.lit(True).alias(f"hit{i}"))
+        marked = marked.join(F.broadcast(hit), f"p{i}", "left")
+    bloom_hit = (
+        F.coalesce("hit0", F.lit(False))
+        & F.coalesce("hit1", F.lit(False))
+        & F.coalesce("hit2", F.lit(False))
+    )
+    truth = dim.select(F.col("c_custkey").alias("o_custkey"), F.lit(True).alias("th"))
+    marked = marked.join(F.broadcast(truth), "o_custkey", "left").withColumn(
+        "true_hit", F.coalesce("th", F.lit(False))
+    )
+    n_neg = F.count_if(~F.col("true_hit"))
+    n_fp = F.count_if(bloom_hit & ~F.col("true_hit"))
+    return marked.agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(bloom_hit).alias("n_bloom_pos"),
+        F.count_if(F.col("true_hit")).alias("n_true_pos"),
+        n_fp.alias("n_false_pos"),
+        F.when(n_neg == 0, F.lit(0.0))
+        .otherwise(_r(n_fp.cast("double") / n_neg, 6))
+        .alias("fp_rate_r"),
+    )
+
+
+# =============================================================================
+# ABC / Pareto classification — rank parts by revenue, classify by
+# cumulative revenue share (A: first 80%, B: next 15%, C: tail). The
+# prefix sum runs on operators/scale.py global_running_sum — the
+# distributed spelling, NOT a single-partition window sort (the 100 TB
+# funnel). Revenue is fixed to integer cents per part BEFORE the prefix
+# sum, so the distributed partial-total offsets associate exactly
+# (integer adds) and both engines see identical cumulative values.
+# =============================================================================
+@q(
+    "lineitem_abc_pareto",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)::BIGINT
+               AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev_cents)::BIGINT AS t FROM rev),
+    run AS (
+      SELECT l_partkey, rev_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_cents
+      FROM rev
+    ),
+    cls AS (
+      SELECT l_partkey, rev_cents,
+             CASE WHEN cum_cents::DOUBLE / t <= 0.80 THEN 'A'
+                  WHEN cum_cents::DOUBLE / t <= 0.95 THEN 'B'
+                  ELSE 'C' END AS pareto_class
+      FROM run, tot
+    )
+    SELECT pareto_class,
+           count(*)::BIGINT AS n_parts,
+           floor(sum(rev_cents) / 100.0 * 100 + 0.5) / 100 AS revenue_r,
+           floor(sum(rev_cents)::DOUBLE / (SELECT t FROM tot)
+                 * 1000000 + 0.5) / 1000000 AS revenue_share_r
+    FROM cls GROUP BY 1
+    """,
+)
+def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_sum,
+    )
+
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    run = global_running_sum(
+        rev,
+        order_by=[F.desc("rev_cents"), F.asc("l_partkey")],
+        value_col="rev_cents",
+        out_col="cum_cents",
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("bigint").alias("t"))
+    cls = run.crossJoin(F.broadcast(tot)).withColumn(
+        "pareto_class",
+        F.when(F.col("cum_cents").cast("double") / F.col("t") <= 0.80, "A")
+        .when(F.col("cum_cents").cast("double") / F.col("t") <= 0.95, "B")
+        .otherwise("C"),
+    )
+    return cls.groupBy("pareto_class").agg(
+        F.count("*").alias("n_parts"),
+        _r(F.sum("rev_cents") / 100.0, 2).alias("revenue_r"),
+        _r(F.sum("rev_cents").cast("double") / F.first("t"), 6).alias(
+            "revenue_share_r"
+        ),
     )

@@ -63,3 +63,30 @@ def test_knn_audit_probes_broadcast(spark):
     # probes and label dims ride broadcasts against the corpus scan
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_abc_pareto_distributed_prefix_sum(spark):
+    # the cumulative-revenue ranking rides global_running_sum (range
+    # partition + per-partition offsets over a checkpointed frame), not
+    # a single-partition window sort. The scalar total is a broadcast.
+    plan = _plan(spark, "lineitem_abc_pareto")
+    assert "ExistingRDD" in plan
+    assert "windowspecdefinition(__rsum_pid" in plan
+
+
+def test_bloom_audit_all_probes_broadcast(spark):
+    # the three position probes and the exact-truth dim all ride
+    # broadcast hash joins against the single orders scan — the filter
+    # itself is never shuffled
+    plan = _plan(spark, "join_bloom_filter_audit")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_rrf_fusion_no_smj(spark):
+    # the two ranked lists are candidate-set-sized (matched docs only);
+    # their full-outer merge must not fall into a sort-merge join of the
+    # full corpus. (The per-list rank is an ORDER BY over the candidate
+    # list — bounded by retrieval fan-out, not corpus size.)
+    plan = _plan(spark, "text_rrf_fusion")
+    assert "SortMergeJoin" not in plan
