@@ -73,6 +73,13 @@ HEADLINE = [
     "lake_merge_upsert",
     "graph_triangle_suppliers",
     "events_decayed_activity",
+    # round-4 continuation: retrieval scoring (map-only BM25), the DQ
+    # gatekeeper (union of independent scans), Bloom runtime-filter
+    # audit (broadcast-only probes), ABC on the distributed prefix sum
+    "text_bm25_scores",
+    "dq_constraint_report",
+    "join_bloom_filter_audit",
+    "lineitem_abc_pareto",
 ]
 
 

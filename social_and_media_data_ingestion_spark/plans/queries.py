@@ -1942,8 +1942,11 @@ PRIORITY_HEAD = [
     "scalar_date_arithmetic",
     "array_set_ops",
     "events_daily_active",
-    "sql_passthrough_agg",
-    "sample_hash_mod",
+    # -- ext4 second batch — first evidence (displaces three backlog
+    #    entries that rotate next round)
+    "text_rrf_fusion",
+    "join_bloom_filter_audit",
+    "lineitem_abc_pareto",
 ]
 
 

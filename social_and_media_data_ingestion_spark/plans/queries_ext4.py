@@ -886,3 +886,203 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share_r"
         ),
     )
+
+
+# =============================================================================
+# ML data prep — train/validation split leakage audit: compare row-hash
+# splitting (fold = hash(event_id) % k — leaks users across folds, the
+# classic eval-contamination bug) against group-hash splitting
+# (fold = hash(user_id) % k — leakage-free by construction), and report
+# the measured leakage of each strategy. Fold choice uses the
+# cross-engine universal hash so both engines assign identical folds.
+# One pass per strategy: groupBy user → distinct folds, then a 2-row
+# summary. At 100 TB this is the audit you run BEFORE training, and it
+# is partial-aggregable all the way down.
+# =============================================================================
+_FOLD_K = 5
+
+
+def _fold_sql(key: str) -> str:
+    a, b = _CMS_AB[0]
+    return f"((({a} * {key} + {b}) % {_CMS_P}) % {_FOLD_K})"
+
+
+@q(
+    "ml_split_leakage_audit",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             count(DISTINCT {_fold_sql("event_id")}) AS nf_row,
+             count(DISTINCT {_fold_sql("user_id")}) AS nf_group
+      FROM events GROUP BY 1
+    )
+    SELECT 'row_hash' AS strategy,
+           count(*)::BIGINT AS n_users,
+           count(*) FILTER (WHERE nf_row > 1)::BIGINT AS n_users_leaked,
+           floor(count(*) FILTER (WHERE nf_row > 1)::DOUBLE / count(*)
+                 * 1000000 + 0.5) / 1000000 AS leak_frac_r
+    FROM per_user
+    UNION ALL
+    SELECT 'group_hash',
+           count(*)::BIGINT,
+           count(*) FILTER (WHERE nf_group > 1)::BIGINT,
+           floor(count(*) FILTER (WHERE nf_group > 1)::DOUBLE / count(*)
+                 * 1000000 + 0.5) / 1000000
+    FROM per_user
+    """,
+)
+def ml_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _CMS_AB[0]
+
+    def fold(key):
+        return ((F.lit(a) * F.col(key) + F.lit(b)) % _CMS_P) % _FOLD_K
+
+    per_user = (
+        t(spark, sf_dir, "events")
+        .select("user_id", fold("event_id").alias("f_row"), fold("user_id").alias("f_grp"))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("f_row").alias("nf_row"),
+            F.countDistinct("f_grp").alias("nf_group"),
+        )
+    )
+
+    def summary(col, label):
+        leaked = F.count_if(F.col(col) > 1)
+        return per_user.agg(
+            F.lit(label).alias("strategy"),
+            F.count("*").alias("n_users"),
+            leaked.alias("n_users_leaked"),
+            _r(leaked.cast("double") / F.count("*"), 6).alias("leak_frac_r"),
+        )
+
+    return summary("nf_row", "row_hash").unionAll(summary("nf_group", "group_hash"))
+
+
+# =============================================================================
+# Trend features — per-priority OLS slope of daily revenue over the
+# day index. All five OLS sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+# are computed over INTEGERS (day index since the first order date;
+# revenue fixed to cents per order before any sum), so the distributed
+# aggregation is exact regardless of partial-sum order; the closed-form
+# slope/intercept then divides exact integers in double — identical on
+# both engines. One groupBy(priority, day) + one groupBy(priority).
+# =============================================================================
+@q(
+    "orders_daily_trend",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority,
+             date_diff('day',
+                       (SELECT min(o_orderdate) FROM orders),
+                       o_orderdate)::BIGINT AS x,
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS y_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT o_orderpriority,
+             count(*)::BIGINT AS n_days,
+             sum(x)::BIGINT AS sx,
+             sum(y_cents)::BIGINT AS sy,
+             sum(x * y_cents)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT o_orderpriority, n_days,
+           floor((n_days * sxy - sx * sy)::DOUBLE
+                 / (n_days * sxx - sx * sx) / 100.0 * 10000 + 0.5) / 10000
+             AS slope_per_day_r,
+           floor((sy::DOUBLE / n_days
+                  - ((n_days * sxy - sx * sy)::DOUBLE
+                     / (n_days * sxx - sx * sx))
+                    * (sx::DOUBLE / n_days)) / 100.0 * 100 + 0.5) / 100
+             AS intercept_r
+    FROM stats
+    """,
+)
+def orders_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d0 = orders.agg(F.min("o_orderdate").alias("d0"))
+    daily = (
+        orders.crossJoin(F.broadcast(d0))
+        .select(
+            "o_orderpriority",
+            F.datediff("o_orderdate", "d0").cast("bigint").alias("x"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("o_orderpriority", "x")
+        .agg(F.sum("cents").alias("y_cents"))
+    )
+    stats = daily.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x") * F.col("y_cents")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (
+        F.col("sy").cast("double") / F.col("n_days")
+        - slope * (F.col("sx").cast("double") / F.col("n_days"))
+    )
+    return stats.select(
+        "o_orderpriority",
+        "n_days",
+        _r(slope / 100.0, 4).alias("slope_per_day_r"),
+        _r(intercept / 100.0, 2).alias("intercept_r"),
+    )
+
+
+# =============================================================================
+# Statistical testing — chi-square independence of event_type ×
+# weekday: the standard drift/seasonality detector over a categorical
+# contingency table. Observed counts and margins are exact integers;
+# only the ~35 per-cell (obs-exp)²/exp contributions are doubles, and
+# their final sum is rounded to 6dp (cell count is bounded by the
+# category product, so the float tail is far below the rounding
+# resolution). Margins ride broadcast joins back onto the cell frame.
+# =============================================================================
+@q(
+    "events_chi2_type_weekday",
+    """
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts)::BIGINT AS dow, count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(o)::BIGINT AS r FROM obs GROUP BY 1),
+    ct AS (SELECT dow, sum(o)::BIGINT AS c FROM obs GROUP BY 1),
+    n AS (SELECT sum(o)::BIGINT AS n FROM obs)
+    SELECT floor(sum(power(o - r::DOUBLE * c / n.n, 2)
+                     / (r::DOUBLE * c / n.n)) * 1000000 + 0.5) / 1000000
+             AS chi2_r,
+           ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1)
+             AS dof
+    FROM obs JOIN rt USING (event_type) JOIN ct USING (dow), n
+    """,
+)
+def events_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofweek("ts").cast("bigint").alias("dow"))
+        .agg(F.count("*").alias("o"))
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    exp = F.col("r").cast("double") * F.col("c") / F.col("n")
+    dof = (
+        rt.count() - 1
+    ) * (ct.count() - 1)  # bounded driver state: category cardinalities
+    return cells.agg(
+        _r(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2_r"),
+        F.lit(dof).cast("bigint").alias("dof"),
+    )
