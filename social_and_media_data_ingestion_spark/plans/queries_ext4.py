@@ -1086,3 +1086,93 @@ def events_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2_r"),
         F.lit(dof).cast("bigint").alias("dof"),
     )
+
+
+# =============================================================================
+# Corpus inspection — keyword-in-context (KWIC): every occurrence of
+# the keyword with a ±3-token window, extracted entirely in-row
+# (positions via a filtered index sequence, window via slice) and then
+# exploded to one row per hit. MAP-ONLY: zero shuffle, the 100 TB plan
+# is scan + flatMap. The inspection step a curation pipeline runs when
+# a keyword filter (F2/F3) needs human QA.
+# =============================================================================
+_KWIC_WORD = "spark"
+_KWIC_WIN = 3
+
+
+@q(
+    "text_kwic_contexts",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hits AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(list_filter(range(1, len(toks) + 1),
+                                p -> toks[p] = '{_KWIC_WORD}')) AS pos
+      FROM d
+    )
+    SELECT doc_id, pos::BIGINT AS pos,
+           array_to_string(
+             toks[greatest(1, pos - {_KWIC_WIN}):least(n, pos + {_KWIC_WIN})],
+             ' ') AS context
+    FROM hits
+    """,
+)
+def text_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens("text").alias("toks")
+    )
+    hits = d.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.size("toks")),
+                lambda p: F.element_at("toks", p) == _KWIC_WORD,
+            )
+        ).alias("pos"),
+    )
+    start = F.greatest(F.lit(1), F.col("pos") - _KWIC_WIN)
+    end = F.least(F.col("n"), F.col("pos") + _KWIC_WIN)
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.concat_ws(" ", F.slice("toks", start, end - start + 1)).alias("context"),
+    )
+
+
+# =============================================================================
+# Curation metric — exact-dup rate per source: documents per source vs
+# distinct normalized fingerprints (operators/dedup.py
+# normalized_fingerprint — md5 of whitespace-collapsed lowercased
+# text), the per-provider duplication scorecard a curation run reports.
+# One hash-agg on (source, fingerprint)-reduced keys; the shuffle key
+# is the 32-byte digest, never the document text.
+# =============================================================================
+@q(
+    "corpus_dedup_rate_by_source",
+    r"""
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))::BIGINT
+             AS n_unique,
+           floor((1.0 - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))::DOUBLE
+                        / count(*)) * 1000000 + 0.5) / 1000000 AS dup_rate_r
+    FROM documents GROUP BY 1
+    """,
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        normalized_fingerprint,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", normalized_fingerprint("text").alias("fp")
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        _r(1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6).alias(
+            "dup_rate_r"
+        ),
+    )
