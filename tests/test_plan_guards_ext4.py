@@ -90,3 +90,29 @@ def test_rrf_fusion_no_smj(spark):
     # list — bounded by retrieval fan-out, not corpus size.)
     plan = _plan(spark, "text_rrf_fusion")
     assert "SortMergeJoin" not in plan
+
+
+def test_kwic_is_map_only(spark):
+    # positions + context windows are in-row array ops; the whole query
+    # is scan + generate (flatMap) — zero shuffle
+    plan = _plan(spark, "text_kwic_contexts")
+    assert "Exchange" not in plan
+
+
+def test_leakage_audit_no_smj(spark):
+    plan = _plan(spark, "ml_split_leakage_audit")
+    assert "SortMergeJoin" not in plan
+
+
+def test_daily_trend_min_date_broadcast(spark):
+    # the min-orderdate scalar rides a broadcast back onto the scan;
+    # everything else is two partial-aggregable groupBys
+    plan = _plan(spark, "orders_daily_trend")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chi2_margins_broadcast(spark):
+    plan = _plan(spark, "events_chi2_type_weekday")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2
