@@ -1957,6 +1957,7 @@ def registry() -> dict[str, QueryDef]:
         queries_ext2,
         queries_ext3,
         queries_ext4,
+        queries_ext5,
         queries_tpch,
     )
 

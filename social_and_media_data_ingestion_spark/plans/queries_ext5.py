@@ -1,0 +1,531 @@
+"""Registry extension 5 — round-4 third batch: time-series diagnostics
+(autocorrelation, seasonal-baseline anomalies, Theil-Sen robust trend),
+distributed model training as aggregation (multinomial Naive Bayes),
+entity-resolution blocking/linkage, the feature-hashing trick, k-core
+graph peeling, shingle-containment near-superset detection, and a
+distributed Pareto-skyline.
+
+These extend the LLM-training-data-pipeline layer (SURVEY §2 "beyond
+reference" operators) into the model-prep / data-diagnostics territory a
+100 TB corpus pipeline needs: ACF and seasonal baselines are the stock
+health checks on event streams; Theil-Sen is the robust (outlier-proof)
+trend estimator; Naive Bayes is the classic "training = one groupBy"
+distributed learner (and the template for any count-based model); ER
+blocking is how record linkage avoids n²; feature hashing is the
+fixed-width featurizer that needs no vocabulary broadcast; k-core is the
+standard graph-cleaning peel; containment catches near-SUPERSET dups
+that symmetric Jaccard misses; the skyline is multi-objective top-k.
+
+Scale notes (per query, also in SCALE.md):
+- autocorrelation: the raw table reduces to one row per day in a single
+  combiner-friendly hash-agg; everything after (lag join, moment sums)
+  runs on the tiny daily frame. Pearson terms come from INTEGER
+  sufficient statistics (counts), so distributed partial-sum order
+  cannot move the result; the only doubles are two correctly-rounded
+  sqrts and one division — bit-identical on any engine.
+- seasonal anomaly: same one-pass reduction to (day, hour) cells; the
+  (dow, hour) baseline is a second tiny agg. dow is computed as
+  datediff-mod-7 (pure integer) — no locale/week-origin dependence.
+- Theil-Sen: pairwise slopes are quadratic IN DAYS PER GROUP, not in
+  rows — the raw scan reduces to (type, day) counts first, so 100 TB of
+  events still yields only ~365² pairs per type per year. The median is
+  position-picked (floor/ceil of n/2), not interpolated, so both
+  engines select the identical element values.
+- Naive Bayes: training IS one hash-agg over (class, token) — the model
+  frame is vocab × classes, broadcast to score. Scoring sums per-token
+  log-likelihoods after rounding each to 6 dp and SORTING (both engines
+  left-fold the identical operand sequence → bit-identical argmax
+  input). Unknown test tokens get the Laplace floor, computed in-row.
+- ER linkage: pairs are generated between DISTINCT normalized names
+  (hash-agg first), inside blocks keyed on the name's last token — the
+  candidate count is bounded by name-vocabulary² per block, independent
+  of row count. Levenshtein runs only on candidates.
+- feature hashing: explode → two combiner-friendly hash-aggs keyed on
+  (doc, bucket) then doc. The 64-bucket space is a plan constant — no
+  vocabulary pass, no dictionary broadcast: the whole point of the
+  hashing trick at 100 TB.
+- k-core: each peel round is one degree hash-agg + one semi-join; the
+  edge set only shrinks. Fixed 3 rounds here; a cluster run loops until
+  fixpoint with the same bounded per-round cost (and would checkpoint
+  every ~5 rounds like operators/dedup connected components).
+- containment: candidate pairs come from the SAME bounded LSH-band
+  machinery as dedup_minhash_lsh_pairs (one shuffle, hot-bucket guard);
+  containment adds only per-pair set arithmetic on candidates.
+- skyline: the scan first reduces to one row per distinct price (the
+  skyline is invariant to that reduction), then a DISTRIBUTED exclusive
+  prefix-min (range-partition + O(partitions) offsets,
+  operators/scale.global_running_min) replaces the single-task
+  Window.orderBy funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.operators.dedup import _polyhash, _tokens
+from social_and_media_data_ingestion_spark.plans.queries import q
+from social_and_media_data_ingestion_spark.plans.tables import t
+
+# anchor date for integer day indices (differences are what matter; the
+# anchor just has to precede any data)
+_EPOCH = "2000-01-01"
+
+
+def _r(col, dp: int):
+    """floor(x*10^dp + 0.5)/10^dp — the repo's cross-engine rounding
+    (half-away-from-zero on both engines, unlike round())."""
+    m = 10.0**dp
+    return F.floor(col * m + F.lit(0.5)) / F.lit(m)
+
+
+# =============================================================================
+# Time series — autocorrelation function of the daily event-count series
+# at lags 1..7. The Pearson terms are integer sufficient statistics
+# (n, Σx, Σy, Σxy, Σx², Σy² — all BIGINT-exact), so the only floating
+# point is sqrt+divide at the very end.
+# =============================================================================
+@q(
+    "events_autocorrelation",
+    f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '{_EPOCH}', ts::DATE)::BIGINT AS d,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8))::BIGINT AS lag),
+    pairs AS (
+      SELECT l.lag, a.c AS x, b.c AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + l.lag
+    ),
+    stats AS (
+      SELECT lag, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT lag, n,
+           CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                THEN 0.0
+                ELSE floor((n * sxy - sx * sy)
+                           / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                              * sqrt((n * syy - sy * sy)::DOUBLE))
+                           * 1000000 + 0.5) / 1000000
+           END AS acf
+    FROM stats
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count("*").alias("c"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("d"), F.col("c").alias("x"))
+    b = daily.select(F.col("d").alias("d2"), F.col("c").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("d2") == F.col("d") + F.col("lag"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return s.select(
+        "lag",
+        "n",
+        F.when((dx <= 0) | (dy <= 0), F.lit(0.0))
+        .otherwise(
+            _r(num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))), 6)
+        )
+        .alias("acf"),
+    )
+
+
+# =============================================================================
+# Time series — seasonal (day-of-week × hour) baseline and z-score
+# anomalies over hourly event counts. dow is datediff(day, epoch) % 7 —
+# pure integer, no locale/week-origin trap. Baseline mean/std come from
+# integer sums; the z comparison is the identical IEEE expression on
+# both engines.
+# =============================================================================
+@q(
+    "events_seasonal_anomaly",
+    f"""
+    WITH cells AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+             date_diff('day', DATE '{_EPOCH}', ts::DATE)::BIGINT % 7 AS dow,
+             extract(hour FROM ts)::BIGINT AS hour,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT dow, hour, count(*)::BIGINT AS n,
+             sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS ss
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT day, hour, c,
+           floor(s / n::DOUBLE * 1000000 + 0.5) / 1000000 AS expected,
+           floor((c - s / n::DOUBLE)
+                 / sqrt((ss - s * s / n::DOUBLE) / n) * 1000000 + 0.5)
+           / 1000000 AS z
+    FROM cells JOIN base USING (dow, hour)
+    WHERE n >= 3 AND (ss - s * s / n::DOUBLE) / n > 0
+      AND abs((c - s / n::DOUBLE) / sqrt((ss - s * s / n::DOUBLE) / n)) >= 1.5
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        (
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date")).cast("long") % 7
+        ).alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count("*").alias("c"))
+    base = cells.groupBy("dow", "hour").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = cells.join(F.broadcast(base), ["dow", "hour"])
+    mean = F.col("s") / F.col("n").cast("double")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n").cast("double")) / F.col(
+        "n"
+    )
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        j.filter((F.col("n") >= 3) & (var > 0) & (F.abs(z) >= 1.5))
+        .select("day", "hour", "c", _r(mean, 6).alias("expected"), _r(z, 6).alias("z"))
+    )
+
+
+# =============================================================================
+# Robust statistics — Theil-Sen trend (median of pairwise slopes) of the
+# per-type daily count series. Quadratic in DAYS per type (the raw scan
+# reduces to (type, day) first), never in events. The median picks the
+# element(s) at floor/ceil positions — no interpolation formula to
+# disagree on.
+# =============================================================================
+@q(
+    "stats_theil_sen_trend",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '{_EPOCH}', ts::DATE)::BIGINT AS d,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.c - a.c) / (b.d - a.d)::DOUBLE AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS k
+      FROM slopes
+    )
+    SELECT event_type, max(k)::BIGINT AS n_pairs,
+           floor(avg(slope) * 1000000 + 0.5) / 1000000 AS ts_slope
+    FROM ranked
+    WHERE rn = (k + 1) // 2 OR rn = k // 2 + 1
+    GROUP BY event_type
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count("*").alias("c"))
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("c").alias("c2"))
+    slopes = a.join(b, "event_type").filter(F.col("d2") > F.col("d1")).select(
+        "event_type",
+        ((F.col("c2") - F.col("c1")) / (F.col("d2") - F.col("d1")).cast("double")).alias(
+            "slope"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wk = Window.partitionBy("event_type")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "k", F.count("*").over(wk)
+    )
+    mid = ranked.filter(
+        (F.col("rn") == (F.col("k") + 1) / F.lit(2).cast("long"))
+        | (F.col("rn") == F.col("k") / F.lit(2).cast("long") + 1)
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("k").cast("long").alias("n_pairs"),
+        _r(F.avg("slope"), 6).alias("ts_slope"),
+    )
+
+
+# =============================================================================
+# Feature hashing (the "hashing trick") — fixed-width 64-bucket token
+# count features per document, NO vocabulary pass or dictionary
+# broadcast (that is the point of the trick at 100 TB). Bucket = the
+# cross-engine polynomial hash mod 64. Output is per-doc feature-vector
+# diagnostics (nnz, L2, argmax bucket) — all scalars.
+# =============================================================================
+_FH_BUCKETS = 64
+
+
+@q(
+    "text_feature_hashing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                           '\\s+'),
+                                        x -> x <> '')) AS token
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             list_reduce(list_transform(string_split(token, ''),
+                                        x -> ascii(x)::BIGINT),
+                         (acc, x) -> (acc * 31 + x) % 1000000007)
+             % {_FH_BUCKETS} AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, bucket, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, bucket) AS rk
+      FROM bucketed
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_nonzero,
+           floor(sqrt(sum(cnt * cnt)::DOUBLE) * 1000000 + 0.5) / 1000000
+             AS l2_norm,
+           max(CASE WHEN rk = 1 THEN bucket END)::BIGINT AS top_bucket,
+           max(CASE WHEN rk = 1 THEN cnt END)::BIGINT AS top_count
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens("text")).alias("token"))
+    bucketed = toks.groupBy(
+        "doc_id", (_polyhash(F.col("token")) % _FH_BUCKETS).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("bucket"))
+    ranked = bucketed.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_nonzero"),
+        _r(F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")), 6).alias(
+            "l2_norm"
+        ),
+        F.max(F.when(F.col("rk") == 1, F.col("bucket"))).cast("bigint").alias(
+            "top_bucket"
+        ),
+        F.max(F.when(F.col("rk") == 1, F.col("cnt"))).cast("bigint").alias(
+            "top_count"
+        ),
+    )
+
+
+# =============================================================================
+# Distributed ML — multinomial Naive Bayes with Laplace smoothing:
+# TRAIN on even doc_id blocks (doc_id//20 parity, so every class lands in both splits) (training = ONE hash-agg over (class, token) —
+# the template for every count-based model at 100 TB), SCORE the odd blocks, report per-class accuracy. Cross-engine determinism of the
+# log-likelihood sum: each per-token lp is rounded to 6 dp, then the
+# per-(doc, class) sum left-folds the SORTED lp list — both engines add
+# the identical operand sequence, so the argmax input is bit-identical.
+# =============================================================================
+_NB_TOKS = (
+    r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+)
+
+
+@q(
+    "ml_naive_bayes_source",
+    f"""
+    WITH train AS (
+      SELECT doc_id, source, {_NB_TOKS} AS toks
+      FROM documents WHERE (doc_id // 20) % 2 = 0
+    ),
+    test AS (
+      SELECT doc_id, source AS actual, {_NB_TOKS} AS toks
+      FROM documents WHERE (doc_id // 20) % 2 = 1
+    ),
+    tr_tok AS (SELECT source, unnest(toks) AS token FROM train),
+    model AS (
+      SELECT source, token, count(*)::BIGINT AS cnt FROM tr_tok GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, count(*)::BIGINT AS tot FROM tr_tok GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT token)::BIGINT AS v FROM tr_tok),
+    ndocs AS (SELECT count(*)::BIGINT AS n FROM train),
+    priors AS (SELECT source, count(*)::BIGINT AS nd FROM train GROUP BY 1),
+    classes AS (
+      SELECT t.source, t.tot, v.v,
+             floor(ln(p.nd / n.n::DOUBLE) * 1000000 + 0.5) / 1000000
+               AS lp_prior
+      FROM totals t JOIN priors p USING (source), vocab v, ndocs n
+    ),
+    tt AS (SELECT doc_id, actual, unnest(toks) AS token FROM test),
+    lps AS (
+      SELECT tt.doc_id, tt.actual, c.source, c.lp_prior,
+             floor(ln((coalesce(m.cnt, 0) + 1) / (c.tot + c.v)::DOUBLE)
+                   * 1000000 + 0.5) / 1000000 AS lp
+      FROM tt CROSS JOIN classes c
+      LEFT JOIN model m ON m.source = c.source AND m.token = tt.token
+    ),
+    scores AS (
+      SELECT doc_id, actual, source,
+             list_reduce(list_sort(list(lp)), (a, b) -> a + b) + lp_prior AS s
+      FROM lps GROUP BY doc_id, actual, source, lp_prior
+    ),
+    pred AS (
+      SELECT doc_id, actual, source AS predicted,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, source)
+               AS rk
+      FROM scores
+    )
+    SELECT actual AS source, count(*)::BIGINT AS n_test,
+           sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct,
+           floor(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS accuracy
+    FROM pred WHERE rk = 1 GROUP BY 1
+    """,
+)
+def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens("text").alias("toks")
+    )
+    train = docs.filter(F.expr("doc_id div 20") % 2 == 0)
+    test = docs.filter(F.expr("doc_id div 20") % 2 == 1).withColumnRenamed(
+        "source", "actual"
+    )
+    tr_tok = train.select("source", F.explode("toks").alias("token"))
+    model = tr_tok.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    totals = tr_tok.groupBy("source").agg(F.count("*").alias("tot"))
+    vocab = tr_tok.select("token").distinct().agg(F.count("*").alias("v"))
+    ndocs = train.agg(F.count("*").alias("n"))
+    priors = train.groupBy("source").agg(F.count("*").alias("nd"))
+    classes = (
+        totals.join(priors, "source")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "source",
+            "tot",
+            "v",
+            _r(F.log(F.col("nd") / F.col("n").cast("double")), 6).alias(
+                "lp_prior"
+            ),
+        )
+    )
+    tt = test.select("doc_id", "actual", F.explode("toks").alias("token"))
+    lps = (
+        tt.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(model), ["source", "token"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "source",
+            "lp_prior",
+            _r(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    / (F.col("tot") + F.col("v")).cast("double")
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    scores = lps.groupBy("doc_id", "actual", "source", "lp_prior").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("lp")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            + F.col("lp_prior")
+        ).alias("s")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("source"))
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .withColumnRenamed("source", "predicted")
+    )
+    correct = F.sum(
+        F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0)
+    )
+    return pred.groupBy(F.col("actual").alias("source")).agg(
+        F.count("*").alias("n_test"),
+        correct.cast("bigint").alias("n_correct"),
+        _r(correct / F.count("*").cast("double"), 6).alias("accuracy"),
+    )
+
+
+# =============================================================================
+# Entity resolution — blocked record linkage over part names: hash-agg
+# to DISTINCT normalized names first (the candidate space is the name
+# VOCABULARY, not the row count), block on the name's last token, pair
+# within blocks, and keep Levenshtein <= 3 matches with their supports.
+# =============================================================================
+@q(
+    "er_blocked_name_linkage",
+    """
+    WITH names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+             count(*)::BIGINT AS support
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name1, b.p_name AS name2, a.noun,
+           levenshtein(a.p_name, b.p_name)::BIGINT AS lev,
+           a.support AS support1, b.support AS support2
+    FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def er_blocked_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    names = part.groupBy(
+        "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+    ).agg(F.count("*").alias("support"))
+    a = names.select(
+        F.col("p_name").alias("name1"),
+        "noun",
+        F.col("support").alias("support1"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name2"),
+        F.col("noun").alias("noun2"),
+        F.col("support").alias("support2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("noun") == F.col("noun2")) & (F.col("name1") < F.col("name2")),
+    )
+    lev = F.levenshtein("name1", "name2")
+    return pairs.filter(lev <= 3).select(
+        "name1",
+        "name2",
+        "noun",
+        lev.cast("bigint").alias("lev"),
+        "support1",
+        "support2",
+    )
