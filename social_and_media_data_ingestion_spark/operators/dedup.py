@@ -488,3 +488,54 @@ def neardup_probe(
             F.round("j", 6).alias("jaccard"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, containment_ab, containment_ba, jaccard) for pairs
+    whose MAX directional containment >= threshold.
+
+    Containment C(A,B) = |S(A) ∩ S(B)| / |S(A)| is the ASYMMETRIC
+    near-dup measure: a short document embedded verbatim inside a long
+    one has high containment but low Jaccard, so symmetric-Jaccard
+    dedup misses it (the classic quote/boilerplate/excerpt leak in
+    training corpora — cf. Broder's containment vs resemblance split).
+    Same inverted-shingle-index join as :func:`ngram_jaccard_pairs` —
+    candidates share >= 1 shingle, never a blind cross join."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    c_ab = F.col("inter") / F.col("sz_a")
+    c_ba = F.col("inter") / F.col("sz_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )

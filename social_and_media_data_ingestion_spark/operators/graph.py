@@ -174,3 +174,48 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         ],
         "n_triangles bigint, n_wedges bigint, clustering double",
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Per-round (round, n_nodes, n_edges) survivor stats of iterative
+    k-core peeling on an UNDIRECTED simple graph: each round drops every
+    node whose CURRENT degree is < k, plus its incident edges. `rounds`
+    fixed rounds here (the registry setting); a cluster run loops to a
+    fixpoint with the identical per-round cost.
+
+    Scale spelling: one degree hash-agg + two semi-joins per round on an
+    edge set that only SHRINKS; each round's survivor frame is
+    localCheckpoint-materialized so round r+1 reads pinned blocks
+    instead of replaying rounds 1..r (the same lineage-truncation trade
+    as connected components in operators/dedup.py). The per-round
+    (n_nodes, n_edges) counts are bounded driver scalars.
+    """
+    e = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stats: list[tuple[int, int, int]] = []
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        stats.append((r, keep.count(), e.count()))
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        stats, "round bigint, n_nodes bigint, n_edges bigint"
+    )

@@ -298,3 +298,79 @@ def global_ntile(
     else:
         bucket = first
     return ranked.withColumn(out_col, bucket.cast("long")).drop(rn)
+
+
+def global_running_min(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    value_col: str,
+    out_col: str = "running_min",
+    num_partitions: int | None = None,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Exact global running MIN of `value_col` in `order_by` order
+    WITHOUT a single-partition window — the prefix-extremum primitive
+    (skyline/Pareto membership, best-so-far tracking, descending-bound
+    pruning).
+
+    Same two-job shape as :func:`global_running_sum`: range-partition on
+    the sort key, collect per-partition MINIMA (bounded O(partitions)
+    driver state), then each partition computes a local window min and
+    folds in the prefix-min of all predecessor partitions as an offset
+    via a literal map. With `exclusive=True` the local frame is
+    (unbounded preceding, -1) — a STRICT prefix: each row sees the min
+    over rows strictly before it, and the globally-first row gets NULL
+    (there is no predecessor). `order_by` should be a total order for
+    deterministic output.
+
+    The ranged frame is localCheckpoint-materialized (lazily) so the
+    minima job and the window job see the SAME sampled range boundaries
+    (see :func:`_global_rank` for why)."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    spark = df.sparkSession
+    n_parts = num_partitions or _default_partitions(spark)
+    pid = "__rmin_pid"
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    minima = sorted(
+        ranged.groupBy(pid).agg(F.min(value_col).alias("m")).collect(),
+        key=lambda r: r[pid],
+    )
+    # offset for partition p = min over partitions < p (None for the first)
+    entries: list[tuple[int, object]] = []
+    acc = None
+    for row in minima:
+        if acc is not None:
+            entries.append((row[pid], acc))
+        m = row["m"]
+        if m is not None and (acc is None or m < acc):
+            acc = m
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(v) for p, off in entries for v in (p, off)]),
+            F.col(pid),
+        )
+        if entries
+        else F.lit(None)
+    )
+    end = -1 if exclusive else Window.currentRow
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    # least() skips NULLs, so a NULL local min (first row under
+    # exclusive) falls back to the predecessor-partition offset, and a
+    # missing offset (first partition) falls back to the local min.
+    return (
+        ranged.withColumn(
+            out_col,
+            F.least(F.min(value_col).over(w), off_expr),
+        )
+        .drop(pid)
+    )

@@ -529,3 +529,208 @@ def er_blocked_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "support1",
         "support2",
     )
+
+
+# =============================================================================
+# Curation — shingle-CONTAINMENT near-superset pairs. Containment
+# C(A,B) = |S(A)∩S(B)|/|S(A)| is asymmetric: a short document embedded
+# verbatim in a long one scores high containment but LOW Jaccard, so
+# symmetric near-dedup misses it (the classic excerpt/boilerplate leak).
+# Candidates come from the inverted shingle index (share >= 1 shingle),
+# never a cross join.
+# =============================================================================
+_CONT_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) "
+    "ELSE [] END"
+)
+
+
+@q(
+    "dedup_shingle_containment",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, unnest({_CONT_SHINGLES}) AS shingle
+      FROM docs
+    ),
+    sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(i / sa.sz::DOUBLE * 1000000 + 0.5) / 1000000
+             AS containment_ab,
+           floor(i / sb.sz::DOUBLE * 1000000 + 0.5) / 1000000
+             AS containment_ba,
+           floor(i / (sa.sz + sb.sz - i)::DOUBLE * 1000000 + 0.5) / 1000000
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE greatest(i / sa.sz::DOUBLE, i / sb.sz::DOUBLE) >= 0.5
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.dedup import containment_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        _r(F.col("containment_ab"), 6).alias("containment_ab"),
+        _r(F.col("containment_ba"), 6).alias("containment_ba"),
+        _r(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+# =============================================================================
+# Graph — iterative k-core peeling (k=5, 3 rounds) of the supplier
+# strong-partner graph (same bounded top-3 k-NN edge builder as
+# graph_triangle_suppliers). k-core is the standard graph-cleaning step
+# before community/embedding work: nodes outside the core are leaves
+# and near-leaves whose removal cascades. Oracle: 3 unrolled CTE peels.
+# =============================================================================
+_KCORE_EDGES = """
+    p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*)::BIGINT AS n
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    knn AS (
+      SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY n DESC, v) AS rk
+      FROM pairs
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM knn WHERE rk <= 3
+    )
+"""
+
+
+def _kcore_round_sql(r: int, k: int) -> str:
+    prev = f"e{r - 1}"
+    return f"""
+    d{r} AS MATERIALIZED (
+      SELECT n, count(*)::BIGINT AS d
+      FROM (SELECT a AS n FROM {prev} UNION ALL SELECT b AS n FROM {prev})
+      GROUP BY 1
+    ),
+    k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT a, b FROM {prev}
+      WHERE a IN (SELECT n FROM k{r}) AND b IN (SELECT n FROM k{r})
+    )
+"""
+
+
+_KCORE_K = 5
+_KCORE_ROUNDS = 3
+
+
+@q(
+    "graph_kcore_suppliers",
+    "WITH "
+    + _KCORE_EDGES
+    + ","
+    + ",".join(_kcore_round_sql(r, _KCORE_K) for r in range(1, _KCORE_ROUNDS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS round,"
+        f" (SELECT count(*) FROM k{r})::BIGINT AS n_nodes,"
+        f" (SELECT count(*) FROM e{r})::BIGINT AS n_edges"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    ),
+)
+def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.graph import kcore_peel
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("v"))
+    edges = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# =============================================================================
+# Multi-objective top-k — the (price, size) Pareto SKYLINE of parts:
+# every (price, min-size-at-price) point no other point beats on both
+# axes. The scan first reduces to one row per distinct price (skyline-
+# invariant), then membership is a DISTRIBUTED exclusive prefix-min
+# over price order (operators/scale.global_running_min — range
+# partition + O(partitions) offsets), replacing both the naive O(n²)
+# dominance join and the single-task Window.orderBy funnel. Oracle:
+# the naive NOT EXISTS dominance test.
+# =============================================================================
+@q(
+    "part_price_skyline",
+    """
+    WITH ps AS (
+      SELECT p_retailprice, p_size, count(*)::BIGINT AS cnt
+      FROM part GROUP BY 1, 2
+    ),
+    red AS (
+      SELECT p_retailprice, min(p_size) AS min_size FROM ps GROUP BY 1
+    ),
+    redc AS (
+      SELECT r.p_retailprice, r.min_size::BIGINT AS min_size,
+             ps.cnt AS n_parts
+      FROM red r JOIN ps
+        ON ps.p_retailprice = r.p_retailprice AND ps.p_size = r.min_size
+    )
+    SELECT p_retailprice, min_size, n_parts
+    FROM redc a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM redc b
+      WHERE b.p_retailprice < a.p_retailprice AND b.min_size <= a.min_size
+    )
+    """,
+)
+def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_min,
+    )
+
+    part = t(spark, sf_dir, "part")
+    ps = part.groupBy("p_retailprice", "p_size").agg(F.count("*").alias("cnt"))
+    red = (
+        ps.groupBy("p_retailprice")
+        .agg(F.min(F.struct(F.col("p_size"), F.col("cnt"))).alias("m"))
+        .select(
+            "p_retailprice",
+            F.col("m.p_size").cast("bigint").alias("min_size"),
+            F.col("m.cnt").alias("n_parts"),
+        )
+    )
+    ranked = global_running_min(
+        red,
+        order_by=["p_retailprice"],
+        value_col="min_size",
+        out_col="strict_min",
+        exclusive=True,
+    )
+    return ranked.filter(
+        F.col("strict_min").isNull() | (F.col("min_size") < F.col("strict_min"))
+    ).select("p_retailprice", "min_size", "n_parts")

@@ -1,0 +1,149 @@
+"""Plan guards for the ext5 batch (time-series diagnostics, Naive
+Bayes, ER linkage, feature hashing, containment, k-core, skyline): pin
+the scale properties — pre-aggregation before quadratic stages,
+broadcast of tiny model/stat frames, no cartesian blowups, distributed
+prefix-min instead of a single-partition window — so refactors can't
+silently regress them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from social_and_media_data_ingestion_spark.plans.queries import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = registry()[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_autocorrelation_lag_frame_broadcast(spark):
+    plan = _plan(spark, "events_autocorrelation")
+    # the raw scan reduces to a daily frame before any join; the lag
+    # spine and the daily self-join ride broadcasts, never an SMJ
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seasonal_anomaly_baseline_broadcast(spark):
+    plan = _plan(spark, "events_seasonal_anomaly")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_theil_sen_pairs_after_reduction(spark):
+    plan = _plan(spark, "stats_theil_sen_trend")
+    # pairwise slopes must join the REDUCED (type, day) frame with
+    # itself — the scans feeding the join are aggregates, not raw scans
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both join inputs carry a hash aggregate below them
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_naive_bayes_model_broadcast(spark):
+    plan = _plan(spark, "ml_naive_bayes_source")
+    # the (class, token) model and the classes stat frame come back as
+    # broadcasts — the test-token stream is never sort-merge joined
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_er_linkage_blocks_on_distinct_names(spark):
+    plan = _plan(spark, "er_blocked_name_linkage")
+    # pairs form between DISTINCT names (hash-agg below the join), and
+    # the block join is an equi join on the noun key
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_feature_hashing_no_vocabulary_join(spark):
+    plan = _plan(spark, "text_feature_hashing")
+    # the hashing trick needs NO dictionary: zero joins anywhere
+    assert "Join" not in plan
+
+
+def test_containment_inverted_index_equi_join(spark):
+    plan = _plan(spark, "dedup_shingle_containment")
+    # candidates come from the inverted shingle index (equi join on the
+    # shingle), never a cross join over doc pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_uses_distributed_prefix_min(spark):
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        part_price_skyline,
+    )
+
+    df = part_price_skyline(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the prefix-min window must be partitioned on the range-partition
+    # id — a global (empty-partition) window spec would funnel the
+    # whole frame through one task. (The upstream rangepartitioning is
+    # hidden behind the localCheckpoint's ExistingRDD scan.)
+    assert "windowspecdefinition(__rmin_pid" in plan
+    assert "windowspecdefinition(p_retailprice" not in plan
+
+
+def test_global_running_min_matches_window_spelling(spark):
+    from pyspark.sql import Window
+
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_min,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 101).alias("v"),
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in global_running_min(
+            df, ["id"], "v", out_col="m", num_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["m"]
+        for r in df.withColumn("m", F.min("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_running_min_exclusive_first_row_null(spark):
+    from pyspark.sql import Window
+
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_min,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        ((F.col("id") * 53) % 97).alias("v"),
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in global_running_min(
+            df, ["id"], "v", out_col="m", num_partitions=8, exclusive=True
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["m"]
+        for r in df.withColumn("m", F.min("v").over(w)).collect()
+    }
+    assert got == want
+    assert got[0] is None
+
+
+def test_kcore_rounds_monotone_shrinking(spark):
+    rows = registry()["graph_kcore_suppliers"].spark(spark, SF).collect()
+    by_round = {r["round"]: (r["n_nodes"], r["n_edges"]) for r in rows}
+    assert sorted(by_round) == [1, 2, 3]
+    for r in (2, 3):
+        assert by_round[r][0] <= by_round[r - 1][0]
+        assert by_round[r][1] <= by_round[r - 1][1]
