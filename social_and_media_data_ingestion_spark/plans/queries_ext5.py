@@ -734,3 +734,235 @@ def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("strict_min").isNull() | (F.col("min_size") < F.col("strict_min"))
     ).select("p_retailprice", "min_size", "n_parts")
+
+
+# =============================================================================
+# Sequence mining — top-20 most frequent 3-step event paths per the
+# user clickstream (the "what do users do next" primitive behind
+# sequential-pattern mining). ONE shuffle on user_id; the two leads are
+# partition-local; global top-20 rides TakeOrderedAndProject with a
+# full deterministic tie-break.
+# =============================================================================
+@q(
+    "events_trigram_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1, e2, e3, count(*)::BIGINT AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3 LIMIT 20
+    """,
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+# =============================================================================
+# Routing — rendezvous (highest-random-weight) hashing of doc_ids over
+# 8 shards: shard(key) = argmax_s h_s(key). The property that matters
+# at scale: adding/removing a shard only moves the keys whose argmax
+# changed (~1/n of them) — unlike mod-N, which reshuffles everything.
+# Entirely in-row (weight array + argmax), then one tiny per-shard agg.
+# =============================================================================
+_RDV_P = 2147483647
+_RDV_AB = [
+    (1103, 12345),
+    (97, 1013904223),
+    (48271, 16807),
+    (69621, 104729),
+    (31337, 271828),
+    (75321, 654321),
+    (65539, 998244353),
+    (22695477, 1),
+]
+
+
+@q(
+    "sample_rendezvous_shards",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             [{", ".join(f"(({a} * (((doc_id % {_RDV_P}) * 2654435761 + 104729) % {_RDV_P}) + {b}) % {_RDV_P})" for a, b in _RDV_AB)}]
+               AS hs
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id,
+             (list_position(hs, list_aggregate(hs, 'max')) - 1)::BIGINT
+               AS shard
+      FROM w
+    )
+    SELECT shard, count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+    FROM assigned GROUP BY 1
+    """,
+)
+def sample_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    mixed = ((F.col("doc_id") % _RDV_P) * F.lit(2654435761) + 104729) % _RDV_P
+    hs = F.array(
+        *[((F.lit(a) * mixed + F.lit(b)) % _RDV_P) for a, b in _RDV_AB]
+    )
+    assigned = docs.select(
+        "doc_id",
+        (F.array_position(hs, F.array_max(hs)) - 1).cast("bigint").alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+# =============================================================================
+# Drift monitoring — Population Stability Index of the event `value`
+# distribution, first half of the time range vs second, per event_type
+# (the stock "did my feature distribution move" gate before retraining).
+# Fixed-width integer bins (no quantile boundaries to disagree on),
+# Laplace-smoothed proportions, and the 10-term PSI sum left-folds a
+# SORTED rounded term list so partial-sum order cannot move the result.
+# =============================================================================
+_PSI_BIN_W = 50
+_PSI_NBINS = 10
+
+
+@q(
+    "ml_drift_psi",
+    f"""
+    WITH bounds AS (
+      SELECT min(ts) AS t0, max(ts) AS t1 FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(e.ts) < (epoch_us(b.t0) + epoch_us(b.t1)) // 2
+                  THEN 0 ELSE 1 END AS half,
+             least(floor(value / {_PSI_BIN_W}), {_PSI_NBINS - 1})::BIGINT
+               AS bin
+      FROM events e, bounds b
+    ),
+    cells AS (
+      SELECT event_type, half, bin, count(*)::BIGINT AS c
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT event_type, bin.bin
+      FROM (SELECT DISTINCT event_type FROM cells) et,
+           (SELECT unnest(range({_PSI_NBINS}))::BIGINT AS bin) bin
+    ),
+    wide AS (
+      SELECT g.event_type, g.bin,
+             coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+      FROM grid g
+      LEFT JOIN cells a ON a.event_type = g.event_type AND a.bin = g.bin
+                        AND a.half = 0
+      LEFT JOIN cells b ON b.event_type = g.event_type AND b.bin = g.bin
+                        AND b.half = 1
+    ),
+    tot AS (
+      SELECT event_type, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+      FROM wide GROUP BY 1
+    ),
+    terms AS (
+      SELECT w.event_type, t.na, t.nb,
+             floor(((w.ca + 1) / (t.na + {_PSI_NBINS})::DOUBLE
+                    - (w.cb + 1) / (t.nb + {_PSI_NBINS})::DOUBLE)
+                   * ln(((w.ca + 1) / (t.na + {_PSI_NBINS})::DOUBLE)
+                        / ((w.cb + 1) / (t.nb + {_PSI_NBINS})::DOUBLE))
+                   * 100000000 + 0.5) / 100000000 AS term
+      FROM wide w JOIN tot t USING (event_type)
+    )
+    SELECT event_type, max(na)::BIGINT AS n_first_half,
+           max(nb)::BIGINT AS n_second_half,
+           floor(list_reduce(list_sort(list(term)), (x, y) -> x + y)
+                 * 1000000 + 0.5) / 1000000 AS psi
+    FROM terms GROUP BY 1
+    """,
+)
+def ml_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("u0"),
+        F.unix_micros(F.max("ts")).alias("u1"),
+    )
+    half = F.when(
+        F.unix_micros("ts")
+        < F.floor((F.col("u0") + F.col("u1")) / 2).cast("long"),
+        0,
+    ).otherwise(1)
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        half.alias("half"),
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W), F.lit(_PSI_NBINS - 1)
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "half", "bin").agg(
+        F.count("*").alias("c")
+    )
+    et = cells.select("event_type").distinct()
+    bins = F.broadcast(
+        cells.sparkSession.range(_PSI_NBINS).select(F.col("id").alias("bin"))
+    )
+    grid = et.crossJoin(bins)
+    a = cells.filter(F.col("half") == 0).select(
+        "event_type", "bin", F.col("c").alias("ca")
+    )
+    b = cells.filter(F.col("half") == 1).select(
+        "event_type", "bin", F.col("c").alias("cb")
+    )
+    wide = (
+        grid.join(a, ["event_type", "bin"], "left")
+        .join(b, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    tot = wide.withColumn("na", F.sum("ca").over(wt)).withColumn(
+        "nb", F.sum("cb").over(wt)
+    )
+    pa = (F.col("ca") + 1) / (F.col("na") + _PSI_NBINS).cast("double")
+    pb = (F.col("cb") + 1) / (F.col("nb") + _PSI_NBINS).cast("double")
+    terms = tot.select(
+        "event_type",
+        "na",
+        "nb",
+        _r((pa - pb) * F.log(pa / pb), 8).alias("term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("na").cast("bigint").alias("n_first_half"),
+        F.max("nb").cast("bigint").alias("n_second_half"),
+        _r(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("psi"),
+    )

@@ -147,3 +147,26 @@ def test_kcore_rounds_monotone_shrinking(spark):
     for r in (2, 3):
         assert by_round[r][0] <= by_round[r - 1][0]
         assert by_round[r][1] <= by_round[r - 1][1]
+
+
+def test_trigram_paths_topk_take_ordered(spark):
+    plan = _plan(spark, "events_trigram_paths")
+    # global top-20 must ride TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
+    # the sequence window partitions on user_id — no global window
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_rendezvous_shards_map_only_assignment(spark):
+    plan = _plan(spark, "sample_rendezvous_shards")
+    # the weight array + argmax is in-row; only the tiny per-shard agg
+    # exchanges, and nothing joins
+    assert "Join" not in plan
+
+
+def test_drift_psi_bounds_broadcast(spark):
+    plan = _plan(spark, "ml_drift_psi")
+    # the 1-row time-bounds frame and the bin spine come back as
+    # broadcasts; the fact scan is never sort-merge joined
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
