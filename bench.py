@@ -80,6 +80,14 @@ HEADLINE = [
     "dq_constraint_report",
     "join_bloom_filter_audit",
     "lineitem_abc_pareto",
+    # round-4 third batch: count-based model training (broadcast-model
+    # scoring join), inverted-index containment, the distributed
+    # prefix-min skyline, and sequence mining — benched so the new
+    # operator classes have a throughput artifact, not just plan guards
+    "ml_naive_bayes_source",
+    "dedup_shingle_containment",
+    "part_price_skyline",
+    "events_trigram_paths",
 ]
 
 

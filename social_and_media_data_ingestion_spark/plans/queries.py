@@ -1926,22 +1926,28 @@ PRIORITY_HEAD = [
     "emb_vector_stats",
     "agg_approx_stats",
     "q4_order_priority",
-    "q14_promo_share",
-    "agg_percentiles",
     "agg_corr_stats",
     "agg_collect_sorted",
-    "window_running_revenue",
-    "window_lag_delta",
-    "window_dense_rank_parts",
-    "explode_token_topk",
-    "text_shingles_3gram",
-    "scalar_levenshtein",
-    "j7_full_outer_counts",
-    "j8_cross_join_grid",
-    "skew_salted_type_counts",
-    "scalar_date_arithmetic",
-    "array_set_ops",
-    "events_daily_active",
+    # -- round-4 fourth batch (queries_ext5 tail): truncation-recall
+    #    audit, Markov stationary distribution, k-hop BFS
+    "emb_truncation_recall",
+    "events_markov_stationary",
+    "graph_bfs_reachability",
+    # -- round-4 third batch (queries_ext5): newest novel operator
+    #    families — first driver evidence (the displaced backlog
+    #    entries rotate back next round)
+    "events_autocorrelation",
+    "events_seasonal_anomaly",
+    "stats_theil_sen_trend",
+    "ml_naive_bayes_source",
+    "er_blocked_name_linkage",
+    "text_feature_hashing",
+    "dedup_shingle_containment",
+    "graph_kcore_suppliers",
+    "part_price_skyline",
+    "events_trigram_paths",
+    "sample_rendezvous_shards",
+    "ml_drift_psi",
     # -- ext4 second batch — first evidence (displaces three backlog
     #    entries that rotate next round)
     "text_rrf_fusion",

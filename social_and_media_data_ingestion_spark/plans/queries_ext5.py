@@ -966,3 +966,268 @@ def ml_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+# =============================================================================
+# ANN dimensioning — recall@5 of cosine top-k computed on the FIRST 16
+# DIMS of each embedding vs the full-dimension exact answer (the
+# "matryoshka"/truncation audit: how much retrieval quality survives a
+# 4× cheaper index?). Same broadcast-queries × corpus-scan posture as
+# sim_cosine_topk; the truncation is an in-row slice.
+# =============================================================================
+_TRUNC_DIMS = 16
+
+
+def _cos_topk_sql(slice_expr: str) -> str:
+    qe = slice_expr.format(v="qe")
+    ce = slice_expr.format(v="ce")
+    return f"""
+      SELECT qid AS query_id, nid AS neighbor_id,
+             list_sum(list_transform(range(len({qe})),
+                                     i -> {qe}[i+1]::DOUBLE * {ce}[i+1]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(len({qe})),
+                                             i -> {qe}[i+1]::DOUBLE * {qe}[i+1]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(len({ce})),
+                                               i -> {ce}[i+1]::DOUBLE * {ce}[i+1]::DOUBLE))))
+               AS cos
+      FROM (SELECT vec_id AS nid, embedding AS ce FROM embeddings) c,
+           (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+            WHERE vec_id < 10) q
+      WHERE nid <> qid
+    """
+
+
+@q(
+    "emb_truncation_recall",
+    f"""
+    WITH fs AS ({_cos_topk_sql("{v}")}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM fs) WHERE rank <= 5
+    ),
+    ts AS ({_cos_topk_sql(f"{{v}}[1:{_TRUNC_DIMS}]")}),
+    approx AS (
+      SELECT query_id, neighbor_id, 1 AS hit FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM ts) WHERE rank <= 5
+    )
+    SELECT e.query_id, count(a.hit)::BIGINT AS n_hit,
+           count(a.hit) / 5.0 AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+)
+def emb_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators import similarity as SIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _TRUNC_DIMS).alias("embedding")
+    )
+    approx = SIM.cosine_topk(
+        trunc, trunc.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            (F.count("hit").cast("double") / 5).alias("recall_at_5"),
+        )
+    )
+
+
+# =============================================================================
+# Markov analysis — approximate stationary distribution of the user
+# event-type transition chain: 4 synchronous power-iteration rounds
+# from a uniform start over the SAME rounded transition matrix as
+# events_transition_matrix. Every v·P component left-folds a SORTED
+# 8-dp-rounded term list, so both engines iterate bit-identically. The
+# state frame is |event types| rows — all iteration joins are
+# broadcast-tiny; the only real shuffle is the one transition count.
+# =============================================================================
+_MKV_ITERS = 4
+
+
+def _markov_oracle() -> str:
+    body = """
+    WITH seq AS (
+      SELECT event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS t
+      FROM events
+    ),
+    cnt AS MATERIALIZED (
+      SELECT s, t, count(*)::BIGINT AS n FROM seq WHERE t IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS MATERIALIZED (
+      SELECT s, t,
+             floor(n / sum(n) OVER (PARTITION BY s) * 10000 + 0.5) / 10000
+               AS p
+      FROM cnt
+    ),
+    states AS MATERIALIZED (
+      SELECT s AS state FROM cnt UNION SELECT t FROM cnt
+    ),
+    nstates AS (SELECT count(*)::BIGINT AS k FROM states),
+    v0 AS (
+      SELECT state, 1.0 / k AS v FROM states, nstates
+    )"""
+    for i in range(1, _MKV_ITERS + 1):
+        body += f""",
+    t{i} AS (
+      SELECT p.t AS state,
+             floor(v.v * p.p * 100000000 + 0.5) / 100000000 AS term
+      FROM v{i - 1} v JOIN p ON p.s = v.state
+    ),
+    v{i} AS (
+      SELECT s.state,
+             coalesce(floor(x.v * 100000000 + 0.5) / 100000000, 0.0) AS v
+      FROM states s LEFT JOIN (
+        SELECT state, list_reduce(list_sort(list(term)), (a, b) -> a + b)
+          AS v
+        FROM t{i} GROUP BY 1
+      ) x USING (state)
+    )"""
+    body += f"""
+    SELECT state AS event_type,
+           floor(v * 1000000 + 0.5) / 1000000 AS stationary
+    FROM v{_MKV_ITERS}
+    """
+    return body
+
+
+@q("events_markov_stationary", _markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"), F.lead("event_type").over(w).alias("t")
+    )
+    cnt = (
+        seq.filter(F.col("t").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    ws = Window.partitionBy("s")
+    p = cnt.select(
+        "s",
+        "t",
+        (F.floor(F.col("n") / F.sum("n").over(ws) * 10000 + F.lit(0.5)) / 10000).alias(
+            "p"
+        ),
+    )
+    states = (
+        cnt.select(F.col("s").alias("state"))
+        .union(cnt.select(F.col("t").alias("state")))
+        .distinct()
+    )
+    k = states.agg(F.count("*").alias("k"))
+    v = states.crossJoin(F.broadcast(k)).select(
+        "state", (F.lit(1.0) / F.col("k")).alias("v")
+    )
+    for _ in range(_MKV_ITERS):
+        terms = F.broadcast(v).join(p, v.state == p.s).select(
+            F.col("t").alias("state"), _r(F.col("v") * F.col("p"), 8).alias("term")
+        )
+        summed = terms.groupBy("state").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("v")
+        )
+        v = states.join(F.broadcast(summed), "state", "left").select(
+            "state", F.coalesce(_r(F.col("v"), 8), F.lit(0.0)).alias("v")
+        )
+    return v.select(F.col("state").alias("event_type"), _r(F.col("v"), 6).alias("stationary"))
+
+
+# =============================================================================
+# Graph traversal — 3-hop BFS reachability from seed suppliers over the
+# bounded k-NN partner graph: per hop, the frontier expands via ONE
+# semi-join against the edge list and merges into the visited set
+# (union + distinct); visited is localCheckpoint-ed per hop so hop h+1
+# never replays hops 1..h. Oracle: unrolled MATERIALIZED CTE hops.
+# =============================================================================
+_BFS_SEEDS = (1, 2)
+_BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    body = (
+        "WITH "
+        + _KCORE_EDGES
+        + f""",
+    seeds AS (
+      SELECT unnest([{", ".join(str(s) for s in _BFS_SEEDS)}])::BIGINT AS n
+    ),
+    r0 AS MATERIALIZED (SELECT n FROM seeds)"""
+    )
+    for h in range(1, _BFS_HOPS + 1):
+        body += f""",
+    f{h} AS MATERIALIZED (
+      SELECT e.b AS n FROM e0 e JOIN r{h - 1} r ON e.a = r.n
+      UNION
+      SELECT e.a AS n FROM e0 e JOIN r{h - 1} r ON e.b = r.n
+    ),
+    r{h} AS MATERIALIZED (
+      SELECT n FROM r{h - 1} UNION SELECT n FROM f{h}
+    )"""
+    body += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT {h}::BIGINT AS hop,"
+        f" (SELECT count(*) FROM r{h})::BIGINT AS n_reached"
+        for h in range(1, _BFS_HOPS + 1)
+    )
+    return body
+
+
+@q("graph_bfs_reachability", _bfs_oracle())
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("v"))
+    edges = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spark_ = edges.sparkSession
+    reached = spark_.createDataFrame(
+        [(int(s),) for s in _BFS_SEEDS], "n bigint"
+    )
+    stats = []
+    for h in range(1, _BFS_HOPS + 1):
+        fwd = edges.join(
+            reached.select(F.col("n").alias("a")), "a", "left_semi"
+        ).select(F.col("b").alias("n"))
+        bwd = edges.join(
+            reached.select(F.col("n").alias("b")), "b", "left_semi"
+        ).select(F.col("a").alias("n"))
+        reached = (
+            reached.union(fwd).union(bwd).distinct().localCheckpoint(eager=False)
+        )
+        stats.append((h, reached.count()))
+    return spark_.createDataFrame(stats, "hop bigint, n_reached bigint")

@@ -170,3 +170,29 @@ def test_drift_psi_bounds_broadcast(spark):
     # broadcasts; the fact scan is never sort-merge joined
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_truncation_recall_broadcast_queries(spark):
+    plan = _plan(spark, "emb_truncation_recall")
+    # both top-k passes broadcast the 10-query frame against the corpus
+    # scan; nothing sort-merge joins
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_markov_iteration_joins_broadcast(spark):
+    plan = _plan(spark, "events_markov_stationary")
+    # the state vector is |event types| rows — every iteration join must
+    # broadcast it, never exchange the transition frame per round
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bfs_frontier_semi_joins(spark):
+    rows = registry()["graph_bfs_reachability"].spark(spark, SF).collect()
+    by_hop = {r["hop"]: r["n_reached"] for r in rows}
+    # reachability is monotone non-decreasing over hops and includes
+    # the 2 seeds
+    assert sorted(by_hop) == [1, 2, 3]
+    assert by_hop[1] >= 2
+    assert by_hop[1] <= by_hop[2] <= by_hop[3]
