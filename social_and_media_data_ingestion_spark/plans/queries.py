@@ -1925,14 +1925,15 @@ PRIORITY_HEAD = [
     #    next round
     "emb_vector_stats",
     "agg_approx_stats",
-    "q4_order_priority",
-    "agg_corr_stats",
     "agg_collect_sorted",
     # -- round-4 fourth batch (queries_ext5 tail): truncation-recall
-    #    audit, Markov stationary distribution, k-hop BFS
+    #    audit, Markov stationary distribution, k-hop BFS, forecast
+    #    backtest, Gini concentration
     "emb_truncation_recall",
     "events_markov_stationary",
     "graph_bfs_reachability",
+    "orders_forecast_backtest",
+    "supplier_revenue_gini",
     # -- round-4 third batch (queries_ext5): newest novel operator
     #    families — first driver evidence (the displaced backlog
     #    entries rotate back next round)

@@ -1231,3 +1231,161 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stats.append((h, reached.count()))
     return spark_.createDataFrame(stats, "hop bigint, n_reached bigint")
+
+
+# =============================================================================
+# Forecast backtest — fit OLS daily-revenue trend on the FIRST 70% of
+# the date range, predict each holdout day, report per-day absolute
+# error (the walk-forward evaluation you run before trusting a trend).
+# Every sufficient statistic is an exact integer (cents × day index),
+# so the fitted line is the identical rational on both engines; output
+# is per-row arithmetic — no float summation ordering anywhere.
+# =============================================================================
+@q(
+    "orders_forecast_backtest",
+    """
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS d0,
+             date_diff('day', min(o_orderdate), max(o_orderdate))::BIGINT
+               AS span
+      FROM orders
+    ),
+    daily AS MATERIALIZED (
+      SELECT date_diff('day', b.d0, o.o_orderdate)::BIGINT AS x,
+             sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS y,
+             max(b.span * 7 // 10) AS split
+      FROM orders o, bounds b
+      GROUP BY 1
+    ),
+    train AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx
+      FROM daily WHERE x < split
+    )
+    SELECT d.x AS day_idx, d.y AS actual_cents,
+           floor((t.sy / t.n::DOUBLE
+                  + (t.n * t.sxy - t.sx * t.sy)::DOUBLE
+                    / (t.n * t.sxx - t.sx * t.sx)
+                    * (d.x - t.sx / t.n::DOUBLE)) * 100 + 0.5) / 100
+             AS predicted_cents,
+           floor(abs(d.y - (t.sy / t.n::DOUBLE
+                  + (t.n * t.sxy - t.sx * t.sy)::DOUBLE
+                    / (t.n * t.sxx - t.sx * t.sx)
+                    * (d.x - t.sx / t.n::DOUBLE))) * 100 + 0.5) / 100
+             AS abs_err_cents
+    FROM daily d, train t
+    WHERE d.x >= d.split
+    """,
+)
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("d0"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("bigint")
+        .alias("span"),
+    )
+    daily = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff("o_orderdate", "d0").cast("bigint").alias("x"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("span") * 7 / F.lit(10).cast("long")).cast("bigint").alias(
+                "split_raw"
+            ),
+        )
+        .groupBy("x")
+        .agg(
+            F.sum("cents").alias("y"),
+            F.max(
+                F.floor(F.col("split_raw"))
+            ).cast("bigint").alias("split"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tr = daily.filter(F.col("x") < F.col("split")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = daily.filter(F.col("x") >= F.col("split")).crossJoin(F.broadcast(tr))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    pred = F.col("sy") / F.col("n").cast("double") + slope * (
+        F.col("x") - F.col("sx") / F.col("n").cast("double")
+    )
+    return j.select(
+        F.col("x").alias("day_idx"),
+        F.col("y").alias("actual_cents"),
+        _r(pred, 2).alias("predicted_cents"),
+        _r(F.abs(F.col("y") - pred), 2).alias("abs_err_cents"),
+    )
+
+
+# =============================================================================
+# Concentration — Gini coefficient of supplier revenue (the inequality
+# companion to the HHI query): G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+# revenues sorted ascending. Revenue fixed to integer cents per row
+# BEFORE summing, the rank comes from the DISTRIBUTED global row-number
+# (operators/scale.global_row_number — no single-task sort), and the
+# (rank, suppkey) tie-break makes Σ(i·xᵢ) well-defined under ties.
+# =============================================================================
+@q(
+    "supplier_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)
+               ::BIGINT AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, l_suppkey)::BIGINT AS i
+      FROM rev
+    )
+    SELECT count(*)::BIGINT AS n_suppliers,
+           sum(cents)::BIGINT AS total_cents,
+           floor((2.0 * sum(i * cents) / (count(*) * sum(cents))
+                  - (count(*) + 1)::DOUBLE / count(*)) * 1000000 + 0.5)
+           / 1000000 AS gini
+    FROM ranked
+    """,
+)
+def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_row_number,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_suppkey",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    ranked = global_row_number(rev, ["cents", "l_suppkey"], out_col="i")
+    return ranked.agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("cents").alias("total_cents"),
+        _r(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("cents"))
+            / (F.count("*") * F.sum("cents"))
+            - (F.count("*") + 1).cast("double") / F.count("*"),
+            6,
+        ).alias("gini"),
+    )

@@ -196,3 +196,19 @@ def test_bfs_frontier_semi_joins(spark):
     assert sorted(by_hop) == [1, 2, 3]
     assert by_hop[1] >= 2
     assert by_hop[1] <= by_hop[2] <= by_hop[3]
+
+
+def test_forecast_backtest_broadcast_stats(spark):
+    plan = _plan(spark, "orders_forecast_backtest")
+    # the 1-row bounds and train-stat frames broadcast back onto the
+    # daily reduction; nothing sort-merge joins
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gini_uses_distributed_rank(spark):
+    plan = _plan(spark, "supplier_revenue_gini")
+    # the rank must come from the range-partitioned distributed
+    # row-number, not an empty-partition global window
+    assert "windowspecdefinition(__rank_pid" in plan
+    assert "windowspecdefinition(cents" not in plan
