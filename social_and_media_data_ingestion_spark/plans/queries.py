@@ -1923,9 +1923,10 @@ PRIORITY_HEAD = [
     # -- never driver-sampled backlog (r1-r3 era); the rest of the
     #    91-query never-sampled set (tools/next_head.py) rotates in
     #    next round
-    "emb_vector_stats",
-    "agg_approx_stats",
-    "agg_collect_sorted",
+    # -- round-4 sixth batch: reconciliation, URL scalars, mixture plan
+    "dq_reconciliation_orders",
+    "scalar_url_components",
+    "corpus_mixture_weights",
     # -- round-4 fourth batch (queries_ext5 tail): truncation-recall
     #    audit, Markov stationary distribution, k-hop BFS, forecast
     #    backtest, Gini concentration

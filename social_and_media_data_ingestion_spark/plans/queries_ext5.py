@@ -1389,3 +1389,205 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# =============================================================================
+# Warehouse reconciliation — orders header total vs lineitem detail
+# rollup: the cross-table consistency gate every nightly load runs.
+# Per-order deltas are exact integer cents (floored per ROW before the
+# sum, so distributed partial-sum order is irrelevant); the report is
+# one partial-aggregable pass over the joined reduction.
+# =============================================================================
+@q(
+    "dq_reconciliation_orders",
+    """
+    WITH detail AS (
+      SELECT l_orderkey,
+             sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+               AS line_cents
+      FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+      SELECT o.o_orderkey,
+             floor(o.o_totalprice * 100 + 0.5)::BIGINT AS header_cents,
+             d.line_cents
+      FROM orders o LEFT JOIN detail d ON d.l_orderkey = o.o_orderkey
+    )
+    SELECT count(*)::BIGINT AS n_orders,
+           count(*) FILTER (line_cents IS NULL)::BIGINT AS n_headerless_of_lines,
+           count(*) FILTER (line_cents IS NOT NULL
+                            AND abs(header_cents - line_cents)
+                                > header_cents / 100)::BIGINT
+             AS n_mismatch_gt_1pct,
+           max(CASE WHEN line_cents IS NOT NULL
+                    THEN abs(header_cents - line_cents) END)::BIGINT
+             AS max_abs_delta_cents
+    FROM joined
+    """,
+)
+def dq_reconciliation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    detail = (
+        li.select(
+            "l_orderkey",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("cents").alias("line_cents"))
+    )
+    joined = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("header_cents"),
+    ).join(detail, orders.o_orderkey == detail.l_orderkey, "left")
+    delta = F.abs(F.col("header_cents") - F.col("line_cents"))
+    return joined.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("line_cents").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_headerless_of_lines"),
+        F.sum(
+            F.when(
+                F.col("line_cents").isNotNull()
+                & (delta > F.col("header_cents") / F.lit(100).cast("long")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatch_gt_1pct"),
+        F.max(F.when(F.col("line_cents").isNotNull(), delta))
+        .cast("bigint")
+        .alias("max_abs_delta_cents"),
+    )
+
+
+# =============================================================================
+# §2.7 extension — URL decomposition scalars: host / path / query
+# params via Spark's parse_url against a regexp-spelled DuckDB oracle.
+# The URL is synthesized deterministically per doc (the corpus has no
+# raw URLs), mirroring the reference's URL handling surface
+# (is_image_url / strip-URL, parser_media_articles.py:83) with the
+# EXTRACTION direction. Pure map plan.
+# =============================================================================
+@q(
+    "scalar_url_components",
+    """
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]src=([^&#]*)', 1) AS src_param,
+           regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param
+    FROM (
+      SELECT doc_id,
+             'https://media' || (doc_id % 7) || '.example.org/articles/'
+               || lang || '/' || doc_id || '?src=' || source
+               || '&page=' || (doc_id % 5) AS url
+      FROM documents
+    )
+    """,
+)
+def scalar_url_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://media"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/articles/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?src="),
+        F.col("source"),
+        F.lit("&page="),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("src")).alias("src_param"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias("page_param"),
+    )
+
+
+# =============================================================================
+# Training-data mixing — per-source sampling allocation for a fixed
+# token budget: eligible tokens = total × unique-fingerprint fraction
+# (exact-dup discount), weights proportional to eligible mass, and the
+# allocation floor-divides INTEGERS so both engines hand out identical
+# token counts (the "data mixture" step that turns corpus stats into a
+# training sampling plan). One hash-agg per source + a 1-row broadcast
+# of the corpus total.
+# =============================================================================
+_MIX_BUDGET = 100_000
+
+
+@q(
+    "corpus_mixture_weights",
+    f"""
+    WITH per_src AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '')))::BIGINT AS total_tokens,
+             count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                               'g')))::BIGINT AS n_unique
+      FROM documents GROUP BY 1
+    ),
+    elig AS (
+      SELECT source, n_docs, total_tokens, n_unique,
+             total_tokens * n_unique // n_docs AS eligible_tokens
+      FROM per_src
+    ),
+    tot AS (SELECT sum(eligible_tokens)::BIGINT AS sum_elig FROM elig)
+    SELECT e.source, e.n_docs, e.total_tokens, e.n_unique, e.eligible_tokens,
+           floor(e.eligible_tokens / t.sum_elig::DOUBLE * 1000000 + 0.5)
+             / 1000000 AS weight,
+           least(e.eligible_tokens,
+                 {_MIX_BUDGET} * e.eligible_tokens // t.sum_elig)::BIGINT
+             AS alloc_tokens
+    FROM elig e, tot t
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        normalized_fingerprint,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(_tokens("text")).cast("bigint").alias("n_toks"),
+        normalized_fingerprint("text").alias("fp"),
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+    elig = per_src.withColumn(
+        "eligible_tokens",
+        (F.col("total_tokens") * F.col("n_unique") / F.col("n_docs"))
+        .cast("bigint"),
+    )
+    tot = elig.agg(F.sum("eligible_tokens").alias("sum_elig"))
+    j = elig.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_unique",
+        "eligible_tokens",
+        _r(F.col("eligible_tokens") / F.col("sum_elig").cast("double"), 6).alias(
+            "weight"
+        ),
+        F.least(
+            F.col("eligible_tokens"),
+            (F.lit(_MIX_BUDGET) * F.col("eligible_tokens") / F.col("sum_elig"))
+            .cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )

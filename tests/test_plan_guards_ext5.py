@@ -212,3 +212,24 @@ def test_gini_uses_distributed_rank(spark):
     # row-number, not an empty-partition global window
     assert "windowspecdefinition(__rank_pid" in plan
     assert "windowspecdefinition(cents" not in plan
+
+
+def test_reconciliation_single_pass_reduction(spark):
+    plan = _plan(spark, "dq_reconciliation_orders")
+    # detail rolls up BEFORE the header join; no sort-merge join of the
+    # raw lineitem scan against orders
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_components_map_only(spark):
+    plan = _plan(spark, "scalar_url_components")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_mixture_weights_broadcast_total(spark):
+    plan = _plan(spark, "corpus_mixture_weights")
+    # the 1-row corpus total broadcasts back; per-source stats are one
+    # hash-agg
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
