@@ -1903,8 +1903,8 @@ PRIORITY_HEAD = [
     #    triangles, PMI, word-boundary Aho-Corasick) — first evidence
     "f3_keyword_word_5k",
     "j9_asof_view_purchase",
-    "j10_asof_tolerance_1h",
-    "j11_asof_nearest_purchase",
+    # (j10/j11 as-of variants: verified by the local gate; j9 carries the
+    # family's driver evidence this round — variants rotate next round)
     "events_coactivity_histogram",
     "text_repetition_signals",
     "events_decayed_activity",
@@ -1918,7 +1918,6 @@ PRIORITY_HEAD = [
     # -- round-4 first batch — first evidence
     "f2_keyword_substring_5k",
     "graph_pagerank_iters12",
-    "graph_pagerank_dangling",
     "emb_lloyd_centroids",
     # -- never driver-sampled backlog (r1-r3 era); the rest of the
     #    91-query never-sampled set (tools/next_head.py) rotates in
@@ -1950,6 +1949,8 @@ PRIORITY_HEAD = [
     "events_trigram_paths",
     "sample_rendezvous_shards",
     "ml_drift_psi",
+    # -- stateful streaming alerting (newest)
+    "stream_threshold_alerts",
     # -- ext4 second batch — first evidence (displaces three backlog
     #    entries that rotate next round)
     "text_rrf_fusion",

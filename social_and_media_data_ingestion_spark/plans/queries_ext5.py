@@ -1591,3 +1591,49 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_tokens"),
     )
+
+
+# =============================================================================
+# Stateful streaming — per-user spend alerting: a cumulative INTEGER
+# cents total lives in applyInPandasWithState state; each crossing of
+# another $2000 multiple emits one (user, alert_level) row. Values are
+# non-negative, so the emitted set depends only on each user's FINAL
+# total — invariant to micro-batch splits (pinned by
+# tests/test_stateful.py) — and the batch oracle is
+# generate-levels-per-user. State is one int64 per key.
+# =============================================================================
+_ALERT_T_CENTS = 200_000
+
+
+@q(
+    "stream_threshold_alerts",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1
+    ),
+    lv AS (
+      SELECT user_id, cents // {_ALERT_T_CENTS} AS n_levels FROM per_user
+    )
+    SELECT user_id, unnest(range(1, n_levels + 1))::BIGINT AS alert_level
+    FROM lv WHERE n_levels >= 1
+    """,
+)
+def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from social_and_media_data_ingestion_spark.plans.tables import events_stream
+    from social_and_media_data_ingestion_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+    from social_and_media_data_ingestion_spark.streaming.stateful import (
+        threshold_alerts,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    alerts = threshold_alerts(ev, "user_id", "value", _ALERT_T_CENTS)
+    name = f"stream_alerts_{uuid.uuid4().hex[:8]}"
+    query = run_to_memory(alerts, name, output_mode="append")
+    query.stop()
+    return spark.sql(f"SELECT user_id, alert_level FROM {name}")

@@ -55,3 +55,59 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("alert_level", T.LongType()),
+    ]
+)
+
+_ALERT_STATE_SCHEMA = T.StructType([T.StructField("cents", T.LongType())])
+
+
+def threshold_alerts(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold_cents: int,
+) -> DataFrame:
+    """Streaming per-key spend alerting: maintain a cumulative INTEGER
+    cents total per key; each time the total crosses another multiple
+    of `threshold_cents`, emit ONE (key, alert_level) row.
+
+    Batch-split invariance by construction: values are non-negative, so
+    the set of levels crossed depends only on the FINAL total — however
+    the stream is micro-batched, exactly the rows (key, 1..floor(total/
+    T)) are emitted, which is what the batch oracle computes. The state
+    is one int64 per key, and the per-row cents conversion uses the
+    same floor(v*100+0.5) the engine-side queries use, so stream, batch
+    and DuckDB all agree bit-for-bit."""
+    import numpy as np
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (tot,) = state.get if state.exists else (0,)
+        prev_level = tot // threshold_cents
+        for pdf in pdfs:
+            cents = np.floor(pdf[value_col].to_numpy() * 100 + 0.5).astype(
+                "int64"
+            )
+            tot += int(cents.sum())
+        state.update((tot,))
+        new_level = tot // threshold_cents
+        if new_level > prev_level:
+            levels = list(range(prev_level + 1, new_level + 1))
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(levels), "alert_level": levels}
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=_ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

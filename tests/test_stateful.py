@@ -51,3 +51,51 @@ def test_running_totals_across_batches(spark, tmp_path):
         assert latest["c"] == (1, 7.0)
     finally:
         q.stop()
+
+
+def test_threshold_alerts_batch_split_invariant(spark, tmp_path):
+    from social_and_media_data_ingestion_spark.streaming.stateful import (
+        threshold_alerts,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "alert_src")
+    ckpt = str(tmp_path / "alert_ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # user 1 crosses $20 twice (threshold 1000 cents), user 2 never
+    feed([(1, 6.0), (2, 3.0)])
+    feed([(1, 5.0)])  # 1 -> 11.00: crosses level 1
+    feed([(1, 10.0), (2, 4.0)])  # 1 -> 21.00: crosses level 2
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(src)
+    )
+    out = threshold_alerts(stream, "user_id", "value", 1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("alerts_t")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.alert_level)
+            for r in spark.sql("SELECT * FROM alerts_t").collect()
+        )
+    finally:
+        q.stop()
+    # same alerts as a single-batch run: levels depend only on totals
+    assert got == [(1, 1), (1, 2)]
