@@ -1637,3 +1637,44 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = run_to_memory(alerts, name, output_mode="append")
     query.stop()
     return spark.sql(f"SELECT user_id, alert_level FROM {name}")
+
+
+# =============================================================================
+# Model evaluation — confusion matrix of the stopword-hit language-ID
+# heuristic against the labeled lang column (the audit that tells you
+# WHERE the cheap classifier fails before you trust it to route a
+# 100 TB corpus). One map-side prediction + one hash-agg.
+# =============================================================================
+def _langid_confusion_oracle() -> str:
+    from social_and_media_data_ingestion_spark.plans.queries import _lang_hits_sql
+
+    return f"""
+    WITH h AS (
+      SELECT lang,
+             {_lang_hits_sql("en")} AS h_en,
+             {_lang_hits_sql("de")} AS h_de,
+             {_lang_hits_sql("es")} AS h_es,
+             {_lang_hits_sql("fr")} AS h_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'unk'
+                  WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                  WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+                  WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM h
+    )
+    SELECT lang, lang_pred, count(*)::BIGINT AS n
+    FROM pred GROUP BY 1, 2
+    """
+
+
+@q("text_langid_confusion", _langid_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators import text_analysis as TA
+
+    docs = t(spark, sf_dir, "documents")
+    pred = docs.select("lang", TA.language_id("text").alias("lang_pred"))
+    return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
