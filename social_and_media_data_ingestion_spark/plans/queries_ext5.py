@@ -269,10 +269,12 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
         "k", F.count("*").over(wk)
     )
-    mid = ranked.filter(
-        (F.col("rn") == (F.col("k") + 1) / F.lit(2).cast("long"))
-        | (F.col("rn") == F.col("k") / F.lit(2).cast("long") + 1)
-    )
+    # integer median positions — floor-divide explicitly: plain `/` on
+    # longs is DOUBLE division in Spark, and `rn == (k+1)/2` silently
+    # never matches the lower-middle position when k is even
+    lo = F.floor((F.col("k") + 1) / 2).cast("long")
+    hi = F.floor(F.col("k") / 2).cast("long") + 1
+    mid = ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
     return mid.groupBy("event_type").agg(
         F.max("k").cast("long").alias("n_pairs"),
         _r(F.avg("slope"), 6).alias("ts_slope"),

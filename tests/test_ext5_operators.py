@@ -150,3 +150,55 @@ def test_rendezvous_query_matches_python_model(spark):
     for k in ids:
         want[_rdv_shard(k, range(8))] += 1
     assert got == dict(want)
+
+
+def test_theil_sen_even_pair_count_matches_oracle(spark, tmp_path):
+    """4 distinct days -> 6 pairwise slopes (EVEN k): the median must
+    average the two middle slopes. Guards the floor-division spelling —
+    plain `/` on longs is DOUBLE division in Spark, and `rn == (k+1)/2`
+    silently never matches the lower-middle position for even k."""
+    import datetime as dt
+
+    import duckdb
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 1), (2, 5), (3, 2), (4, 9)]:
+        for _ in range(n):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, day, 12, 0, 0),
+                    1,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    sf_dir = str(tmp_path / "sf_even")
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    d = registry()["stats_theil_sen_trend"]
+    got = {
+        r["event_type"]: (r["n_pairs"], r["ts_slope"])
+        for r in d.spark(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2]) for r in con.execute(d.oracle).fetchall()
+    }
+    assert got == want
+    # daily counts (1,5,2,9) at days (0,1,2,3) -> slopes
+    # [4, 0.5, 8/3, -3, 2, 7]; sorted middle pair (2, 8/3) -> 2.333333
+    assert got["click"] == (6, 2.333333)
