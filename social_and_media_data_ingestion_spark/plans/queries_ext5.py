@@ -1295,7 +1295,7 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
             .cast("bigint")
             .alias("cents"),
-            (F.col("span") * 7 / F.lit(10).cast("long")).cast("bigint").alias(
+            F.floor(F.col("span") * 7 / 10).cast("bigint").alias(
                 "split_raw"
             ),
         )
