@@ -1680,3 +1680,55 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     pred = docs.select("lang", TA.language_id("text").alias("lang_pred"))
     return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+# =============================================================================
+# Curation — shingle NOVELTY: per document, the fraction of its distinct
+# word-3-grams whose FIRST occurrence (min doc_id) is this document —
+# the cheap memorization/redundancy proxy used to rank documents for
+# dedup-aware sampling (a doc that introduces nothing new scores 0).
+# Distributed shape: one shuffle keyed on the shingle (min-combine),
+# join back, one per-doc agg — no pairwise anything.
+# =============================================================================
+@q(
+    "text_shingle_novelty",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_CONT_SHINGLES}) AS shingle FROM docs
+    ),
+    first_seen AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT s.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           floor(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS novelty
+    FROM sh s JOIN first_seen f USING (shingle)
+    GROUP BY 1
+    """,
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3).withColumnRenamed(
+        "id", "doc_id"
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first_seen, "shingle")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        novel.cast("bigint").alias("n_novel"),
+        _r(novel / F.count("*").cast("double"), 6).alias("novelty"),
+    )

@@ -233,3 +233,11 @@ def test_mixture_weights_broadcast_total(spark):
     # hash-agg
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_novelty_single_shingle_shuffle(spark):
+    plan = _plan(spark, "text_shingle_novelty")
+    # first-occurrence is a min-combine keyed on the shingle; the join
+    # back rides the same key — no cartesian, no nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
