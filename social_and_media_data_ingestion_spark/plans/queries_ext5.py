@@ -1732,3 +1732,75 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("bigint").alias("n_novel"),
         _r(novel / F.count("*").cast("double"), 6).alias("novelty"),
     )
+
+
+# =============================================================================
+# Statistical testing — one-way ANOVA of order-line price across return
+# flags (does the group mean differ more than chance?). Per-group
+# sufficient statistics (n, Σx, Σx²) are exact integers in WHOLE
+# dollars (cents² would overflow int64 at cluster row counts); the only
+# order-sensitive float reduce — Σ_g (Σx_g)²/n_g — left-folds the
+# SORTED per-group terms so both engines compute the identical F.
+# =============================================================================
+@q(
+    "lineitem_anova_returnflag",
+    """
+    WITH g AS (
+      SELECT l_returnflag, count(*)::BIGINT AS n,
+             sum(floor(l_extendedprice)::BIGINT)::BIGINT AS s,
+             sum(floor(l_extendedprice)::BIGINT
+                 * floor(l_extendedprice)::BIGINT)::BIGINT AS ss
+      FROM lineitem GROUP BY 1
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+             sum(s)::BIGINT AS stot, sum(ss)::BIGINT AS sstot,
+             list_reduce(list_sort(list(s::DOUBLE * s / n)), (a, b) -> a + b)
+               AS sum_sq_over_n
+      FROM g
+    )
+    SELECT k, nn AS n_rows,
+           floor(((sum_sq_over_n - stot::DOUBLE * stot / nn) / (k - 1))
+                 / ((sstot - sum_sq_over_n) / (nn - k)) * 10000 + 0.5)
+           / 10000 AS f_stat,
+           floor((sum_sq_over_n - stot::DOUBLE * stot / nn)
+                 / (sstot - stot::DOUBLE * stot / nn) * 1000000 + 0.5)
+           / 1000000 AS eta_squared
+    FROM agg
+    """,
+)
+def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.select(
+        "l_returnflag",
+        F.floor("l_extendedprice").cast("bigint").alias("d"),
+    ).groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("ss"),
+    )
+    term = F.col("s").cast("double") * F.col("s") / F.col("n")
+    agg = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("stot"),
+        F.sum("ss").alias("sstot"),
+        F.aggregate(
+            F.array_sort(F.collect_list(term)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sum_sq_over_n"),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("stot").cast("double") * F.col(
+        "stot"
+    ) / F.col("nn")
+    ssw = F.col("sstot") - F.col("sum_sq_over_n")
+    sst = F.col("sstot") - F.col("stot").cast("double") * F.col("stot") / F.col("nn")
+    return agg.select(
+        "k",
+        F.col("nn").alias("n_rows"),
+        _r((ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 4).alias(
+            "f_stat"
+        ),
+        _r(ssb / sst, 6).alias("eta_squared"),
+    )
