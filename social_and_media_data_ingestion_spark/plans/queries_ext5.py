@@ -1804,3 +1804,98 @@ def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _r(ssb / sst, 6).alias("eta_squared"),
     )
+
+
+# =============================================================================
+# Statistical testing — Mann-Whitney U (two-sample rank test) of whole-
+# dollar line price between linestatus groups, with EXACT tie handling:
+# average ranks come from the per-distinct-value reduction (count +
+# group count per value) and a DISTRIBUTED prefix sum over value order
+# (operators/scale.global_running_sum) — never a row-level global sort.
+# Every rank is a multiple of 0.5 and every term a dyadic rational, so
+# the rank-sum is EXACT in doubles in any summation order; the tie
+# correction Σ(t³−t) is a plain integer aggregate.
+# =============================================================================
+@q(
+    "stats_mann_whitney_status",
+    """
+    WITH base AS (
+      SELECT l_linestatus AS grp, floor(l_extendedprice)::BIGINT AS x
+      FROM lineitem
+    ),
+    per_v AS (
+      SELECT x, count(*)::BIGINT AS cnt,
+             count(*) FILTER (grp = 'F')::BIGINT AS n1v
+      FROM base GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x, cnt, n1v,
+             sum(cnt) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS cum
+      FROM per_v
+    ),
+    agg AS (
+      SELECT sum(n1v)::BIGINT AS n1, sum(cnt - n1v)::BIGINT AS n2,
+             sum(cnt)::BIGINT AS nn,
+             sum(n1v * ((cum - cnt) + (cnt + 1) / 2.0)) AS r1,
+             sum(cnt * cnt * cnt - cnt)::BIGINT AS tie
+      FROM ranked
+    )
+    SELECT n1, n2,
+           r1 - n1 * (n1 + 1) / 2.0 AS u1,
+           n1::DOUBLE * n2 - (r1 - n1 * (n1 + 1) / 2.0) AS u2,
+           floor((r1 - n1 * (n1 + 1) / 2.0 - n1::DOUBLE * n2 / 2)
+                 / sqrt(n1::DOUBLE * n2 / 12
+                        * ((nn + 1) - tie::DOUBLE / (nn * (nn - 1))))
+                 * 1000000 + 0.5) / 1000000 AS z
+    FROM agg
+    """,
+)
+def stats_mann_whitney_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_sum,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_linestatus").alias("grp"),
+        F.floor("l_extendedprice").cast("bigint").alias("x"),
+    )
+    per_v = base.groupBy("x").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("grp") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1v"),
+    )
+    ranked = global_running_sum(per_v, ["x"], "cnt", out_col="cum")
+    avg_rank = (F.col("cum") - F.col("cnt")) + (F.col("cnt") + 1) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).alias("n2"),
+        F.sum("cnt").alias("nn"),
+        F.sum(F.col("n1v") * avg_rank).alias("r1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    sigma = F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / 12
+        * (
+            (F.col("nn") + 1)
+            - F.col("tie").cast("double")
+            / (F.col("nn") * (F.col("nn") - 1))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
+        _r(
+            (u1 - F.col("n1").cast("double") * F.col("n2") / 2) / sigma, 6
+        ).alias("z"),
+    )

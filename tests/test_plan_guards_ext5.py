@@ -241,3 +241,11 @@ def test_novelty_single_shingle_shuffle(spark):
     # back rides the same key — no cartesian, no nested loop
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mann_whitney_uses_distributed_prefix_sum(spark):
+    plan = _plan(spark, "stats_mann_whitney_status")
+    # the rank prefix sum must be partitioned on the range-partition id,
+    # never an empty-partition global window over the value frame
+    assert "windowspecdefinition(__rsum_pid" in plan
+    assert "windowspecdefinition(x#" not in plan
