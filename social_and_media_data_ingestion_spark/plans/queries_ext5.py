@@ -1899,3 +1899,111 @@ def stats_mann_whitney_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u1 - F.col("n1").cast("double") * F.col("n2") / 2) / sigma, 6
         ).alias("z"),
     )
+
+
+# =============================================================================
+# Statistical testing — Kruskal-Wallis H (k-sample rank test) of whole-
+# dollar line price across the three return flags: the non-parametric
+# ANOVA, on the SAME distributed-rank machinery as Mann-Whitney
+# (per-distinct-value reduction + distributed prefix sum; dyadic-exact
+# rank sums). The three per-group rank sums land in EXPLICIT columns,
+# so the Σ R_g²/n_g combination is a fixed expression — no float
+# reduce order anywhere; tie correction is a plain integer aggregate.
+# =============================================================================
+@q(
+    "stats_kruskal_wallis_returnflag",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS grp, floor(l_extendedprice)::BIGINT AS x
+      FROM lineitem
+    ),
+    per_v AS (
+      SELECT x, count(*)::BIGINT AS cnt,
+             count(*) FILTER (grp = 'A')::BIGINT AS na,
+             count(*) FILTER (grp = 'N')::BIGINT AS nn_,
+             count(*) FILTER (grp = 'R')::BIGINT AS nr
+      FROM base GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x, cnt, na, nn_, nr,
+             sum(cnt) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS cum
+      FROM per_v
+    ),
+    agg AS (
+      SELECT sum(cnt)::BIGINT AS n,
+             sum(na)::BIGINT AS n_a, sum(nn_)::BIGINT AS n_n,
+             sum(nr)::BIGINT AS n_r,
+             sum(na * ((cum - cnt) + (cnt + 1) / 2.0)) AS ra,
+             sum(nn_ * ((cum - cnt) + (cnt + 1) / 2.0)) AS rn,
+             sum(nr * ((cum - cnt) + (cnt + 1) / 2.0)) AS rr,
+             sum(cnt * cnt * cnt - cnt)::BIGINT AS tie
+      FROM ranked
+    )
+    SELECT n, n_a, n_n, n_r,
+           floor((12.0 / (n::DOUBLE * (n + 1))
+                  * (ra * ra / n_a + rn * rn / n_n + rr * rr / n_r)
+                  - 3.0 * (n + 1))
+                 / (1.0 - tie::DOUBLE / (n::DOUBLE * n * n - n))
+                 * 1000000 + 0.5) / 1000000 AS h_stat
+    FROM agg
+    """,
+)
+def stats_kruskal_wallis_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_sum,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor("l_extendedprice").cast("bigint").alias("x"),
+    )
+
+    def _cnt(flag):
+        return F.sum(F.when(F.col("grp") == flag, 1).otherwise(0)).cast(
+            "bigint"
+        )
+
+    per_v = base.groupBy("x").agg(
+        F.count("*").alias("cnt"),
+        _cnt("A").alias("na"),
+        _cnt("N").alias("nn_"),
+        _cnt("R").alias("nr"),
+    )
+    ranked = global_running_sum(per_v, ["x"], "cnt", out_col="cum")
+    avg_rank = (F.col("cum") - F.col("cnt")) + (F.col("cnt") + 1) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("na").alias("n_a"),
+        F.sum("nn_").alias("n_n"),
+        F.sum("nr").alias("n_r"),
+        F.sum(F.col("na") * avg_rank).alias("ra"),
+        F.sum(F.col("nn_") * avg_rank).alias("rn"),
+        F.sum(F.col("nr") * avg_rank).alias("rr"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie"),
+    )
+    n = F.col("n")
+    h0 = (
+        F.lit(12.0)
+        / (n.cast("double") * (n + 1))
+        * (
+            F.col("ra") * F.col("ra") / F.col("n_a")
+            + F.col("rn") * F.col("rn") / F.col("n_n")
+            + F.col("rr") * F.col("rr") / F.col("n_r")
+        )
+        - F.lit(3.0) * (n + 1)
+    )
+    corr = F.lit(1.0) - F.col("tie").cast("double") / (
+        n.cast("double") * n * n - n
+    )
+    return agg.select(
+        "n",
+        "n_a",
+        "n_n",
+        "n_r",
+        _r(h0 / corr, 6).alias("h_stat"),
+    )

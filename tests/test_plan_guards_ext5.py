@@ -249,3 +249,9 @@ def test_mann_whitney_uses_distributed_prefix_sum(spark):
     # never an empty-partition global window over the value frame
     assert "windowspecdefinition(__rsum_pid" in plan
     assert "windowspecdefinition(x#" not in plan
+
+
+def test_kruskal_wallis_uses_distributed_prefix_sum(spark):
+    plan = _plan(spark, "stats_kruskal_wallis_returnflag")
+    assert "windowspecdefinition(__rsum_pid" in plan
+    assert "windowspecdefinition(x#" not in plan
