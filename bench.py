@@ -88,6 +88,14 @@ HEADLINE = [
     "dedup_shingle_containment",
     "part_price_skyline",
     "events_trigram_paths",
+    # round-4 closing batch: distributed-rank statistics (Gini,
+    # Mann-Whitney), the integer-exact forecast backtest, and the
+    # min-combine novelty score — benched so the prefix-sum/rank
+    # machinery these share is regression-visible in the artifact
+    "supplier_revenue_gini",
+    "stats_mann_whitney_status",
+    "orders_forecast_backtest",
+    "text_shingle_novelty",
 ]
 
 
