@@ -374,3 +374,58 @@ def global_running_min(
         )
         .drop(pid)
     )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    value_cols: Sequence[str],
+    out_suffix: str = "_cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global cumulative sums of SEVERAL value columns in one
+    shared `order_by` pass — same two-job shape as
+    :func:`global_running_sum` (range partition once, collect one
+    per-partition total PER COLUMN — still O(partitions) driver state —
+    then per-partition prefix sums plus literal offsets). One ranged
+    materialization serves all columns; calling the single-column
+    helper k times would range-partition and checkpoint k times and,
+    worse, could sample DIFFERENT range boundaries per call. Each
+    value column `v` gains `v + out_suffix`."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    spark = df.sparkSession
+    n_parts = num_partitions or _default_partitions(spark)
+    pid = "__rsums_pid"
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = sorted(
+        ranged.groupBy(pid)
+        .agg(*[F.sum(v).alias(v) for v in value_cols])
+        .collect(),
+        key=lambda r: r[pid],
+    )
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged
+    for v in value_cols:
+        offsets = []
+        acc = 0
+        for row in totals:
+            offsets.append((row[pid], acc))
+            acc += row[v] or 0
+        off_map = F.create_map(
+            *[F.lit(x) for p, off in offsets for x in (p, off)]
+        )
+        out = out.withColumn(
+            v + out_suffix,
+            F.sum(v).over(w) + F.element_at(off_map, F.col(pid)),
+        )
+    return out.drop(pid)

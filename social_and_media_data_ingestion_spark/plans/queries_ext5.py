@@ -2007,3 +2007,88 @@ def stats_kruskal_wallis_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
         "n_r",
         _r(h0 / corr, 6).alias("h_stat"),
     )
+
+
+# =============================================================================
+# Statistical testing — two-sample Kolmogorov-Smirnov D between the
+# linestatus groups' whole-dollar price distributions: D = max over
+# values of |ECDF_1 − ECDF_2|. Both empirical CDFs come from ONE shared
+# distributed prefix-sum pass (operators/scale.global_running_sums —
+# the multi-column variant range-partitions and checkpoints ONCE for
+# both groups' cumulative counts); the max is order-free, and each
+# ECDF value is an exact integer ratio evaluated identically on both
+# engines.
+# =============================================================================
+@q(
+    "stats_ks_two_sample",
+    """
+    WITH base AS (
+      SELECT l_linestatus AS grp, floor(l_extendedprice)::BIGINT AS x
+      FROM lineitem
+    ),
+    per_v AS (
+      SELECT x,
+             count(*) FILTER (grp = 'F')::BIGINT AS c1,
+             count(*) FILTER (grp <> 'F')::BIGINT AS c2
+      FROM base GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x,
+             sum(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)::BIGINT AS c1_cum,
+             sum(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)::BIGINT AS c2_cum
+      FROM per_v
+    ),
+    tot AS (
+      SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM per_v
+    )
+    SELECT t.n1, t.n2,
+           floor(max(abs(r.c1_cum / t.n1::DOUBLE - r.c2_cum / t.n2::DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS d_stat,
+           floor(max(abs(r.c1_cum / t.n1::DOUBLE - r.c2_cum / t.n2::DOUBLE))
+                 * sqrt(t.n1::DOUBLE * t.n2 / (t.n1 + t.n2))
+                 * 1000000 + 0.5) / 1000000 AS ks_lambda
+    FROM ranked r, tot t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_linestatus").alias("grp"),
+        F.floor("l_extendedprice").cast("bigint").alias("x"),
+    )
+    per_v = base.groupBy("x").agg(
+        F.sum(F.when(F.col("grp") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("grp") != "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    ranked = global_running_sums(per_v, ["x"], ["c1", "c2"])
+    tot = per_v.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    gap = F.abs(
+        F.col("c1_cum") / F.col("n1").cast("double")
+        - F.col("c2_cum") / F.col("n2").cast("double")
+    )
+    return j.groupBy("n1", "n2").agg(
+        _r(F.max(gap), 6).alias("d_stat"),
+        _r(
+            F.max(gap)
+            * F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            ),
+            6,
+        ).alias("ks_lambda"),
+    )

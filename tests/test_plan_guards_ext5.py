@@ -255,3 +255,12 @@ def test_kruskal_wallis_uses_distributed_prefix_sum(spark):
     plan = _plan(spark, "stats_kruskal_wallis_returnflag")
     assert "windowspecdefinition(__rsum_pid" in plan
     assert "windowspecdefinition(x#" not in plan
+
+
+def test_ks_shared_prefix_sum_single_ranged_pass(spark):
+    plan = _plan(spark, "stats_ks_two_sample")
+    # both ECDFs ride ONE range-partitioned window pass (the
+    # multi-column prefix sum) — a single __rsums_pid window spec, no
+    # empty-partition global window
+    assert "windowspecdefinition(__rsums_pid" in plan
+    assert "windowspecdefinition(x#" not in plan

@@ -78,3 +78,32 @@ def test_helpers_deterministic_across_invocations(spark):
     a = sorted((r.id, r.key, r.rn) for r in global_row_number(df, ["key", "id"], out_col="rn").collect())
     b = sorted((r.id, r.key, r.rn) for r in global_row_number(df, ["key", "id"], out_col="rn").collect())
     assert a == b
+
+
+def test_global_running_sums_matches_two_single_calls(spark):
+    from pyspark.sql import Window
+
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_sums,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        ((F.col("id") * 7) % 13).alias("a"),
+        ((F.col("id") * 11) % 17).alias("b"),
+    )
+    got = {
+        r["id"]: (r["a_cum"], r["b_cum"])
+        for r in global_running_sums(
+            df, ["id"], ["a", "b"], num_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: (r["ac"], r["bc"])
+        for r in df.withColumn("ac", F.sum("a").over(w))
+        .withColumn("bc", F.sum("b").over(w))
+        .collect()
+    }
+    assert got == want
