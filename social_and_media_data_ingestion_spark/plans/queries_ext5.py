@@ -2092,3 +2092,104 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_lambda"),
     )
+
+
+# =============================================================================
+# Statistical testing — Spearman rank correlation between line quantity
+# and whole-dollar price, EXACT under ties and distribution: average
+# ranks are DOUBLED to integers (2·avg_rank is always integral), so
+# every sufficient statistic — n, ΣR₁, ΣR₂, ΣR₁R₂, ΣR₁², ΣR₂² — is an
+# exact BIGINT and partial-sum order cannot move ρ. Each variable's
+# rank comes from its own per-distinct-value reduction + distributed
+# prefix sum; rows join their ranks back by value (two hash joins
+# against value-cardinality-sized frames).
+# =============================================================================
+def _ks_rank_cte(col: str, alias: str) -> str:
+    return f"""
+    {alias}_v AS (
+      SELECT {col} AS v, count(*)::BIGINT AS cnt FROM base GROUP BY 1
+    ),
+    {alias}_r AS (
+      SELECT v,
+             2 * (sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) - cnt)
+             + cnt + 1 AS r2
+      FROM {alias}_v
+    )"""
+
+
+@q(
+    "stats_spearman_qty_price",
+    f"""
+    WITH base AS (
+      SELECT l_quantity::BIGINT AS q, floor(l_extendedprice)::BIGINT AS p
+      FROM lineitem
+    ),
+    {_ks_rank_cte("q", "qq")},
+    {_ks_rank_cte("p", "pp")},
+    joined AS (
+      SELECT qq_r.r2 AS r1, pp_r.r2 AS r2
+      FROM base b
+      JOIN qq_r ON qq_r.v = b.q
+      JOIN pp_r ON pp_r.v = b.p
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(r1)::BIGINT AS s1, sum(r2)::BIGINT AS s2,
+             sum(r1 * r2)::BIGINT AS s12,
+             sum(r1 * r1)::BIGINT AS s11, sum(r2 * r2)::BIGINT AS s22
+      FROM joined
+    )
+    SELECT n,
+           floor((n::DOUBLE * s12 - s1::DOUBLE * s2)
+                 / (sqrt(n::DOUBLE * s11 - s1::DOUBLE * s1)
+                    * sqrt(n::DOUBLE * s22 - s2::DOUBLE * s2))
+                 * 1000000 + 0.5) / 1000000 AS spearman_rho
+    FROM s
+    """,
+)
+def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_sum,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor("l_extendedprice").cast("bigint").alias("p"),
+    )
+
+    def ranks(col):
+        per_v = base.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("cnt")
+        )
+        ranked = global_running_sum(per_v, ["v"], "cnt", out_col="cum")
+        return ranked.select(
+            "v",
+            (
+                2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1
+            )
+            .cast("bigint")
+            .alias("r2"),
+        )
+    rq = ranks("q").withColumnRenamed("r2", "r1").withColumnRenamed("v", "q")
+    rp = ranks("p").withColumnRenamed("v", "p")
+    joined = base.join(F.broadcast(rq), "q").join(rp, "p").select("r1", "r2")
+    s = joined.agg(
+        F.count("*").alias("n"),
+        F.sum("r1").alias("s1"),
+        F.sum("r2").alias("s2"),
+        F.sum(F.col("r1") * F.col("r2")).alias("s12"),
+        F.sum(F.col("r1") * F.col("r1")).alias("s11"),
+        F.sum(F.col("r2") * F.col("r2")).alias("s22"),
+    )
+    # products in DOUBLE: the int64 forms overflow at cluster row
+    # counts (n·Σr₁r₂ ~ 1e23); identical IEEE ops on both engines keep
+    # the hash deterministic
+    nd = F.col("n").cast("double")
+    num = nd * F.col("s12") - F.col("s1").cast("double") * F.col("s2")
+    d1 = nd * F.col("s11") - F.col("s1").cast("double") * F.col("s1")
+    d2 = nd * F.col("s22") - F.col("s2").cast("double") * F.col("s2")
+    return s.select(
+        "n", _r(num / (F.sqrt(d1) * F.sqrt(d2)), 6).alias("spearman_rho")
+    )

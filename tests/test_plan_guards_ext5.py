@@ -264,3 +264,11 @@ def test_ks_shared_prefix_sum_single_ranged_pass(spark):
     # empty-partition global window
     assert "windowspecdefinition(__rsums_pid" in plan
     assert "windowspecdefinition(x#" not in plan
+
+
+def test_spearman_ranks_from_distributed_prefix_sum(spark):
+    plan = _plan(spark, "stats_spearman_qty_price")
+    # both variables' rank frames come from range-partitioned prefix
+    # sums, never an empty-partition global window
+    assert "windowspecdefinition(__rsum_pid" in plan
+    assert "windowspecdefinition(v#" not in plan
