@@ -146,3 +146,24 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(dst)
     return n_files
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (zlib-striped columnar; the warehouse interchange format
+    Hive-era consumers expect). Same partitioning contract as
+    :func:`write_parquet`."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning apply exactly as
+    for parquet (both are Catalyst FileScan sources)."""
+    return spark.read.orc(path)

@@ -57,3 +57,22 @@ def test_sql_entry_point(spark):
         r.l_returnflag: r["count"]
         for r in li.groupBy("l_returnflag").count().collect()
     }
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    from social_and_media_data_ingestion_spark.io import read_orc, write_orc
+
+    src = spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    path = str(tmp_path / "orc_t")
+    write_orc(src, path, partition_by=["k"])
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    got = back.filter("k = 3 AND id < 100").select("id").orderBy("id")
+    assert [r["id"] for r in got.collect()] == [
+        i for i in range(100) if i % 7 == 3
+    ]
+    # partition pruning: the k=3 filter must prune to one partition dir
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
