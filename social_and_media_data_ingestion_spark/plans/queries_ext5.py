@@ -2193,3 +2193,160 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n", _r(num / (F.sqrt(d1) * F.sqrt(d2)), 6).alias("spearman_rho")
     )
+
+
+# =============================================================================
+# Experimentation — Wilson 95% score interval for a per-type proportion
+# (the CI you put on a conversion rate; unlike the normal interval it
+# behaves at small n and extreme p). Counts are exact integers from ONE
+# combiner-friendly pass; the interval is a fixed closed-form double
+# expression evaluated identically on both engines.
+# =============================================================================
+_WILSON_Z = 1.96
+
+
+@q(
+    "events_conversion_wilson",
+    f"""
+    WITH c AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             count(*) FILTER (value > 250.0)::BIGINT AS k
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n, k,
+           floor(k / n::DOUBLE * 1000000 + 0.5) / 1000000 AS p_hat,
+           floor((k / n::DOUBLE + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  - {_WILSON_Z} * sqrt(k / n::DOUBLE * (1 - k / n::DOUBLE) / n
+                                       + {_WILSON_Z} * {_WILSON_Z}
+                                         / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n) * 1000000 + 0.5)
+           / 1000000 AS wilson_lo,
+           floor((k / n::DOUBLE + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  + {_WILSON_Z} * sqrt(k / n::DOUBLE * (1 - k / n::DOUBLE) / n
+                                       + {_WILSON_Z} * {_WILSON_Z}
+                                         / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n) * 1000000 + 0.5)
+           / 1000000 AS wilson_hi
+    FROM c
+    """,
+)
+def events_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value") > 250.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    z = F.lit(_WILSON_Z)
+    nd = F.col("n").cast("double")
+    p = F.col("k") / nd
+    half = z * F.sqrt(p * (1 - p) / F.col("n") + z * z / (4.0 * nd * nd))
+    center = p + z * z / (2 * F.col("n"))
+    denom = 1 + z * z / F.col("n")
+    return c.select(
+        "event_type",
+        "n",
+        "k",
+        _r(p, 6).alias("p_hat"),
+        _r((center - half) / denom, 6).alias("wilson_lo"),
+        _r((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+# =============================================================================
+# Experimentation — CUPED variance reduction: θ = cov(Y, X)/var(X) with
+# X = each customer's PRE-period spend and Y = POST-period spend (split
+# at the integer epoch midpoint of the order range), and the achievable
+# variance reduction ρ² = cov²/(var X · var Y). Per-customer spends are
+# exact integer whole dollars; the final moment products evaluate in
+# DOUBLE (the int64 forms overflow at cluster row counts) — identical
+# IEEE expressions on both engines.
+# =============================================================================
+@q(
+    "orders_cuped_theta",
+    """
+    WITH bounds AS (
+      SELECT (epoch_us(min(o_orderdate)) + epoch_us(max(o_orderdate))) // 2
+               AS mid
+      FROM orders
+    ),
+    per_c AS (
+      SELECT o_custkey,
+             sum(CASE WHEN epoch_us(o.o_orderdate) < b.mid
+                      THEN floor(o.o_totalprice)::BIGINT ELSE 0 END)::BIGINT
+               AS x,
+             sum(CASE WHEN epoch_us(o.o_orderdate) >= b.mid
+                      THEN floor(o.o_totalprice)::BIGINT ELSE 0 END)::BIGINT
+               AS y
+      FROM orders o, bounds b
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+      FROM per_c
+    )
+    SELECT n,
+           floor((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                 / (n::DOUBLE * sxx - sx::DOUBLE * sx)
+                 * 1000000 + 0.5) / 1000000 AS theta,
+           floor((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                 * (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                 / ((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                    * (n::DOUBLE * syy - sy::DOUBLE * sy))
+                 * 1000000 + 0.5) / 1000000 AS var_reduction
+    FROM s
+    """,
+)
+def orders_cuped_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.floor(
+            (
+                F.unix_micros(F.min(F.col("o_orderdate").cast("timestamp")))
+                + F.unix_micros(F.max(F.col("o_orderdate").cast("timestamp")))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    dollars = F.floor("o_totalprice").cast("bigint")
+    per_c = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros(F.col("o_orderdate").cast("timestamp")) < F.col("mid"), dollars)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.unix_micros(F.col("o_orderdate").cast("timestamp")) >= F.col("mid"), dollars)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = per_c.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        "n",
+        _r(cov / vx, 6).alias("theta"),
+        _r(cov * cov / (vx * vy), 6).alias("var_reduction"),
+    )

@@ -272,3 +272,14 @@ def test_spearman_ranks_from_distributed_prefix_sum(spark):
     # sums, never an empty-partition global window
     assert "windowspecdefinition(__rsum_pid" in plan
     assert "windowspecdefinition(v#" not in plan
+
+
+def test_wilson_single_pass_no_join(spark):
+    plan = _plan(spark, "events_conversion_wilson")
+    assert "Join" not in plan
+
+
+def test_cuped_broadcast_midpoint(spark):
+    plan = _plan(spark, "orders_cuped_theta")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
