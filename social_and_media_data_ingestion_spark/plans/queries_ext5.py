@@ -2350,3 +2350,156 @@ def orders_cuped_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(cov / vx, 6).alias("theta"),
         _r(cov * cov / (vx * vy), 6).alias("var_reduction"),
     )
+
+
+# =============================================================================
+# Experimentation — Sample Ratio Mismatch check: users assigned to two
+# arms by the deterministic Knuth-mixed hash (the same family as
+# rendezvous routing), then a one-dof chi-square of observed arm counts
+# against the designed 50/50. SRM is the first gate every experiment
+# readout runs; counts are exact integers from one hash-agg.
+# =============================================================================
+@q(
+    "events_srm_check",
+    f"""
+    WITH arms AS (
+      SELECT ((user_id % {_RDV_P}) * 2654435761 + 104729) % {_RDV_P} % 2
+               AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+      SELECT count(*)::BIGINT AS n,
+             count(*) FILTER (arm = 0)::BIGINT AS arm0,
+             count(*) FILTER (arm = 1)::BIGINT AS arm1
+      FROM arms
+    )
+    SELECT n, arm0, arm1,
+           floor(((arm0 - n / 2.0) * (arm0 - n / 2.0)
+                  + (arm1 - n / 2.0) * (arm1 - n / 2.0)) / (n / 2.0)
+                 * 1000000 + 0.5) / 1000000 AS chi2,
+           ((arm0 - n / 2.0) * (arm0 - n / 2.0)
+            + (arm1 - n / 2.0) * (arm1 - n / 2.0)) / (n / 2.0) > 3.841
+             AS srm_flag
+    FROM c
+    """,
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    arms = ev.select("user_id").distinct().select(
+        (
+            ((F.col("user_id") % _RDV_P) * F.lit(2654435761) + 104729)
+            % _RDV_P
+            % 2
+        ).alias("arm")
+    )
+    c = arms.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("arm0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("arm1"),
+    )
+    half = F.col("n") / F.lit(2.0)
+    chi2 = (
+        (F.col("arm0") - half) * (F.col("arm0") - half)
+        + (F.col("arm1") - half) * (F.col("arm1") - half)
+    ) / half
+    return c.select(
+        "n", "arm0", "arm1",
+        _r(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+# =============================================================================
+# Experimentation — Welch two-sample t of whole-dollar order totals
+# between the hash-split arms (the A/B readout itself, with unequal-
+# variance degrees of freedom). Sufficient statistics are exact
+# integers per arm in EXPLICIT columns, so every double expression is
+# fixed-order; Welch-Satterthwaite df included.
+# =============================================================================
+@q(
+    "orders_ab_welch_ttest",
+    f"""
+    WITH base AS (
+      SELECT ((o_custkey % {_RDV_P}) * 2654435761 + 104729) % {_RDV_P} % 2
+               AS arm,
+             floor(o_totalprice)::BIGINT AS d
+      FROM orders
+    ),
+    s AS (
+      SELECT count(*) FILTER (arm = 0)::BIGINT AS n0,
+             count(*) FILTER (arm = 1)::BIGINT AS n1,
+             sum(d) FILTER (arm = 0)::BIGINT AS s0,
+             sum(d) FILTER (arm = 1)::BIGINT AS s1,
+             sum(d * d) FILTER (arm = 0)::BIGINT AS ss0,
+             sum(d * d) FILTER (arm = 1)::BIGINT AS ss1
+      FROM base
+    )
+    SELECT n0, n1,
+           floor((s0 / n0::DOUBLE - s1 / n1::DOUBLE)
+                 / sqrt((ss0 - s0::DOUBLE * s0 / n0) / (n0 - 1) / n0
+                        + (ss1 - s1::DOUBLE * s1 / n1) / (n1 - 1) / n1)
+                 * 1000000 + 0.5) / 1000000 AS t_stat,
+           floor(((ss0 - s0::DOUBLE * s0 / n0) / (n0 - 1) / n0
+                  + (ss1 - s1::DOUBLE * s1 / n1) / (n1 - 1) / n1)
+                 * ((ss0 - s0::DOUBLE * s0 / n0) / (n0 - 1) / n0
+                    + (ss1 - s1::DOUBLE * s1 / n1) / (n1 - 1) / n1)
+                 / (((ss0 - s0::DOUBLE * s0 / n0) / (n0 - 1) / n0)
+                    * ((ss0 - s0::DOUBLE * s0 / n0) / (n0 - 1) / n0)
+                    / (n0 - 1)
+                    + ((ss1 - s1::DOUBLE * s1 / n1) / (n1 - 1) / n1)
+                      * ((ss1 - s1::DOUBLE * s1 / n1) / (n1 - 1) / n1)
+                      / (n1 - 1))
+                 * 10000 + 0.5) / 10000 AS welch_df
+    FROM s
+    """,
+)
+def orders_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        (
+            ((F.col("o_custkey") % _RDV_P) * F.lit(2654435761) + 104729)
+            % _RDV_P
+            % 2
+        ).alias("arm"),
+        F.floor("o_totalprice").cast("bigint").alias("d"),
+    )
+
+    def _f(expr, arm):
+        return F.sum(F.when(F.col("arm") == arm, expr).otherwise(0)).cast(
+            "bigint"
+        )
+
+    s = base.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        _f(F.col("d"), 0).alias("s0"),
+        _f(F.col("d"), 1).alias("s1"),
+        _f(F.col("d") * F.col("d"), 0).alias("ss0"),
+        _f(F.col("d") * F.col("d"), 1).alias("ss1"),
+    )
+    se0 = (
+        (F.col("ss0") - F.col("s0").cast("double") * F.col("s0") / F.col("n0"))
+        / (F.col("n0") - 1)
+        / F.col("n0")
+    )
+    se1 = (
+        (F.col("ss1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    mean_diff = F.col("s0") / F.col("n0").cast("double") - F.col("s1") / F.col(
+        "n1"
+    ).cast("double")
+    df = (se0 + se1) * (se0 + se1) / (
+        se0 * se0 / (F.col("n0") - 1) + se1 * se1 / (F.col("n1") - 1)
+    )
+    return s.select(
+        "n0",
+        "n1",
+        _r(mean_diff / F.sqrt(se0 + se1), 6).alias("t_stat"),
+        _r(df, 4).alias("welch_df"),
+    )

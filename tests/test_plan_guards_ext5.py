@@ -283,3 +283,9 @@ def test_cuped_broadcast_midpoint(spark):
     plan = _plan(spark, "orders_cuped_theta")
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_srm_and_ttest_single_pass(spark):
+    for name in ("events_srm_check", "orders_ab_welch_ttest"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, name
