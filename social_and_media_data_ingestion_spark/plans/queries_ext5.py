@@ -2503,3 +2503,122 @@ def orders_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(mean_diff / F.sqrt(se0 + se1), 6).alias("t_stat"),
         _r(df, 4).alias("welch_df"),
     )
+
+
+# =============================================================================
+# Product analytics — the full weekly cohort retention MATRIX: cohort =
+# each user's first activity week, one row per (cohort, week-offset)
+# with the fraction of the cohort active that week. Two hash-aggs (user
+# firsts, then cohort cells) + a broadcast of cohort sizes; weeks are
+# integer datediff-div-7 so there is no locale/week-origin dependence.
+# =============================================================================
+@q(
+    "events_retention_matrix",
+    f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '{_EPOCH}', ts::DATE) // 7 AS week
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1
+    ),
+    cohort_sizes AS (
+      SELECT cohort, count(*)::BIGINT AS n_users FROM firsts GROUP BY 1
+    ),
+    cells AS (
+      SELECT f.cohort, (uw.week - f.cohort)::BIGINT AS week_offset,
+             count(*)::BIGINT AS n_active
+      FROM uw JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT c.cohort::BIGINT AS cohort_week, c.week_offset, c.n_active,
+           s.n_users AS cohort_size,
+           floor(c.n_active / s.n_users::DOUBLE * 1000000 + 0.5) / 1000000
+             AS retention
+    FROM cells c JOIN cohort_sizes s USING (cohort)
+    """,
+)
+def events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date")) / 7
+        )
+        .cast("long")
+        .alias("week"),
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    cells = (
+        uw.join(firsts, "user_id")
+        .groupBy(
+            "cohort", (F.col("week") - F.col("cohort")).alias("week_offset")
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort").select(
+        F.col("cohort").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        F.col("n_users").alias("cohort_size"),
+        _r(F.col("n_active") / F.col("n_users").cast("double"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+# =============================================================================
+# Product analytics — DAU/WAU stickiness per calendar week: mean daily
+# active users over the week divided by the week's distinct actives
+# (the "how often do weekly users show up" engagement ratio). Distinct
+# counts are exact; both engines evaluate the same integer ratio.
+# =============================================================================
+@q(
+    "events_stickiness_weekly",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT date_diff('day', DATE '{_EPOCH}', ts::DATE) AS day,
+             date_diff('day', DATE '{_EPOCH}', ts::DATE) // 7 AS week,
+             user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT week, day, count(*)::BIGINT AS dau FROM d GROUP BY 1, 2
+    ),
+    wau AS (
+      SELECT week, count(DISTINCT user_id)::BIGINT AS wau FROM d GROUP BY 1
+    ),
+    avg_dau AS (
+      SELECT week, sum(dau)::BIGINT AS dau_sum, count(*)::BIGINT AS n_days
+      FROM dau GROUP BY 1
+    )
+    SELECT a.week::BIGINT AS week, a.dau_sum, a.n_days, w.wau,
+           floor(a.dau_sum / a.n_days::DOUBLE / w.wau * 1000000 + 0.5)
+             / 1000000 AS stickiness
+    FROM avg_dau a JOIN wau w USING (week)
+    """,
+)
+def events_stickiness_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+    d = ev.select(
+        day.alias("day"),
+        F.floor(day / 7).cast("long").alias("week"),
+        "user_id",
+    ).distinct()
+    dau = d.groupBy("week", "day").agg(F.count("*").alias("dau"))
+    wau = d.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
+    avg_dau = dau.groupBy("week").agg(
+        F.sum("dau").alias("dau_sum"), F.count("*").alias("n_days")
+    )
+    return avg_dau.join(F.broadcast(wau), "week").select(
+        "week",
+        "dau_sum",
+        "n_days",
+        "wau",
+        _r(
+            F.col("dau_sum") / F.col("n_days").cast("double") / F.col("wau"), 6
+        ).alias("stickiness"),
+    )

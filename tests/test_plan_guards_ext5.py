@@ -289,3 +289,15 @@ def test_srm_and_ttest_single_pass(spark):
     for name in ("events_srm_check", "orders_ab_welch_ttest"):
         plan = _plan(spark, name)
         assert "Join" not in plan, name
+
+
+def test_retention_matrix_broadcast_cohort_sizes(spark):
+    plan = _plan(spark, "events_retention_matrix")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stickiness_broadcast_wau(spark):
+    plan = _plan(spark, "events_stickiness_weekly")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
