@@ -1,15 +1,20 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: best_sec}, "runs": {name: [sec, ...]}, "sf": ...}.
+compact JSON line on stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: best_sec}, "sf": ...}.
+
+The stdout line is kept COMPACT on purpose: the driver captures only a
+bounded tail of stdout, and round 4's artifact (per-run arrays + spread
+for 50 queries on one line) outgrew that buffer and recorded as
+`parsed: null`. The full self-diagnosing payload — all 3 per-run times
+and the relative spread per query, which lets a round-over-round drift
+be attributed to machine-load variance (wide spread) vs a real plan
+regression (tight spread at a higher level) — is written to
+`BENCH_FULL.json` next to this script and echoed to stderr instead.
 
 Each query is materialized via a count-collect (no driver-side data pull)
 after a warm-up pass to amortize JVM/session startup out of the first
-measurement. The artifact is self-diagnosing: per-run times for every
-query are recorded (not just the best), so a round-over-round drift can
-be attributed to machine-load variance (wide spread within the round)
-or a real plan regression (tight spread at a higher level) from the JSON
-alone.
+measurement.
 """
 
 from __future__ import annotations
@@ -133,16 +138,31 @@ def main() -> None:
         name: round((max(rs) - min(rs)) / min(rs), 3) if min(rs) > 0 else 0.0
         for name, rs in runs.items()
     }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full self-diagnosing payload → file + stderr (NOT stdout: the
+    # driver's stdout tail buffer is bounded; see module docstring).
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "runs": runs,
+        "rel_spread": spread,
+        "sf": sf_val,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full), file=sys.stderr)
+    # Compact final stdout line: best-only per query, 3 dp.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "runs": runs,
-                "rel_spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": {k: round(v, 3) for k, v in times.items()},
+                "sf": sf_val,
             }
         )
     )

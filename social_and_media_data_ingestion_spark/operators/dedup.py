@@ -496,6 +496,7 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 256,
 ) -> DataFrame:
     """(id_a, id_b, containment_ab, containment_ba, jaccard) for pairs
     whose MAX directional containment >= threshold.
@@ -506,8 +507,30 @@ def containment_pairs(
     dedup misses it (the classic quote/boilerplate/excerpt leak in
     training corpora — cf. Broder's containment vs resemblance split).
     Same inverted-shingle-index join as :func:`ngram_jaccard_pairs` —
-    candidates share >= 1 shingle, never a blind cross join."""
+    candidates share >= 1 shingle, never a blind cross join.
+
+    `max_df` is the hot-shingle guard (mirror of the >4096 hot-bucket
+    guard on the LSH path): a shingle occurring in d documents emits
+    ~d^2/2 candidate pairs from the self-join, so one boilerplate
+    3-gram shared by every document turns the plan quadratic. Shingles
+    with document frequency > max_df are dropped BEFORE the self-join
+    — from the index AND from the size denominators, so containment is
+    measured over the rare-shingle universe (rare shingles carry the
+    containment signal; ubiquitous ones carry none). The hot set is
+    small by construction (at most total_occurrences/max_df keys), so
+    the prune is a broadcast anti-join — map-only, no extra shuffle on
+    the hot key itself, and the df count is a map-side-combined
+    hash-agg, immune to the skew it is guarding against. `max_df=None`
+    disables the guard (exact semantics on trusted-small corpora)."""
     sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

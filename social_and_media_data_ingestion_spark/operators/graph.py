@@ -118,8 +118,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     quadratic hub blowup, unlike the naive undirected wedge join.
     """
     # the canonical edge set feeds THREE consumers (degrees, wedge join,
-    # closing probe) across two actions — materialize it once instead of
-    # re-running the caller's (possibly expensive) edge derivation
+    # closing probe) across two actions — EAGERLY materialize it once so
+    # the caller's (possibly expensive) edge derivation runs exactly one
+    # time; a lazy checkpoint left the builder re-derivable per action
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -127,7 +128,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))

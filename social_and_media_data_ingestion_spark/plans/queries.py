@@ -1883,7 +1883,82 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
-    # -- the one red r03 row, fixed in r4 (postings stringified) — re-prove
+    # ================= round-5 head =================
+    # Policy (round-4 verdict item 2): registry growth is FROZEN; the
+    # head leads with the two queries whose code (and for containment,
+    # oracle) changed this round, then 48 queries the driver has NEVER
+    # sampled (r4 cumulative: 165/249; the 36 left over are listed in
+    # tools/next_head.py and exhaust the backlog next round). Everything
+    # displaced stays covered by the local full gate
+    # (tools/verify_local.py runs all 249 with the identical oracle
+    # mechanism).
+    # -- changed this round: hot-shingle df cap (max_df=256, oracle
+    #    mirrored) — the round-4 verdict's "What's wrong #1"
+    "dedup_shingle_containment",
+    # -- changed family: stateful machinery rewrite (threshold_alerts
+    #    schema now derived from key_col); running_totals shares
+    #    applyInPandasWithState plumbing and its last row predates r4
+    "stream_stateful_running_totals",
+    # -- TPC-H tail: never driver-sampled
+    "q4_order_priority",
+    "q11_important_parts",
+    "q12_priority_by_flag",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_banded_revenue",
+    "q20_excess_shippers",
+    "q22_idle_balances",
+    # -- experimentation family: never driver-sampled
+    "events_conversion_wilson",
+    "orders_cuped_theta",
+    "events_srm_check",
+    "orders_ab_welch_ttest",
+    # -- nonparametric / classical statistics family: never sampled
+    "lineitem_anova_returnflag",
+    "stats_mann_whitney_status",
+    "stats_kruskal_wallis_returnflag",
+    "stats_ks_two_sample",
+    "stats_spearman_qty_price",
+    # -- streaming + graph stragglers: never sampled
+    "stream_dedup_watermark",
+    "graph_pagerank_dangling",
+    # -- as-of join variants (j9 carried the family in r4)
+    "j10_asof_tolerance_1h",
+    "j11_asof_nearest_purchase",
+    # -- bench headliners without driver rows
+    "doc_pack_contexts",
+    "events_time_bucket_rollup",
+    "text_shingle_novelty",
+    # -- never-sampled backlog, diverse operator classes
+    "window_time_range_moving_avg",
+    "skew_salted_type_counts",
+    "j7_full_outer_counts",
+    "j8_cross_join_grid",
+    "sample_hash_mod",
+    "sample_stratified_hash",
+    "sample_fixed_quota_per_source",
+    "dedup_canonical_selection",
+    "corpus_dedup_rate_by_source",
+    "corpus_profile",
+    "text_langid_confusion",
+    "text_type_token_ratio",
+    "text_bigram_logprob",
+    "emb_vector_stats",
+    "emb_hard_negatives",
+    "emb_label_centroid_distances",
+    "emb_dim_variance",
+    "ml_split_leakage_audit",
+    "events_retention_matrix",
+    "events_stickiness_weekly",
+    "supplier_concentration_hhi",
+]
+
+_ROUND4_HEAD = [
+    # round-4 head, kept for the rotation ledger (these 50 all went
+    # driver-green in CORRECTNESS_r04.json)
     "text_inverted_index",
     # -- newest additions with no driver evidence yet: late ext3 batch
     #    (purity/survival/Benford) + the ext4 batch (BM25, count-min,

@@ -438,33 +438,87 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tt = test.select("doc_id", "actual", F.explode("toks").alias("token"))
-    lps = (
-        tt.crossJoin(F.broadcast(classes))
-        .join(F.broadcast(model), ["source", "token"], "left")
+    # Scoring WITHOUT the |classes|x token-stream expansion: the exploded
+    # test-token stream joins the broadcast model on `token` ALONE, so a
+    # (token, class) row exists only where the class actually saw the
+    # token — shuffled volume is |token-class hits|, not
+    # |tokens| x |classes|. Tokens a class never saw all contribute the
+    # SAME per-class constant lp_default = round6(ln(1/(tot+v))); the
+    # per-(doc, class) score is rebuilt by appending
+    # n_unseen = n_toks(doc) - n_seen copies of lp_default to the seen
+    # lps BEFORE the sorted left-fold, so the operand sequence — and
+    # therefore every bit of the argmax input — is identical to the
+    # dense oracle formulation. The dense frame that remains is only
+    # |test docs| x |classes| (the correction grid), never token-scaled.
+    model_lp = (
+        model.join(F.broadcast(classes.select("source", "tot", "v")), "source")
         .select(
-            "doc_id",
-            "actual",
             "source",
-            "lp_prior",
+            "token",
             _r(
                 F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    (F.col("cnt") + 1)
                     / (F.col("tot") + F.col("v")).cast("double")
                 ),
                 6,
             ).alias("lp"),
         )
     )
-    scores = lps.groupBy("doc_id", "actual", "source", "lp_prior").agg(
-        (
-            F.aggregate(
-                F.array_sort(F.collect_list("lp")),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            + F.col("lp_prior")
-        ).alias("s")
+    classes_full = classes.select(
+        "source",
+        "lp_prior",
+        _r(
+            F.log(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")), 6
+        ).alias("lp_default"),
+    )
+    tt = test.select("doc_id", "actual", F.explode("toks").alias("token"))
+    seen = (
+        tt.join(F.broadcast(model_lp), "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.collect_list("lp").alias("seen_lps"),
+            F.count("*").alias("n_seen"),
+        )
+    )
+    grid = (
+        test.filter(F.size("toks") > 0)
+        .select("doc_id", "actual", F.size("toks").cast("long").alias("n_toks"))
+        .crossJoin(F.broadcast(classes_full))
+    )
+    # shuffled-hash, not sort-merge: both sides are doc-scale so neither
+    # broadcasts, but the join needs no sort — `seen` arrives already
+    # hash-partitioned on (doc_id, source) from its groupBy, so only the
+    # grid side shuffles and the build side is the sparse hit frame
+    scores = (
+        grid.join(seen.hint("shuffle_hash"), ["doc_id", "source"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "source",
+            "lp_prior",
+            (
+                F.aggregate(
+                    F.array_sort(
+                        F.concat(
+                            F.coalesce(
+                                F.col("seen_lps"),
+                                F.array().cast("array<double>"),
+                            ),
+                            F.array_repeat(
+                                F.col("lp_default"),
+                                (
+                                    F.col("n_toks")
+                                    - F.coalesce(F.col("n_seen"), F.lit(0))
+                                ).cast("int"),
+                            ),
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                + F.col("lp_prior")
+            ).alias("s"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("source"))
     pred = (
@@ -506,7 +560,13 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_blocked_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     names = part.groupBy(
-        "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+        # coalesce to '' for single-token names: DuckDB's
+        # split_part(name, ' ', 2) yields '' there, while getItem(1)
+        # yields NULL (which would silently drop the row from the
+        # block equi-join) — '' keeps both engines pairing such names
+        # inside the same empty-noun block
+        "p_name",
+        F.coalesce(F.split("p_name", " ").getItem(1), F.lit("")).alias("noun"),
     ).agg(F.count("*").alias("support"))
     a = names.select(
         F.col("p_name").alias("name1"),
@@ -558,10 +618,17 @@ _CONT_SHINGLES = (
                          x -> x <> '') AS toks
       FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id AS id, unnest({_CONT_SHINGLES}) AS shingle
       FROM docs
     ),
+    -- hot-shingle guard (mirrors max_df=256 in containment_pairs):
+    -- shingles in > 256 documents are dropped before the self-join
+    -- and from the size denominators
+    rare AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 256
+    ),
+    sh AS (SELECT id, shingle FROM sh0 WHERE shingle IN (SELECT shingle FROM rare)),
     sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
@@ -585,7 +652,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_and_media_data_ingestion_spark.operators.dedup import containment_pairs
 
     docs = t(spark, sf_dir, "documents")
-    pairs = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=256)
     return pairs.select(
         "id_a",
         "id_b",
@@ -1380,13 +1447,24 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("cents"))
     )
     ranked = global_row_number(rev, ["cents", "l_suppkey"], out_col="i")
+    # Σ(i·cents) accumulates in DECIMAL(38,0), mirroring DuckDB's
+    # sum(BIGINT) → HUGEINT promotion: at sf≫1 (rank ~1e4 × cents ~1e10
+    # × 1e4 suppliers) a long sum would silently wrap while the oracle
+    # stays exact — int128-wide accumulation keeps both engines exact
+    # at any scale factor
+    s_ix = F.sum(
+        (F.col("i").cast("decimal(38,0)") * F.col("cents")).cast("decimal(38,0)")
+    )
     return ranked.agg(
         F.count("*").alias("n_suppliers"),
         F.sum("cents").alias("total_cents"),
         _r(
             F.lit(2.0)
-            * F.sum(F.col("i") * F.col("cents"))
-            / (F.count("*") * F.sum("cents"))
+            * s_ix.cast("double")
+            / (
+                F.count("*").cast("decimal(38,0)")
+                * F.sum("cents").cast("decimal(38,0)")
+            ).cast("double")
             - (F.count("*") + 1).cast("double") / F.count("*"),
             6,
         ).alias("gini"),
@@ -1569,10 +1647,14 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("total_tokens"),
         F.countDistinct("fp").alias("n_unique"),
     )
+    # exact integer floor-division (`div`), NOT double `/` + cast: once
+    # the numerator exceeds 2^53 (the regime this operator targets),
+    # double rounding can land on the wrong side of an integer boundary
+    # while the DuckDB `//` oracle stays exact — `div` matches it at any
+    # magnitude (same idiom as the doc_id split in ml_naive_bayes_source)
     elig = per_src.withColumn(
         "eligible_tokens",
-        (F.col("total_tokens") * F.col("n_unique") / F.col("n_docs"))
-        .cast("bigint"),
+        F.expr("total_tokens * n_unique div n_docs").cast("bigint"),
     )
     tot = elig.agg(F.sum("eligible_tokens").alias("sum_elig"))
     j = elig.crossJoin(F.broadcast(tot))
@@ -1587,8 +1669,7 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.least(
             F.col("eligible_tokens"),
-            (F.lit(_MIX_BUDGET) * F.col("eligible_tokens") / F.col("sum_elig"))
-            .cast("bigint"),
+            F.expr(f"{_MIX_BUDGET} * eligible_tokens div sum_elig"),
         )
         .cast("bigint")
         .alias("alloc_tokens"),

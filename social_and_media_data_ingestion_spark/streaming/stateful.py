@@ -57,13 +57,6 @@ def running_totals(
     )
 
 
-ALERT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("alert_level", T.LongType()),
-    ]
-)
-
 _ALERT_STATE_SCHEMA = T.StructType([T.StructField("cents", T.LongType())])
 
 
@@ -83,8 +76,20 @@ def threshold_alerts(
     T)) are emitted, which is what the batch oracle computes. The state
     is one int64 per key, and the per-row cents conversion uses the
     same floor(v*100+0.5) the engine-side queries use, so stream, batch
-    and DuckDB all agree bit-for-bit."""
+    and DuckDB all agree bit-for-bit.
+
+    The output schema is built from `key_col` — name AND type are taken
+    from the input frame's key column, so a caller grouping on e.g.
+    `supplier_id: string` gets (supplier_id string, alert_level long),
+    not a misnamed hardcoded column."""
     import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("alert_level", T.LongType()),
+        ]
+    )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -101,12 +106,12 @@ def threshold_alerts(
         if new_level > prev_level:
             levels = list(range(prev_level + 1, new_level + 1))
             yield pd.DataFrame(
-                {"user_id": [key[0]] * len(levels), "alert_level": levels}
+                {key_col: [key[0]] * len(levels), "alert_level": levels}
             )
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=ALERT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_ALERT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -109,6 +109,35 @@ def test_containment_matches_bruteforce(spark):
     assert (30, 31) in got  # the planted excerpt pair is caught
 
 
+def test_containment_hot_shingle_guard_bounds_candidates(spark):
+    """A corpus where every document shares one boilerplate line must
+    NOT turn the inverted-index self-join quadratic: with the df cap on,
+    the boilerplate shingles (df = n_docs > max_df) are dropped before
+    candidate generation, so the only pairs that survive are ones
+    sharing RARE shingles. Same failure mode — and same guard shape —
+    as the >4096 hot-bucket cap on the LSH path."""
+    boiler = "subscribe to our newsletter for daily updates today"
+    n_docs = 120
+    texts = [f"{boiler} unique{i}a unique{i}b unique{i}c" for i in range(n_docs)]
+    # one genuinely near-dup pair via a shared RARE tail
+    texts.append(f"{boiler} shared rare tail only here")
+    texts.append(f"{boiler} shared rare tail only here extra")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    capped = containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5, max_df=8
+    ).collect()
+    # without the guard the boilerplate alone makes every pair a
+    # candidate AND pushes its containment over threshold -> O(n^2) rows
+    uncapped_count = containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5, max_df=None
+    ).count()
+    assert uncapped_count >= (n_docs * (n_docs - 1)) // 2
+    # guarded: only the rare-tail pair survives; candidates stay linear
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(n_docs, n_docs + 1)}
+
+
 def _rdv_shard(key, shards):
     mixed = ((key % _RDV_P) * 2654435761 + 104729) % _RDV_P
     weights = [(a * mixed + b) % _RDV_P for a, b in _RDV_AB]

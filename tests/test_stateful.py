@@ -99,3 +99,44 @@ def test_threshold_alerts_batch_split_invariant(spark, tmp_path):
         q.stop()
     # same alerts as a single-batch run: levels depend only on totals
     assert got == [(1, 1), (1, 2)]
+
+
+def test_threshold_alerts_schema_follows_key_col(spark, tmp_path):
+    """The output key column takes its NAME and TYPE from key_col —
+    a string supplier_id caller must not get a long 'user_id' column
+    (round-4 advisor item on the hardcoded ALERT_SCHEMA)."""
+    from social_and_media_data_ingestion_spark.streaming.stateful import (
+        threshold_alerts,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("supplier_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "alert_src2")
+    ckpt = str(tmp_path / "alert_ckpt2")
+    spark.createDataFrame(
+        [("s-1", 12.0), ("s-2", 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = threshold_alerts(stream, "supplier_id", "value", 1000)
+    assert out.schema["supplier_id"].dataType == T.StringType()
+    assert [f.name for f in out.schema.fields] == ["supplier_id", "alert_level"]
+    q = (
+        out.writeStream.format("memory")
+        .queryName("alerts_k")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.supplier_id, r.alert_level)
+            for r in spark.sql("SELECT * FROM alerts_k").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [("s-1", 1)]
