@@ -114,17 +114,19 @@ def _polyhash(s):
 
 def _shingle_array(text_col: str, n: int):
     """Array of word n-grams (with multiplicity) of a text column —
-    evaluated row-local, never exploded."""
-    toks = _tokens(text_col)
+    evaluated row-local, never exploded.
+
+    The token array is BOUND AS A LAMBDA VARIABLE (`transform(array(
+    toks), tk -> ...)`) rather than referenced from inside the shingle
+    lambda: an outer-expression reference in a Catalyst higher-order
+    function is re-evaluated per element, which turned tokenization
+    into O(tokens x shingles) work per row — measured 5x slower at
+    sf0.1. A lambda variable is evaluated exactly once, and the whole
+    expression stays map-only whole-stage codegen (no shuffle, unlike
+    a window-lead spelling)."""
     if n == 1:
-        return toks
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        return _tokens(text_col)
+    return F.expr(_sql_shingles(text_col, n))
 
 
 # --- SQL-string twins of the above (the similarity.py compiler pattern) ------
@@ -141,14 +143,20 @@ def _sql_tokens(text_col: str) -> str:
 
 
 def _sql_shingles(text_col: str, n: int) -> str:
+    # token array bound as lambda var `tk` so it is evaluated ONCE per
+    # row — an outer reference inside the shingle lambda re-evaluates
+    # the tokenizer per element (O(tokens x shingles); see
+    # _shingle_array docstring). flatten(transform(array(x), v -> ...))
+    # is the standard SQL-level let-binding.
     toks = _sql_tokens(text_col)
     if n == 1:
         return toks
     return (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(0, size({toks}) - {n}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        f"flatten(transform(array({toks}), tk -> "
+        f"CASE WHEN size(tk) >= {n} THEN "
+        f"transform(sequence(0, size(tk) - {n}), "
+        f"i -> concat_ws(' ', slice(tk, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END))"
     )
 
 
@@ -511,38 +519,60 @@ def containment_pairs(
 
     `max_df` is the hot-shingle guard (mirror of the >4096 hot-bucket
     guard on the LSH path): a shingle occurring in d documents emits
-    ~d^2/2 candidate pairs from the self-join, so one boilerplate
-    3-gram shared by every document turns the plan quadratic. Shingles
-    with document frequency > max_df are dropped BEFORE the self-join
-    — from the index AND from the size denominators, so containment is
+    ~d^2/2 candidate pairs, so one boilerplate 3-gram shared by every
+    document turns the plan quadratic. Shingles with document
+    frequency > max_df are dropped BEFORE candidate generation — from
+    the index AND from the size denominators, so containment is
     measured over the rare-shingle universe (rare shingles carry the
-    containment signal; ubiquitous ones carry none). The hot set is
-    small by construction (at most total_occurrences/max_df keys), so
-    the prune is a broadcast anti-join — map-only, no extra shuffle on
-    the hot key itself, and the df count is a map-side-combined
-    hash-agg, immune to the skew it is guarding against. `max_df=None`
-    disables the guard (exact semantics on trusted-small corpora)."""
+    containment signal; ubiquitous ones carry none).
+
+    With the guard on, candidates come from MATERIALIZED POSTING LISTS
+    instead of an index self-join: one shuffle groups (id, shingle) by
+    shingle into an ids list, the df filter is a free `size(ids)`
+    predicate on that list (bounded by max_df, so per-row memory is
+    capped), and the i<j pair explosion replaces the self-join's second
+    shuffle-plus-probe of the full index. The pruned index is
+    localCheckpoint-pinned because both the pair generator and the size
+    denominators read it. `max_df=None` keeps the join formulation
+    (unbounded posting lists must not be collected) — exact semantics
+    on trusted-small corpora only."""
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
-        hot = (
+        postings = (
             sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") <= max_df)
+            .localCheckpoint(eager=True)
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = postings.select(F.explode("ids").alias("id"), "shingle")
+        # i<j combinations generated inside ONE whole-stage-codegen
+        # expression over the SORTED list (so id_a < id_b holds by
+        # construction): exactly d*(d-1)/2 rows leave the explode,
+        # rather than d^2 rows pre-filter from a double explode
+        pair_expr = (
+            "flatten(transform(sids, (x, i) -> "
+            "transform(slice(sids, i + 2, size(sids) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b))))"
+        )
+        inter = (
+            postings.select(F.array_sort("ids").alias("sids"))
+            .select(F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     c_ab = F.col("inter") / F.col("sz_a")

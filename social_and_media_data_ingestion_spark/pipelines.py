@@ -118,24 +118,20 @@ def decontaminate(
     decontamination sweeps use 8-13-gram windows)."""
 
     def shingle_set(df: DataFrame, with_id: bool) -> DataFrame:
-        toks = F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"), lambda x: x != "")
-        arr = F.expr(
-            "transform(sequence(1, greatest(size(__toks) - 2, 1)), "
-            "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i+1), "
-            "' ', element_at(__toks, i+2)))"
-        )
-        base = (
-            df.withColumn("__toks", toks)
-            .withColumn(
-                "__sh",
-                F.when(F.size("__toks") >= 3, arr).otherwise(
-                    F.array().cast("array<string>")
-                ),
-            )
+        # token array let-bound as lambda var tk — evaluated once per
+        # row, not once per shingle (see dedup._sql_shingles)
+        arr = (
+            rf"flatten(transform(array(filter(split(lower(trim({text_col})),"
+            r" '\\s+'), x -> x != '')), tk -> "
+            "CASE WHEN size(tk) >= 3 THEN "
+            "transform(sequence(1, size(tk) - 2), "
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i+1), "
+            "' ', element_at(tk, i+2))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END))"
         )
         cols = [F.col(id_col)] if with_id else []
-        return base.select(
-            *cols, F.explode(F.array_distinct("__sh")).alias("shingle")
+        return df.select(
+            *cols, F.explode(F.array_distinct(F.expr(arr))).alias("shingle")
         )
 
     tr = shingle_set(docs, with_id=True)

@@ -489,28 +489,23 @@ def explode_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_shingles_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
-    shingles = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), "
-        "' ', element_at(toks, i+2)))"
+    # whole computation over the token array in ONE let-binding (tk is
+    # a lambda var, so the tokenizer runs once per row — see
+    # dedup._sql_shingles), emitting the (n_shingles,
+    # n_distinct_shingles) pair as a struct
+    stats = (
+        r"transform(array(filter(split(lower(trim(text)), '\\s+'),"
+        r" x -> x != '')), tk -> struct("
+        "CAST(greatest(size(tk) - 2, 0) AS BIGINT) AS n_shingles, "
+        "CAST(size(array_distinct(CASE WHEN size(tk) >= 3 THEN "
+        "transform(sequence(1, size(tk) - 2), "
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i+1), "
+        "' ', element_at(tk, i+2))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END)) AS BIGINT) "
+        "AS n_distinct_shingles))[0]"
     )
-    return (
-        docs.withColumn("toks", toks)
-        # sequence(1, 0) would be descending [1, 0]; guard short docs
-        .withColumn(
-            "shingles",
-            F.when(F.size("toks") >= 3, shingles).otherwise(
-                F.array().cast("array<string>")
-            ),
-        )
-        .select(
-            "doc_id",
-            F.greatest(F.size("toks") - 2, F.lit(0)).cast("long").alias("n_shingles"),
-            F.size(F.array_distinct("shingles")).cast("long").alias(
-                "n_distinct_shingles"
-            ),
-        )
+    return docs.select("doc_id", F.expr(stats).alias("s")).select(
+        "doc_id", "s.n_shingles", "s.n_distinct_shingles"
     )
 
 
@@ -902,29 +897,21 @@ def sql_passthrough_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
-    with_toks = docs.select("doc_id", toks.alias("toks")).withColumn(
-        "n_chunks",
-        F.when(F.size("toks") > 0, F.ceil(F.size("toks") / 40.0).cast("int")).otherwise(
-            F.lit(0)
-        ),
+    # token array let-bound as lambda var tk: the tokenizer is evaluated
+    # once per row rather than once per chunk (CollapseProject inlines
+    # column refs into HOF lambdas — see dedup._sql_shingles); the
+    # empty-doc guard keeps sequence() ascending
+    chunk_arr = (
+        r"flatten(transform(array(filter(split(lower(trim(text)), '\\s+'),"
+        r" x -> x != '')), tk -> "
+        "CASE WHEN size(tk) > 0 THEN "
+        "transform(sequence(0, CAST(ceil(size(tk) / 40.0) AS INT) - 1), "
+        "i -> concat_ws(' ', slice(tk, i * 40 + 1, 50))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END))"
     )
-    chunks = F.expr(
-        "transform(sequence(0, n_chunks - 1), "
-        "i -> concat_ws(' ', slice(toks, i * 40 + 1, 50)))"
-    )
-    return (
-        with_toks
-        # sequence(0, -1) would be descending; guard empty docs
-        .withColumn(
-            "chunks",
-            F.when(F.col("n_chunks") > 0, chunks).otherwise(
-                F.array().cast("array<string>")
-            ),
-        )
-        .select("doc_id", F.posexplode("chunks").alias("chunk_index", "chunk_text"))
-        .select("doc_id", F.col("chunk_index").cast("long"), "chunk_text")
-    )
+    return docs.select(
+        "doc_id", F.posexplode(F.expr(chunk_arr)).alias("chunk_index", "chunk_text")
+    ).select("doc_id", F.col("chunk_index").cast("long"), "chunk_text")
 
 
 # =============================================================================

@@ -338,22 +338,20 @@ _SHINGLES_SQL = (
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
-    shingles = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), "
-        "' ', element_at(toks, i+2)))"
+    # token array let-bound as lambda var (evaluated once per row, not
+    # once per shingle — see text_bigram_logprob / dedup._sql_shingles)
+    shingle_arr = (
+        r"flatten(transform(array(filter(split(lower(trim(text)), '\\s+'),"
+        r" x -> x != '')), tk -> "
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(1, size(tk) - 2), "
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i+1), "
+        "' ', element_at(tk, i+2))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END))"
     )
-    sh = (
-        docs.withColumn("toks", toks)
-        # sequence(1, 0) would be descending [1, 0]; guard short docs
-        .withColumn(
-            "sarr",
-            F.when(F.size("toks") >= 3, shingles).otherwise(
-                F.array().cast("array<string>")
-            ),
-        )
-        .select("doc_id", "source", F.explode(F.array_distinct("sarr")).alias("shingle"))
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.expr(shingle_arr))).alias("shingle"),
     )
     ev = sh.filter(F.col("source") == "src0").select(
         F.col("doc_id").alias("eval_id"), "shingle"
@@ -492,22 +490,19 @@ def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
-    bigrams = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 1)), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+    # token array LET-BOUND as a lambda variable (array(..) -> tk): an
+    # outer/column reference inside a higher-order-function lambda is
+    # inlined by CollapseProject and re-evaluated per element — the
+    # tokenizer ran O(tokens) times per bigram (measured 13 s at sf0.1;
+    # 0.6 s bound). Same fix as operators/dedup._sql_shingles.
+    bigram_arr = (
+        r"flatten(transform(array(filter(split(lower(trim(text)), '\\s+'),"
+        r" x -> x != '')), tk -> "
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i+1))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END))"
     )
-    bg = (
-        docs.withColumn("toks", toks)
-        # sequence(1, 0) would be descending [1, 0]; guard short docs
-        .withColumn(
-            "barr",
-            F.when(F.size("toks") >= 2, bigrams).otherwise(
-                F.array().cast("array<string>")
-            ),
-        )
-        .select("doc_id", F.explode("barr").alias("bigram"))
-    )
+    bg = docs.select("doc_id", F.explode(F.expr(bigram_arr)).alias("bigram"))
     bc = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
     fc = (
         bc.withColumn("tok1", F.split("bigram", " ")[0])
@@ -972,21 +967,17 @@ _BP_DF = 25
 )
 def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
-    bigrams = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 1)), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+    # token array let-bound as lambda var (evaluated once per row, not
+    # once per bigram — see text_bigram_logprob / dedup._sql_shingles)
+    bigram_arr = (
+        r"flatten(transform(array(filter(split(lower(trim(text)), '\\s+'),"
+        r" x -> x != '')), tk -> "
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i+1))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END))"
     )
-    sh = (
-        docs.withColumn("toks", toks)
-        # sequence(1, 0) would be descending [1, 0]; guard short docs
-        .withColumn(
-            "barr",
-            F.when(F.size("toks") >= 2, bigrams).otherwise(
-                F.array().cast("array<string>")
-            ),
-        )
-        .select("doc_id", F.explode(F.array_distinct("barr")).alias("shingle"))
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(bigram_arr))).alias("shingle")
     )
     df_ = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
     j = sh.join(df_, "shingle").select(

@@ -987,14 +987,20 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPARK_TOKS = r"filter(split(lower(trim(text)), '\\s+'), x -> x != '')"
+# `toks` is LET-BOUND as lambda var `tk` (flatten(transform(array(..))))
+# so the token column — which CollapseProject inlines as the full
+# tokenizer expression — is evaluated once per row, not once per n-gram
+# (see operators/dedup._sql_shingles for the measured 5x)
 _SPARK_BIGRAMS = (
-    "transform(sequence(1, size(toks) - 1), "
-    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    "flatten(transform(array(toks), tk -> "
+    "transform(sequence(1, size(tk) - 1), "
+    "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))))"
 )
 _SPARK_TRIGRAMS = (
-    "transform(sequence(1, size(toks) - 2), "
-    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
-    "element_at(toks, i + 2)))"
+    "flatten(transform(array(toks), tk -> "
+    "transform(sequence(1, size(tk) - 2), "
+    "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', "
+    "element_at(tk, i + 2)))))"
 )
 _DUCK_BIGRAMS = (
     "list_transform(range(1, len(toks)), "
