@@ -195,12 +195,17 @@ def minhash_signatures(
     way repetition through the Column DSL costs ~0.3 s of driver-side
     build per query)."""
     hashed = f"transform({_sql_shingles(text_col, n)}, s -> {_sql_hash_id('s', hash_fn)})"
+    # the hashed-shingle array is let-bound as lambda var `hh` so the
+    # shingle+hash pipeline runs ONCE per row — repeating {hashed}
+    # num_hashes times in the array would re-evaluate it per signature
+    # row (same CollapseProject/outer-ref pitfall as _sql_shingles)
     hs = ",".join(
-        f"array_min(transform({hashed}, x -> ({a} * x + {b}) % {_P}))"
+        f"array_min(transform(hh, x -> ({a} * x + {b}) % {_P}))"
         for a, b in _HASH_AB[:num_hashes]
     )
     return df.select(
-        F.col(id_col).alias("id"), F.expr(f"array({hs})").alias("sig")
+        F.col(id_col).alias("id"),
+        F.expr(f"transform(array({hashed}), hh -> array({hs}))[0]").alias("sig"),
     )
 
 
