@@ -560,13 +560,16 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_blocked_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     names = part.groupBy(
-        # coalesce to '' for single-token names: DuckDB's
+        # F.get + coalesce-to-'' for single-token names: DuckDB's
         # split_part(name, ' ', 2) yields '' there, while getItem(1)
-        # yields NULL (which would silently drop the row from the
-        # block equi-join) — '' keeps both engines pairing such names
-        # inside the same empty-noun block
+        # THROWS INVALID_ARRAY_INDEX under ANSI mode (Spark 4 default)
+        # and would return NULL (silently dropping the row from the
+        # block equi-join) under non-ANSI — F.get returns NULL
+        # out-of-bounds in either mode, and '' keeps both engines
+        # pairing such names inside the same empty-noun block
+        # (pinned by test_er_linkage_single_token_name_blocks_as_empty)
         "p_name",
-        F.coalesce(F.split("p_name", " ").getItem(1), F.lit("")).alias("noun"),
+        F.coalesce(F.get(F.split("p_name", " "), 1), F.lit("")).alias("noun"),
     ).agg(F.count("*").alias("support"))
     a = names.select(
         F.col("p_name").alias("name1"),

@@ -231,3 +231,45 @@ def test_theil_sen_even_pair_count_matches_oracle(spark, tmp_path):
     # daily counts (1,5,2,9) at days (0,1,2,3) -> slopes
     # [4, 0.5, 8/3, -3, 2, 7]; sorted middle pair (2, 8/3) -> 2.333333
     assert got["click"] == (6, 2.333333)
+
+
+def test_er_linkage_single_token_name_blocks_as_empty(spark, tmp_path):
+    """A part name WITHOUT a space must behave identically in both
+    engines (round-4 advisor item): DuckDB's split_part(name,' ',2)
+    yields '' while Spark's split().getItem(1) yields NULL — the Spark
+    side now coalesces to '', so single-token names pair up inside the
+    '' block instead of silently dropping out of the equi-join. Runs
+    the REGISTRY query and its DuckDB oracle on a synthetic part table
+    containing single-token names, and compares results."""
+    import duckdb
+    import pandas as pd
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+
+    rows = [
+        (1, "solo"),
+        (2, "solos"),  # lev("solo","solos")=1, same '' block
+        (3, "azure metallic"),
+        (4, "azures metallic"),  # same 'metallic' block, lev=2
+        (5, "unrelated thing"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["p_partkey", "p_name"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    qd = registry()["er_blocked_name_linkage"]
+    got = {
+        (r["name1"], r["name2"], r["noun"], r["lev"])
+        for r in qd.spark(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/part.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(qd.oracle).fetchall()
+    }
+    assert got == want
+    assert ("solo", "solos", "", 1) in got  # the '' block pair survives
