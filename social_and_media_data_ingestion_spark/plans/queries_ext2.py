@@ -67,55 +67,40 @@ from social_and_media_data_ingestion_spark.plans.tables import t
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    ed = F.transform("embedding", lambda x: x.cast("double"))
-    e = emb.select("vec_id", ed.alias("ed"))
-    vmin = F.array_min("ed")
-    vmax = F.array_max("ed")
-    # NB: the internal column is "scale_raw", NOT "scale" — if the final
-    # select aliased a rounded copy as "scale", Spark's lateral column alias
-    # resolution would rebind the F.col("scale") references inside the
-    # higher-order-function lambdas below to the ROUNDED value, silently
-    # corrupting the reconstruction error.
-    s = e.select(
+    # Every intermediate (the double-cast vector, vmin, scale, the code
+    # array) is LET-BOUND as a lambda variable in one nested expression:
+    # column refs inside HOF lambdas are inlined by CollapseProject and
+    # re-evaluated PER ELEMENT, which turns the per-vector affine
+    # quantization into O(dim^2) work (array_min(ed) recomputed for
+    # every code) — invisible at dim 64, a 100x penalty at dim 1024.
+    # Lambda variables are values: inner lambdas referencing ed/p/codes
+    # pay O(1) per access. Same idiom as operators/dedup._sql_shingles.
+    q_expr = """
+    transform(array(transform(embedding, x -> CAST(x AS DOUBLE))), ed ->
+      transform(array(struct(
+          array_min(ed) AS vmin,
+          CASE WHEN array_max(ed) - array_min(ed) <= 0D THEN 1.0D
+               ELSE (array_max(ed) - array_min(ed)) / 255.0D END AS scale_raw)), p ->
+        transform(array(transform(ed,
+            x -> CAST(floor((x - p.vmin) / p.scale_raw + 0.5D) AS BIGINT))), codes ->
+          struct(
+            CAST(size(codes) AS BIGINT) AS dim,
+            p.scale_raw AS scale_raw,
+            aggregate(codes, CAST(0 AS BIGINT), (a, v) -> a + v) AS code_sum,
+            aggregate(zip_with(ed, codes,
+                (x, c) -> pow(x - (p.vmin + CAST(c AS DOUBLE) * p.scale_raw), 2.0D)),
+              0.0D, (a, v) -> a + v) / size(ed) AS mse
+          )
+        )[0]
+      )[0]
+    )[0]
+    """
+    return emb.select("vec_id", F.expr(q_expr).alias("qs")).select(
         "vec_id",
-        "ed",
-        vmin.alias("vmin"),
-        F.when(vmax - vmin <= 0, F.lit(1.0))
-        .otherwise((vmax - vmin) / F.lit(255.0))
-        .alias("scale_raw"),
-    )
-    c = s.select(
-        "vec_id",
-        "ed",
-        "vmin",
-        "scale_raw",
-        F.transform(
-            "ed",
-            lambda x: F.floor(
-                (x - F.col("vmin")) / F.col("scale_raw") + F.lit(0.5)
-            ).cast("long"),
-        ).alias("codes"),
-    )
-    err_sq = F.aggregate(
-        F.zip_with(
-            "ed",
-            "codes",
-            lambda x, code: F.pow(
-                x - (F.col("vmin") + code.cast("double") * F.col("scale_raw")),
-                F.lit(2.0),
-            ),
-        ),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-    return c.select(
-        "vec_id",
-        F.size("codes").cast("long").alias("dim"),
-        F.round("scale_raw", 6).alias("scale"),
-        F.aggregate("codes", F.lit(0).cast("long"), lambda a, v: a + v).alias(
-            "code_sum"
-        ),
-        F.round(F.sqrt(err_sq / F.size("ed")), 6).alias("rmse"),
+        F.col("qs.dim").alias("dim"),
+        F.round(F.col("qs.scale_raw"), 6).alias("scale"),
+        F.col("qs.code_sum").alias("code_sum"),
+        F.round(F.sqrt(F.col("qs.mse")), 6).alias("rmse"),
     )
 
 
@@ -424,29 +409,22 @@ _QUANT_SQL = """
 )
 def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    ed = F.transform("embedding", lambda x: x.cast("double"))
-    e = emb.select("vec_id", ed.alias("ed"))
-    vmin = F.array_min("ed")
-    vmax = F.array_max("ed")
-    s = e.select(
-        "vec_id",
-        "ed",
-        vmin.alias("vmin"),
-        F.when(vmax - vmin <= 0, F.lit(1.0))
-        .otherwise((vmax - vmin) / F.lit(255.0))
-        .alias("scale_raw"),
-    )
-    dq = s.select(
-        "vec_id",
-        F.transform(
-            "ed",
-            lambda x: F.col("vmin")
-            + F.floor((x - F.col("vmin")) / F.col("scale_raw") + F.lit(0.5)).cast(
-                "long"
-            ).cast("double")
-            * F.col("scale_raw"),
-        ).alias("embedding"),
-    )
+    # quantize -> dequantize in ONE nested let-bound expression (vmin /
+    # scale bound as lambda-var struct fields, never re-evaluated per
+    # element — see emb_quantize_int8 above for the O(dim^2) rationale)
+    dq_expr = """
+    transform(array(transform(embedding, x -> CAST(x AS DOUBLE))), ed ->
+      transform(array(struct(
+          array_min(ed) AS vmin,
+          CASE WHEN array_max(ed) - array_min(ed) <= 0D THEN 1.0D
+               ELSE (array_max(ed) - array_min(ed)) / 255.0D END AS scale_raw)), p ->
+        transform(ed, x -> p.vmin +
+          CAST(CAST(floor((x - p.vmin) / p.scale_raw + 0.5D) AS BIGINT) AS DOUBLE)
+          * p.scale_raw)
+      )[0]
+    )[0]
+    """
+    dq = emb.select("vec_id", F.expr(dq_expr).alias("embedding"))
     res = SIM.cosine_topk(dq, dq.filter(F.col("vec_id") < 10), k=5)
     return res.select(
         "query_id",

@@ -1121,16 +1121,19 @@ def text_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id", _tokens("text").alias("toks")
     )
+    # the match-position filter LET-BINDS toks as lambda var tk: an
+    # outer column ref inside the filter lambda is inlined by
+    # CollapseProject and re-evaluates the tokenizer per position —
+    # O(tokens^2) per document (see operators/dedup._sql_shingles)
+    pos_arr = (
+        "flatten(transform(array(toks), tk -> "
+        f"filter(sequence(1, size(tk)), p -> element_at(tk, p) = '{_KWIC_WORD}')))"
+    )
     hits = d.select(
         "doc_id",
         "toks",
         F.size("toks").alias("n"),
-        F.explode(
-            F.filter(
-                F.sequence(F.lit(1), F.size("toks")),
-                lambda p: F.element_at("toks", p) == _KWIC_WORD,
-            )
-        ).alias("pos"),
+        F.explode(F.expr(pos_arr)).alias("pos"),
     )
     start = F.greatest(F.lit(1), F.col("pos") - _KWIC_WIN)
     end = F.least(F.col("n"), F.col("pos") + _KWIC_WIN)
