@@ -57,3 +57,62 @@ def test_missing_column_select_fails_cleanly(spark, tmp_path):
     spark.createDataFrame([(1,)], ["id"]).write.parquet(p)
     with pytest.raises(AnalysisException):
         spark.read.parquet(p).select(F.col("nope")).collect()
+
+
+def test_text_queries_on_pathological_documents(spark, tmp_path):
+    """Registry text/dedup queries vs their DuckDB oracles on a
+    synthetic documents table full of edge cases the generated testdata
+    never contains: empty text, whitespace-only, single token, one
+    token repeated, unicode, and a doc that is pure boilerplate. Both
+    engines must agree on rowcount AND values — the same contract the
+    driver gate enforces, but on adversarial inputs."""
+    import duckdb
+    import pandas as pd
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+
+    texts = [
+        (0, "", "en", "src0"),
+        (1, "   ", "en", "src0"),
+        (2, "solo", "en", "src1"),
+        (3, "dup dup dup dup dup dup", "en", "src1"),
+        (4, "Ünïcode tökens mit Umläuten größer", "de", "src2"),
+        (5, "a b", "en", "src2"),  # below 3-gram threshold
+        (6, "the quick brown fox jumps over the lazy dog", "en", "src3"),
+        (7, "the quick brown fox jumps over the lazy dog", "en", "src4"),
+        (8, "quick brown fox jumps over the lazy", "en", "src4"),
+    ]
+    pdf = pd.DataFrame(texts, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf = pdf[["doc_id", "text", "lang", "source", "n_chars"]]
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    reg = registry()
+    names = [
+        "dedup_shingle_containment",
+        "dedup_fingerprint",
+        "text_chunk_documents",
+        "text_shingles_3gram",
+        "text_bigram_logprob",
+        "corpus_dedup_rate_by_source",
+        "text_boilerplate_fraction",
+    ]
+    for name in names:
+        qd = reg[name]
+        got = qd.spark(spark, str(tmp_path)).toPandas()
+        want = con.execute(qd.oracle).fetchdf()
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+        gs = got[sorted(got.columns)].copy()
+        ws = want[sorted(want.columns)].copy()
+        for c in gs.columns:
+            gs[c] = gs[c].astype(str)
+            ws[c] = ws[c].astype(str)
+        gs = gs.sort_values(list(gs.columns)).reset_index(drop=True)
+        ws = ws.sort_values(list(ws.columns)).reset_index(drop=True)
+        assert gs.equals(ws), f"{name}: value mismatch\n{gs}\n{ws}"
