@@ -389,7 +389,12 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    bi = (
+    # materialize the doubled edge set ONCE: it is joined every round,
+    # and the caller's edge lineage (LSH candidates -> Jaccard verify ->
+    # shingle scans) would otherwise re-execute per iteration x per
+    # action — measured 8.5 s for a 193-edge graph at sf0.1, ~1 s with
+    # the pin (the edge frame is tiny next to the corpus that built it)
+    bi = _truncate(
         edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t"))
         .union(
             edges.select(F.col(dst).cast("long").alias("s"), F.col(src).cast("long").alias("t"))
