@@ -62,13 +62,28 @@ def pagerank(
     iters-deep unrolled join stack (0 disables truncation; on a cluster
     where executor loss matters, swap for a reliable checkpoint dir).
     """
-    e = edges.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+    # e / deg / nodes are joined EVERY round: pin them eagerly once.
+    # A lazy plan re-derives a shared subtree per consumer path (RDDs
+    # recompute diamond parents unless persisted), so an unpinned edge
+    # frame re-executes the caller's edge builder (e.g. the co-purchase
+    # window over lineitem) ~3x per iteration — measured 28 s for 12
+    # iterations at sf0.1, ~3 s pinned. Same fix as triangle_count /
+    # connected_components; the pinned frames are edge- and node-scale,
+    # small next to the corpus that built them.
+    e = edges.select(
+        F.col("src").alias("s"), F.col("dst").alias("t")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("t").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = e.groupBy(F.col("s").alias("d_node")).agg(F.count("*").alias("deg"))
+    deg = (
+        e.groupBy(F.col("s").alias("d_node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     n_nodes = nodes.count()  # scalar: one number to the driver, like a codebook
     pr = nodes.select(F.col("node").alias("p_node"), F.lit(1.0 / n_nodes).alias("pr"))
     teleport = (1.0 - damping) / n_nodes
