@@ -116,3 +116,62 @@ def test_text_queries_on_pathological_documents(spark, tmp_path):
         gs = gs.sort_values(list(gs.columns)).reset_index(drop=True)
         ws = ws.sort_values(list(ws.columns)).reset_index(drop=True)
         assert gs.equals(ws), f"{name}: value mismatch\n{gs}\n{ws}"
+
+
+def test_event_queries_deterministic_under_timestamp_ties(spark, tmp_path):
+    """Window/session/sequence queries vs their oracles on an events
+    table with 6-way TIMESTAMP TIES per minute and duplicated values:
+    every rank/lag/sessionize tie-break must be total (engine-agnostic),
+    or Spark and DuckDB would legally return different rows. The
+    generated testdata has near-unique timestamps, so only this harness
+    exercises the tie paths."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for k in range(30):
+            ts = dt.datetime(2024, 1, 1, 12, k // 6, 0)  # 6-way ties
+            rows.append(
+                (eid, ts, u, ["view", "click", "purchase"][k % 3],
+                 float(k % 5), "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    reg = registry()
+    names = [
+        "events_sessionize",
+        "events_session_window",
+        "window_lag_delta",
+        "events_windowed_agg",
+        "events_repeat_runs",
+        "events_markov_stationary",
+        "events_trigram_paths",
+        "scd2_user_state_history",
+    ]
+    for name in names:
+        qd = reg[name]
+        got = qd.spark(spark, str(tmp_path)).toPandas()
+        want = con.execute(qd.oracle).fetchdf()
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
+        gs = got[sorted(got.columns)].astype(str)
+        ws = want[sorted(want.columns)].astype(str)
+        gs = gs.sort_values(list(gs.columns)).reset_index(drop=True)
+        ws = ws.sort_values(list(ws.columns)).reset_index(drop=True)
+        assert gs.equals(ws), f"{name}: tie-break divergence\n{gs}\n{ws}"
