@@ -2975,9 +2975,9 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =============================================================================
 # PageRank, LONG-RUN variant — 12 synchronous rounds with the rank frame
-# localCheckpoint-ed every 5 rounds: truncated lineage keeps the Catalyst
-# tree bounded (the plan would otherwise unroll 12 join+agg layers deep —
-# fine at 3 iterations, a planner/lineage blow-up at 20+ on a cluster).
+# localCheckpoint-ed EVERY round (GraphX-Pregel cadence; see the operator
+# docstring for the measured 2x): truncated lineage keeps the Catalyst
+# tree bounded, and the per-round stats let AQE broadcast the rank side.
 # Same trading graph and per-round arithmetic as graph_pagerank_purchases;
 # the oracle unrolls the identical 12 rounds, so the hash check proves
 # checkpoint truncation does not perturb the values.
@@ -2987,7 +2987,7 @@ def graph_pagerank_iters12(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_and_media_data_ingestion_spark.operators.graph import pagerank
 
     edges = _trading_edges(spark, sf_dir, bidirectional=True)
-    pr = pagerank(edges, iters=12, damping=_PR_D, checkpoint_every=5)
+    pr = pagerank(edges, iters=12, damping=_PR_D)
     return _pr_top20(pr)
 
 
