@@ -104,9 +104,37 @@ HEADLINE = [
 ]
 
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+ANCHOR_PATH = os.path.join(_HERE, "BENCH_ANCHOR.json")
+
+
+def _load_anchor(sf_val) -> dict[str, float]:
+    """Committed quiet-machine per-query bests (BENCH_ANCHOR.json) for
+    fixed-point comparison — only meaningful at the anchor's own sf."""
+    try:
+        with open(ANCHOR_PATH) as fh:
+            anchor = json.load(fh)
+        if anchor.get("sf") == sf_val:
+            return dict(anchor.get("queries", {}))
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+def _steady_spread(rs: list[float]) -> float:
+    """(max-min)/min over the 3 FASTEST runs: the steady-state spread.
+    Rescue re-runs keep the polluted samples in `runs` for transparency,
+    so spread over *all* runs would stay pinned at the pollution level
+    forever; spread over the best 3 answers the question the artifact
+    exists for — is the *plan* stable once the machine settles?"""
+    best3 = sorted(rs)[:3]
+    return round((max(best3) - min(best3)) / min(best3), 3) if min(best3) > 0 else 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    write_anchor = "--write-anchor" in sys.argv
     spark = get_spark(app_name="bench")
     reg = registry()
 
@@ -133,12 +161,37 @@ def main() -> None:
         times[name] = min(rs)
         print(f"# {name}: {n} rows in {times[name]}s (runs: {rs})", file=sys.stderr)
 
-    total = round(sum(times.values()), 3)
-    spread = {
-        name: round((max(rs) - min(rs)) / min(rs), 3) if min(rs) > 0 else 0.0
-        for name, rs in runs.items()
-    }
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    anchor = _load_anchor(sf_val)
+
+    # Pollution detector (round-5 verdict item 2): a shared machine can
+    # hand a query 3 slow runs in a row (r5 recorded 36.0/13.0/9.3 s for
+    # a query that runs ~3 s quiet) and the artifact then masquerades as
+    # a plan regression. A query is SUSPECT if its steady spread is
+    # > 1.0 or its best is >= 2x the committed anchor best; suspects get
+    # up to two rescue passes (2 extra runs each) after a settle pause.
+    reruns: dict[str, int] = {}
+    for _attempt in range(2):
+        suspects = [
+            name
+            for name in HEADLINE
+            if _steady_spread(runs[name]) > 1.0
+            or (name in anchor and times[name] >= 2.0 * anchor[name])
+        ]
+        if not suspects:
+            break
+        print(f"# pollution suspects, re-running: {suspects}", file=sys.stderr)
+        time.sleep(10)  # let the ambient load settle
+        for name in suspects:
+            for _ in range(2):
+                t0 = time.time()
+                reg[name].spark(spark, sf_dir).count()
+                runs[name].append(round(time.time() - t0, 3))
+            reruns[name] = reruns.get(name, 0) + 2
+            times[name] = min(runs[name])
+
+    total = round(sum(times.values()), 3)
+    spread = {name: _steady_spread(rs) for name, rs in runs.items()}
     # Full self-diagnosing payload → file + stderr (NOT stdout: the
     # driver's stdout tail buffer is bounded; see module docstring).
     full = {
@@ -148,12 +201,46 @@ def main() -> None:
         "queries": times,
         "runs": runs,
         "rel_spread": spread,
+        "reruns": reruns,
         "sf": sf_val,
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    if anchor:
+        full["vs_anchor"] = {
+            name: round(times[name] / anchor[name], 3)
+            for name in HEADLINE
+            if name in anchor and anchor[name] > 0
+        }
+        anchored_total = sum(anchor[n] for n in HEADLINE if n in anchor)
+        if anchored_total:
+            full["vs_anchor_total"] = round(
+                sum(times[n] for n in HEADLINE if n in anchor) / anchored_total, 3
+            )
+    full_path = os.path.join(_HERE, "BENCH_FULL.json")
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(full), file=sys.stderr)
+    if write_anchor:
+        # Pin THIS run's bests as the fixed comparison anchor (run it on
+        # a quiet machine): round-over-round deltas then read against a
+        # committed fixed point instead of last round's weather.
+        fingerprint = {"cpus": os.cpu_count()}
+        try:
+            fingerprint["load_1m"] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
+        with open(ANCHOR_PATH, "w") as fh:
+            json.dump(
+                {
+                    "queries": times,
+                    "sf": sf_val,
+                    "machine": fingerprint,
+                    "note": "quiet-machine per-query bests; bench.py emits "
+                    "vs_anchor ratios against this fixed point",
+                },
+                fh,
+                indent=1,
+            )
+        print(f"# anchor written: {ANCHOR_PATH}", file=sys.stderr)
     # Compact final stdout line: best-only per query, 3 dp.
     print(
         json.dumps(

@@ -138,8 +138,20 @@ def _shingle_array(text_col: str, n: int):
 # operation; the cross-engine DuckDB oracles pin the equivalence.
 
 
+def _quote_ident(col: str) -> str:
+    """Backtick-quote a column NAME for interpolation into a SQL string
+    (backticks inside the name escape by doubling, per Spark's parser).
+    These helpers accept simple column identifiers only — not
+    expressions — so quoting is always correct and makes names with
+    spaces/hyphens/reserved words parse the same way F.col() would."""
+    return "`" + col.replace("`", "``") + "`"
+
+
 def _sql_tokens(text_col: str) -> str:
-    return f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t != '')"
+    return (
+        "filter(split(lower(trim("
+        f"{_quote_ident(text_col)})), '\\\\s+'), t -> t != '')"
+    )
 
 
 def _sql_shingles(text_col: str, n: int) -> str:
@@ -508,13 +520,39 @@ def neardup_probe(
     )
 
 
+def _pruned_postings(sh: DataFrame, max_df: int) -> DataFrame:
+    """(shingle, ids) posting lists for shingles with document
+    frequency <= max_df — document frequency computed FIRST as a count
+    aggregate (constant-size buffer, map-side combinable), hot shingles
+    dropped via left_semi BEFORE any list is collected. A collect_list
+    that is only filtered afterwards would still buffer the hottest
+    shingle's full unbounded id list in one aggregation buffer —
+    exactly the executor-OOM case the guard exists to prevent; after
+    the semi-join every buffered list is <= max_df by construction.
+    Both the semi-join and the groupBy hash on `shingle`, so Catalyst
+    reuses one exchange of `sh` and the collect_list shuffles nothing
+    new. Kept un-pinned so tests can assert the plan shape
+    (collect_list strictly above the LeftSemi)."""
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return (
+        sh.join(keep, "shingle", "left_semi")
+        .groupBy("shingle")
+        .agg(F.collect_list("id").alias("ids"))
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = 256,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, containment_ab, containment_ba, jaccard) for pairs
     whose MAX directional containment >= threshold.
@@ -534,13 +572,18 @@ def containment_pairs(
     frequency > max_df are dropped BEFORE candidate generation — from
     the index AND from the size denominators, so containment is
     measured over the rare-shingle universe (rare shingles carry the
-    containment signal; ubiquitous ones carry none).
+    containment signal; ubiquitous ones carry none). The default is
+    None — EXACT semantics; dropping shingles changes numerators and
+    denominators, so the cap is an explicit opt-in at scale-exposed
+    call sites (the registry query passes max_df=256).
 
     With the guard on, candidates come from MATERIALIZED POSTING LISTS
-    instead of an index self-join: one shuffle groups (id, shingle) by
-    shingle into an ids list, the df filter is a free `size(ids)`
-    predicate on that list (bounded by max_df, so per-row memory is
-    capped), and the i<j pair explosion replaces the self-join's second
+    instead of an index self-join: document frequency is computed first
+    as a COUNT aggregate (constant-size buffers), hot shingles are
+    dropped with a left_semi join, and only the surviving shingles are
+    collect_list'ed — so every buffered posting list is <= max_df
+    elements by construction and no unbounded list ever materializes.
+    The i<j pair explosion replaces the self-join's second
     shuffle-plus-probe of the full index. The pruned index is
     localCheckpoint-pinned because both the pair generator and the size
     denominators read it. `max_df=None` keeps the join formulation
@@ -548,12 +591,7 @@ def containment_pairs(
     on trusted-small corpora only."""
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
-        postings = (
-            sh.groupBy("shingle")
-            .agg(F.collect_list("id").alias("ids"))
-            .filter(F.size("ids") <= max_df)
-            .localCheckpoint(eager=True)
-        )
+        postings = _pruned_postings(sh, max_df).localCheckpoint(eager=True)
         sh = postings.select(F.explode("ids").alias("id"), "shingle")
         # i<j combinations generated inside ONE whole-stage-codegen
         # expression over the SORTED list (so id_a < id_b holds by

@@ -30,6 +30,7 @@ def pagerank(
     round_dp: int = 10,
     checkpoint_every: int = 1,
     redistribute_dangling: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, pr) after `iters` synchronous PageRank rounds from a
     uniform start: pr = (1-d)/N + d * (sum_in(pr_src / outdeg_src) + D)
@@ -59,14 +60,28 @@ def pagerank(
     Lineage: every `checkpoint_every` rounds the rank frame (N rows —
     small next to the edges) is localCheckpoint-ed, truncating the plan
     so 20+-iteration runs keep a bounded Catalyst tree instead of an
-    iters-deep unrolled join stack (0 disables truncation; on a cluster
-    where executor loss matters, swap for a reliable checkpoint dir).
-    The default is EVERY round — the GraphX-Pregel cadence: the rank
-    frame must shuffle each round anyway, the pin costs one comparable
-    write, and the materialized stats let AQE broadcast the rank side
-    of the contribution join (measured 2x: 16.6 s -> 8.7 s for 12
-    rounds at sf0.1 vs checkpointing every 5).
+    iters-deep unrolled join stack (0 disables truncation). The default
+    is EVERY round — the GraphX-Pregel cadence: the rank frame must
+    shuffle each round anyway, the pin costs one comparable write, and
+    the materialized stats let AQE broadcast the rank side of the
+    contribution join (measured 2x: 16.6 s -> 8.7 s for 12 rounds at
+    sf0.1 vs checkpointing every 5).
+
+    Checkpointing medium (same contract as connected_components):
+    by default pins use localCheckpoint — executor-stored blocks with
+    NO lineage, so on a cluster one executor loss mid-run fails the job
+    unrecoverably. Pass checkpoint_dir (an HDFS/object-store path) to
+    use reliable `DataFrame.checkpoint` for every pin instead, which
+    survives executor death at the cost of a FS round-trip per pin.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # e / deg / nodes are joined EVERY round: pin them eagerly once.
     # A lazy plan re-derives a shared subtree per consumer path (RDDs
     # recompute diamond parents unless persisted), so an unpinned edge
@@ -75,19 +90,14 @@ def pagerank(
     # iterations at sf0.1, ~3 s pinned. Same fix as triangle_count /
     # connected_components; the pinned frames are edge- and node-scale,
     # small next to the corpus that built them.
-    e = edges.select(
-        F.col("src").alias("s"), F.col("dst").alias("t")
-    ).localCheckpoint(eager=True)
-    nodes = (
+    e = _pin(edges.select(F.col("src").alias("s"), F.col("dst").alias("t")))
+    nodes = _pin(
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("t").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    deg = (
-        e.groupBy(F.col("s").alias("d_node"))
-        .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=True)
+    deg = _pin(
+        e.groupBy(F.col("s").alias("d_node")).agg(F.count("*").alias("deg"))
     )
     n_nodes = nodes.count()  # scalar: one number to the driver, like a codebook
     pr = nodes.select(F.col("node").alias("p_node"), F.lit(1.0 / n_nodes).alias("pr"))
@@ -119,7 +129,7 @@ def pagerank(
             F.round(F.lit(teleport) + F.lit(damping) * gain, round_dp).alias("pr"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            pr = pr.localCheckpoint()
+            pr = _pin(pr)
     return pr.select(F.col("p_node").alias("node"), "pr")
 
 

@@ -1883,7 +1883,80 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
-    # ================= round-5 head =================
+    # ================= round-6 head =================
+    # The planned backlog-exhausting rotation (round-5 verdict item 1,
+    # RESULTS.md "Round-6 head-rotation note"): 14 re-proofs for queries
+    # whose code changed in r5/r6 after their last driver row, then the
+    # 36 never-driver-sampled registry queries (tools/next_head.py) in
+    # registry order. After this round every registry query has a driver
+    # row (cumulative 249/249) and every changed query's evidence
+    # postdates its change. One substitution vs the written note:
+    # dedup_canonical_selection (already re-proved by its r05 row, which
+    # postdates all r5 changes) is replaced by dedup_shingle_containment
+    # (its df-guard was REWRITTEN in round 6, so its r05 row is stale).
+    # graph_pagerank_dangling also shares the r6-touched pagerank file
+    # (additive checkpoint_dir param, default path unchanged) but has an
+    # r05 row and no head slot left; it stays covered by the full local
+    # gate. Everything displaced stays covered by the local full gate
+    # (tools/verify_local.py runs all 249 with the identical oracle
+    # mechanism).
+    # -- re-proofs: code changed in r5/r6 after last driver row
+    "ml_naive_bayes_source",  # r6: integer-lp scoring + min_by argmax
+    "dedup_shingle_containment",  # r6: df-count-before-collect guard
+    "graph_pagerank_purchases",  # r5 eager pins + r6 checkpoint_dir
+    "graph_triangle_suppliers",  # r5 eager edge pin
+    "corpus_full_curation",  # r5 CC edge pin
+    "dedup_near_dup_clusters",  # r5 CC edge pin
+    "dedup_minhash_lsh_pairs",  # r5 let-bound shingle pipeline
+    "dedup_ngram_jaccard",  # r5 let-bound shingle pipeline
+    "emb_quantize_int8",  # r5 quantize rewrite
+    "sim_int8_topk",  # r5 int8 norm rewrite
+    "sim_cosine_topk",  # r5 cosine rewrite
+    "er_blocked_name_linkage",  # r5 F.get ANSI fix
+    "corpus_mixture_weights",  # r5 exact integer div
+    "supplier_revenue_gini",  # r5 DECIMAL accumulation
+    # -- the 36 never-sampled backlog, registry order (exhausts it)
+    "agg_approx_stats",
+    "agg_percentiles",
+    "agg_corr_stats",
+    "agg_collect_sorted",
+    "window_running_revenue",
+    "window_lag_delta",
+    "window_dense_rank_parts",
+    "explode_token_topk",
+    "text_shingles_3gram",
+    "scalar_levenshtein",
+    "scalar_date_arithmetic",
+    "array_set_ops",
+    "events_daily_active",
+    "sql_passthrough_agg",
+    "events_value_histogram",
+    "window_percentile_standing",
+    "agg_mode_event_type",
+    "unpivot_price_components",
+    "text_boilerplate_fraction",
+    "events_audience_overlap",
+    "docs_topk_per_source",
+    "events_percent_change_daily",
+    "agg_bitwise_masks",
+    "events_hour_profile",
+    "customer_segment_mix",
+    "orders_size_distribution",
+    "lineitem_ship_latency",
+    "agg_filtered_counts",
+    "part_name_parse",
+    "customer_balance_outliers",
+    "orders_cohort_ltv",
+    "events_repeat_runs",
+    "supplier_part_coverage",
+    "orders_daily_trend",
+    "events_chi2_type_weekday",
+    "text_kwic_contexts",
+]
+
+_ROUND5_HEAD = [
+    # round-5 head, kept for the rotation ledger (these 50 all went
+    # driver-green in CORRECTNESS_r05.json)
     # Policy (round-4 verdict item 2): registry growth is FROZEN; the
     # head leads with the two queries whose code (and for containment,
     # oracle) changed this round, then 48 queries the driver has NEVER

@@ -348,11 +348,18 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =============================================================================
 # Distributed ML — multinomial Naive Bayes with Laplace smoothing:
-# TRAIN on even doc_id blocks (doc_id//20 parity, so every class lands in both splits) (training = ONE hash-agg over (class, token) —
-# the template for every count-based model at 100 TB), SCORE the odd blocks, report per-class accuracy. Cross-engine determinism of the
-# log-likelihood sum: each per-token lp is rounded to 6 dp, then the
-# per-(doc, class) sum left-folds the SORTED lp list — both engines add
-# the identical operand sequence, so the argmax input is bit-identical.
+# TRAIN on even doc_id blocks (doc_id//20 parity, so every class lands
+# in both splits) (training = ONE hash-agg over (class, token) — the
+# template for every count-based model at 100 TB), SCORE the odd
+# blocks, report per-class accuracy. Cross-engine determinism of the
+# log-likelihood sum: each per-token lp is quantized ONCE to a scaled
+# integer floor(ln(p)*1e6 + 0.5) and summed as BIGINTs — integer
+# addition is associative/commutative, so the argmax input is
+# bit-identical across engines REGARDLESS of summation order, with no
+# sorted-fold (the previous spelling collect_list'ed + array_sort'ed
+# doubles per (doc, class) purely to pin float addition order — a
+# corpus-scale list shuffle replaced here by an 8-byte partial-
+# combinable sum).
 # =============================================================================
 _NB_TOKS = (
     r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
@@ -374,28 +381,40 @@ _NB_TOKS = (
     model AS (
       SELECT source, token, count(*)::BIGINT AS cnt FROM tr_tok GROUP BY 1, 2
     ),
-    totals AS (SELECT source, count(*)::BIGINT AS tot FROM tr_tok GROUP BY 1),
-    vocab AS (SELECT count(DISTINCT token)::BIGINT AS v FROM tr_tok),
+    totals AS (SELECT source, sum(cnt)::BIGINT AS tot FROM model GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT token)::BIGINT AS v FROM model),
     ndocs AS (SELECT count(*)::BIGINT AS n FROM train),
     priors AS (SELECT source, count(*)::BIGINT AS nd FROM train GROUP BY 1),
     classes AS (
       SELECT t.source, t.tot, v.v,
-             floor(ln(p.nd / n.n::DOUBLE) * 1000000 + 0.5) / 1000000
-               AS lp_prior
+             floor(ln(p.nd / n.n::DOUBLE) * 1000000 + 0.5)::BIGINT AS lpp_i,
+             floor(ln(1.0 / (t.tot + v.v)::DOUBLE) * 1000000 + 0.5)::BIGINT
+               AS lpd_i
       FROM totals t JOIN priors p USING (source), vocab v, ndocs n
     ),
-    tt AS (SELECT doc_id, actual, unnest(toks) AS token FROM test),
-    lps AS (
-      SELECT tt.doc_id, tt.actual, c.source, c.lp_prior,
-             floor(ln((coalesce(m.cnt, 0) + 1) / (c.tot + c.v)::DOUBLE)
-                   * 1000000 + 0.5) / 1000000 AS lp
-      FROM tt CROSS JOIN classes c
-      LEFT JOIN model m ON m.source = c.source AND m.token = tt.token
+    model_lp AS (
+      SELECT m.source, m.token,
+             floor(ln((m.cnt + 1) / (c.tot + c.v)::DOUBLE)
+                   * 1000000 + 0.5)::BIGINT AS lp_i
+      FROM model m JOIN classes c USING (source)
+    ),
+    tt AS (SELECT doc_id, unnest(toks) AS token FROM test),
+    seen AS (
+      SELECT tt.doc_id, ml.source,
+             sum(ml.lp_i)::BIGINT AS s_seen, count(*)::BIGINT AS n_seen
+      FROM tt JOIN model_lp ml USING (token) GROUP BY 1, 2
+    ),
+    doc_toks AS (
+      SELECT doc_id, actual, len(toks)::BIGINT AS n_toks
+      FROM test WHERE len(toks) > 0
     ),
     scores AS (
-      SELECT doc_id, actual, source,
-             list_reduce(list_sort(list(lp)), (a, b) -> a + b) + lp_prior AS s
-      FROM lps GROUP BY doc_id, actual, source, lp_prior
+      SELECT d.doc_id, d.actual, c.source,
+             coalesce(s.s_seen, 0)
+               + (d.n_toks - coalesce(s.n_seen, 0)) * c.lpd_i
+               + c.lpp_i AS s
+      FROM doc_toks d CROSS JOIN classes c
+      LEFT JOIN seen s ON s.doc_id = d.doc_id AND s.source = c.source
     ),
     pred AS (
       SELECT doc_id, actual, source AS predicted,
@@ -420,11 +439,27 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "actual"
     )
     tr_tok = train.select("source", F.explode("toks").alias("token"))
-    model = tr_tok.groupBy("source", "token").agg(F.count("*").alias("cnt"))
-    totals = tr_tok.groupBy("source").agg(F.count("*").alias("tot"))
-    vocab = tr_tok.select("token").distinct().agg(F.count("*").alias("v"))
+    # Tokenize the TRAIN corpus exactly once: the (class, token) count
+    # frame is pinned (|classes| x |vocab| rows — bounded by the
+    # vocabulary, never by the corpus), and totals/vocab are derived
+    # from it by exact integer re-aggregation instead of each running
+    # their own scan+tokenize+explode pass over the documents (3
+    # corpus passes -> 1; priors/ndocs never tokenize at all — column
+    # pruning drops `toks` since they only read doc_id/source).
+    model = (
+        tr_tok.groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    totals = model.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    vocab = model.select("token").distinct().agg(F.count("*").alias("v"))
     ndocs = train.agg(F.count("*").alias("n"))
     priors = train.groupBy("source").agg(F.count("*").alias("nd"))
+    def _lpi(ratio):
+        # floor(ln(p) * 1e6 + 0.5) as BIGINT — ONE quantization of each
+        # log-probability; all downstream arithmetic is exact integers
+        return F.floor(F.log(ratio) * 1000000 + F.lit(0.5)).cast("long")
+
     classes = (
         totals.join(priors, "source")
         .crossJoin(F.broadcast(vocab))
@@ -433,9 +468,10 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "tot",
             "v",
-            _r(F.log(F.col("nd") / F.col("n").cast("double")), 6).alias(
-                "lp_prior"
-            ),
+            _lpi(F.col("nd") / F.col("n").cast("double")).alias("lpp_i"),
+            _lpi(
+                F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("lpd_i"),
         )
     )
     # Scoring WITHOUT the |classes|x token-stream expansion: the exploded
@@ -443,40 +479,31 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (token, class) row exists only where the class actually saw the
     # token — shuffled volume is |token-class hits|, not
     # |tokens| x |classes|. Tokens a class never saw all contribute the
-    # SAME per-class constant lp_default = round6(ln(1/(tot+v))); the
-    # per-(doc, class) score is rebuilt by appending
-    # n_unseen = n_toks(doc) - n_seen copies of lp_default to the seen
-    # lps BEFORE the sorted left-fold, so the operand sequence — and
-    # therefore every bit of the argmax input — is identical to the
-    # dense oracle formulation. The dense frame that remains is only
-    # |test docs| x |classes| (the correction grid), never token-scaled.
+    # SAME per-class integer constant lpd_i = floor(ln(1/(tot+v))*1e6
+    # + 0.5); the per-(doc, class) score is s_seen + n_unseen * lpd_i +
+    # lpp_i — exact BIGINT arithmetic, so the rebuild equals the dense
+    # formulation identically with NO per-pair list/sort machinery (the
+    # `seen` shuffle carries two longs per (doc, class), not an lp
+    # array). The dense frame that remains is only |test docs| x
+    # |classes| (the correction grid), never token-scaled.
     model_lp = (
         model.join(F.broadcast(classes.select("source", "tot", "v")), "source")
         .select(
             "source",
             "token",
-            _r(
-                F.log(
-                    (F.col("cnt") + 1)
-                    / (F.col("tot") + F.col("v")).cast("double")
-                ),
-                6,
-            ).alias("lp"),
+            _lpi(
+                (F.col("cnt") + 1)
+                / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("lp_i"),
         )
     )
-    classes_full = classes.select(
-        "source",
-        "lp_prior",
-        _r(
-            F.log(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")), 6
-        ).alias("lp_default"),
-    )
-    tt = test.select("doc_id", "actual", F.explode("toks").alias("token"))
+    classes_full = classes.select("source", "lpp_i", "lpd_i")
+    tt = test.select("doc_id", F.explode("toks").alias("token"))
     seen = (
         tt.join(F.broadcast(model_lp), "token")
         .groupBy("doc_id", "source")
         .agg(
-            F.collect_list("lp").alias("seen_lps"),
+            F.sum("lp_i").alias("s_seen"),
             F.count("*").alias("n_seen"),
         )
     )
@@ -495,36 +522,31 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "actual",
             "source",
-            "lp_prior",
             (
-                F.aggregate(
-                    F.array_sort(
-                        F.concat(
-                            F.coalesce(
-                                F.col("seen_lps"),
-                                F.array().cast("array<double>"),
-                            ),
-                            F.array_repeat(
-                                F.col("lp_default"),
-                                (
-                                    F.col("n_toks")
-                                    - F.coalesce(F.col("n_seen"), F.lit(0))
-                                ).cast("int"),
-                            ),
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                + F.col("lp_prior")
+                F.coalesce(F.col("s_seen"), F.lit(0))
+                + (F.col("n_toks") - F.coalesce(F.col("n_seen"), F.lit(0)))
+                * F.col("lpd_i")
+                + F.col("lpp_i")
             ).alias("s"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("source"))
-    pred = (
-        scores.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .withColumnRenamed("source", "predicted")
+    # Argmax as ONE partial-combinable aggregate (min_by over the
+    # (-s, source) struct key == the oracle's row_number() ORDER BY
+    # s DESC, source ASC pick): the row_number window spelling cost a
+    # full sort-shuffle of the |docs| x |classes| grid; min_by combines
+    # map-side so the exchange carries one row per (partition, doc).
+    # s is a BIGINT sum of scaled log-probabilities, so negation and
+    # comparison are exact.
+    pred = scores.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(
+                F.col("source").alias("predicted"), F.col("actual")
+            ),
+            F.struct((-F.col("s")).alias("ns"), F.col("source")),
+        ).alias("m")
+    ).select(
+        F.col("m.predicted").alias("predicted"),
+        F.col("m.actual").alias("actual"),
     )
     correct = F.sum(
         F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0)

@@ -301,3 +301,70 @@ def test_stickiness_broadcast_wau(spark):
     plan = _plan(spark, "events_stickiness_weekly")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_naive_bayes_argmax_is_partial_combining_agg(spark):
+    """Round-6 rewrite guards: the per-doc argmax is a min_by aggregate
+    with a map-side partial (the row_number window spelling cost a full
+    sort-shuffle of the |docs| x |classes| grid), and the score is an
+    exact BIGINT sum of scaled log-probs — no collect_list/array_sort
+    machinery anywhere in the plan."""
+    plan = _plan(spark, "ml_naive_bayes_source")
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+    assert "collect_list" not in plan
+    assert "array_sort" not in plan
+
+
+def test_containment_posting_lists_df_filtered_before_collect(spark):
+    """The hot-shingle guard must drop df > max_df shingles with a
+    count aggregate + left_semi BEFORE collect_list runs: a list that
+    is only size()-filtered afterwards still buffers the hottest
+    shingle's entire unbounded id list in one aggregation buffer (the
+    executor-OOM vector the guard exists for). Structurally: every
+    collect_list node sits ABOVE the LeftSemi join in the plan."""
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        _pruned_postings,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma tail{i}") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    sh = word_shingles(df, "doc_id", "text", 2)
+    plan = (
+        _pruned_postings(sh, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    collects = [i for i, l in enumerate(lines) if "collect_list" in l]
+    semis = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    assert collects and semis
+    assert max(collects) < min(semis)
+
+
+def test_shingle_helpers_accept_quoted_identifiers(spark):
+    """_sql_tokens/_sql_shingles interpolate the column NAME into a SQL
+    string; names needing quoting (spaces, hyphens) must parse the same
+    way F.col() would (backtick-quoted, round-6 ADVICE fix)."""
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        minhash_signatures,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "w x y z"), (2, "w x y z")], ["id", "doc text"]
+    )
+    got = {
+        (r["id"], r["shingle"])
+        for r in word_shingles(df, "id", "doc text", 2).collect()
+    }
+    assert got == {
+        (i, s) for i in (1, 2) for s in ("w x", "x y", "y z")
+    }
+    sigs = minhash_signatures(df, "id", "doc text", n=2, num_hashes=4).collect()
+    assert len(sigs) == 2
+    assert sigs[0]["sig"] == sigs[1]["sig"]  # identical texts, same sig
