@@ -188,6 +188,15 @@ def _sql_arr(vals) -> str:
     return "array(" + ",".join(_sql_double(float(v)) for v in vals) + ")"
 
 
+def _qident(col: str) -> str:
+    """Backtick-quote a column NAME for interpolation into a SQL-string
+    expression (internal backticks escape by doubling) — so vector
+    columns named with spaces/hyphens/reserved words parse the same way
+    F.col() would. Applied at the boundaries where a caller-supplied
+    column NAME (never an expression) enters the compilers."""
+    return "`" + col.replace("`", "``") + "`"
+
+
 def _sql_dot(a: str, b: str) -> str:
     """SQL twin of _dot: both operands cast to DOUBLE inside zip_with."""
     return (
@@ -238,7 +247,7 @@ def pq_encode(
     sub = len(books[0][0])
     codes = []
     for m in range(m_subvectors):
-        sl = f"slice({vec_col}, {m * sub + 1}, {sub})"
+        sl = f"slice({_qident(vec_col)}, {m * sub + 1}, {sub})"
         entries = ",".join(
             f"named_struct('d', {_sql_sub_l2(sl, books[m][k])}, 'cid', {k})"
             for k in range(n_codes)
@@ -383,11 +392,10 @@ def _centroid_sim_structs(vec_col: str, cents: list[tuple[int, list[float]]]):
     SQL expression (see the compiler note above): k*dim literals through
     the Column DSL cost ~0.9 s of driver build time per query."""
     entries = []
+    vq = _qident(vec_col)
     for cid, cv in cents:
         arr = _sql_arr(cv)
-        cs = (
-            f"{_sql_dot(vec_col, arr)} / ({_sql_norm(vec_col)} * {_sql_norm(arr)})"
-        )
+        cs = f"{_sql_dot(vq, arr)} / ({_sql_norm(vq)} * {_sql_norm(arr)})"
         entries.append(f"named_struct('cs', {cs}, 'neg_cid', {-int(cid)})")
     return F.expr("array(" + ",".join(entries) + ")")
 

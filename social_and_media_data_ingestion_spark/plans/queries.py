@@ -1890,10 +1890,17 @@ PRIORITY_HEAD = [
     # 36 never-driver-sampled registry queries (tools/next_head.py) in
     # registry order. After this round every registry query has a driver
     # row (cumulative 249/249) and every changed query's evidence
-    # postdates its change. One substitution vs the written note:
+    # postdates its change. Two substitutions vs the written note, both
+    # trading an already-evidenced re-proof for a query changed in r6:
     # dedup_canonical_selection (already re-proved by its r05 row, which
     # postdates all r5 changes) is replaced by dedup_shingle_containment
-    # (its df-guard was REWRITTEN in round 6, so its r05 row is stale).
+    # (its df-guard was REWRITTEN in round 6, so its r05 row is stale);
+    # corpus_full_curation (its r5 change — the CC edge pin — already
+    # carries post-change driver evidence through canonical_selection's
+    # r05 row, and each of its pipeline stages has its own row) yields
+    # to scd2_user_state_history, whose tie-break SEMANTICS changed in
+    # round 6 (spell window now orders by (ts, event_id); oracle
+    # mirrored — see tests/test_robustness.py timestamp-tie harness).
     # graph_pagerank_dangling also shares the r6-touched pagerank file
     # (additive checkpoint_dir param, default path unchanged) but has an
     # r05 row and no head slot left; it stays covered by the full local
@@ -1905,7 +1912,7 @@ PRIORITY_HEAD = [
     "dedup_shingle_containment",  # r6: df-count-before-collect guard
     "graph_pagerank_purchases",  # r5 eager pins + r6 checkpoint_dir
     "graph_triangle_suppliers",  # r5 eager edge pin
-    "corpus_full_curation",  # r5 CC edge pin
+    "scd2_user_state_history",  # r6 tie-break fix (ts, event_id)
     "dedup_near_dup_clusters",  # r5 CC edge pin
     "dedup_minhash_lsh_pairs",  # r5 let-bound shingle pipeline
     "dedup_ngram_jaccard",  # r5 let-bound shingle pipeline

@@ -665,21 +665,21 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_user_state_history",
     """
     WITH log AS (
-      SELECT user_id, ts, event_type AS state,
+      SELECT user_id, ts, event_id, event_type AS state,
              lag(event_type) OVER w AS prev_state
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     changes AS (
-      SELECT user_id, ts, state FROM log
+      SELECT user_id, ts, event_id, state FROM log
       WHERE prev_state IS NULL OR state <> prev_state
     )
     SELECT user_id, state,
            ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
-             AS is_current
+           lead(ts) OVER w2 AS valid_to,
+           (lead(ts) OVER w2 IS NULL) AS is_current
     FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,13 +690,17 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.col("event_type").alias("state"),
         F.lag("event_type").over(w).alias("prev_state"),
     )
     changes = log.filter(
         F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) — ts ALONE leaves spell order (and therefore
+    # valid_to/is_current) engine-dependent when two state changes share
+    # a timestamp (caught by the timestamp-tie robustness harness)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         "state",
