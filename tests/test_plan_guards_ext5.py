@@ -368,3 +368,20 @@ def test_shingle_helpers_accept_quoted_identifiers(spark):
     sigs = minhash_signatures(df, "id", "doc text", n=2, num_hashes=4).collect()
     assert len(sigs) == 2
     assert sigs[0]["sig"] == sigs[1]["sig"]  # identical texts, same sig
+
+
+def test_containment_all_shingles_hot_yields_empty_not_error(spark):
+    """Degenerate guard input: when EVERY shingle exceeds max_df (all
+    docs are the same boilerplate), the pruned index is empty and the
+    operator must return an empty frame — not divide by zero on empty
+    size denominators or crash on an empty posting explode."""
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same exact boilerplate line everywhere") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    got = containment_pairs(df, "doc_id", "text", n=3, threshold=0.1, max_df=4)
+    assert got.count() == 0

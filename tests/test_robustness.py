@@ -175,3 +175,65 @@ def test_event_queries_deterministic_under_timestamp_ties(spark, tmp_path):
         gs = gs.sort_values(list(gs.columns)).reset_index(drop=True)
         ws = ws.sort_values(list(ws.columns)).reset_index(drop=True)
         assert gs.equals(ws), f"{name}: tie-break divergence\n{gs}\n{ws}"
+
+
+def test_naive_bayes_integer_scores_tiebreak_deterministic(spark, tmp_path):
+    """Round-6 NB rewrite contract on adversarial inputs: two classes
+    trained on IDENTICAL token streams produce exactly equal BIGINT
+    scores for every test doc (integer arithmetic makes the tie exact,
+    not a float coincidence), so the argmax must fall through to the
+    source-ascending tie-break identically on both engines. Also mixes
+    in: a test doc of entirely-unseen tokens (pure lpd-mass scoring), a
+    whitespace-only test doc (must drop from scoring on both sides),
+    and a third class with a genuinely different distribution."""
+    import duckdb
+    import pandas as pd
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+
+    # (doc_id // 20) % 2 == 0 -> train block; == 1 -> test block
+    rows = []
+    # train: classes a_src and b_src identical; c_src distinct
+    for i, txt in enumerate(["alpha beta gamma", "alpha beta", "gamma gamma"]):
+        rows.append((0 + i, txt, "en", "a_src"))
+        rows.append((5 + i, txt, "en", "b_src"))
+    for i, txt in enumerate(["delta delta epsilon", "delta zeta"]):
+        rows.append((10 + i, txt, "en", "c_src"))
+    # test block (ids 20-39)
+    rows += [
+        (20, "alpha beta gamma", "en", "a_src"),  # tie a/b -> a_src wins
+        (21, "alpha gamma gamma", "en", "b_src"),  # tie a/b -> predicted a_src
+        (22, "delta epsilon", "en", "c_src"),  # clearly c
+        (23, "never seen tokens only", "en", "a_src"),  # all-unseen mass
+        (24, "   ", "en", "b_src"),  # empty after tokenize: dropped
+        (25, "alpha delta", "en", "c_src"),  # mixed evidence
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    qd = registry()["ml_naive_bayes_source"]
+    got = qd.spark(spark, str(tmp_path)).toPandas()
+    want = con.execute(qd.oracle).fetchdf()
+    assert len(got) == len(want)
+    gs = got[sorted(got.columns)].astype(str)
+    ws = want[sorted(want.columns)].astype(str)
+    gs = gs.sort_values(list(gs.columns)).reset_index(drop=True)
+    ws = ws.sort_values(list(ws.columns)).reset_index(drop=True)
+    assert gs.equals(ws), f"engine divergence\n{gs}\n{ws}"
+    # the doc-24 drop: 5 scored test docs across 3 actual classes
+    assert int(got["n_test"].sum()) == 5
+    # tie fell to a_src: doc 20 counts correct for a_src, doc 21 does
+    # NOT count correct for b_src (predicted a_src on equal scores)
+    per = {r["source"]: (r["n_test"], r["n_correct"]) for _, r in got.iterrows()}
+    # doc 20: equal a/b scores -> source-asc tie-break predicts a_src
+    # (correct); doc 23 (all-unseen tokens) goes to c_src — the
+    # smallest (tot+v) class wins pure default-mass scoring
+    assert per["a_src"] == (2, 1)
+    assert per["b_src"][1] == 0  # doc 21 lost to the a_src tie-break
