@@ -529,10 +529,15 @@ def _pruned_postings(sh: DataFrame, max_df: int) -> DataFrame:
     shingle's full unbounded id list in one aggregation buffer —
     exactly the executor-OOM case the guard exists to prevent; after
     the semi-join every buffered list is <= max_df by construction.
-    Both the semi-join and the groupBy hash on `shingle`, so Catalyst
-    reuses one exchange of `sh` and the collect_list shuffles nothing
-    new. Kept un-pinned so tests can assert the plan shape
-    (collect_list strictly above the LeftSemi)."""
+    The price (verified in the AQE final plan): the shingle stream is
+    computed twice — once into the count aggregate (whose exchange
+    carries only partially-aggregated (shingle, count) rows, so it is
+    NOT reusable for the semi probe) and once into the semi-join probe
+    — i.e. one extra columnar scan + one small count shuffle. The
+    collect_list groupBy itself rides the semi output's partitioning.
+    A bounded trade: scans are cheap and column-pruned; an unbounded
+    aggregation buffer is a job-killer. Kept un-pinned so tests can
+    assert the plan shape (collect_list strictly above the LeftSemi)."""
     keep = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
