@@ -241,18 +241,19 @@ def main() -> None:
                 indent=1,
             )
         print(f"# anchor written: {ANCHOR_PATH}", file=sys.stderr)
-    # Compact final stdout line: best-only per query, 3 dp.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in times.items()},
-                "sf": sf_val,
-            }
-        )
-    )
+    # Compact final stdout line: best-only per query, 3 dp. One scalar
+    # anchor ratio only — the per-query ratios live in BENCH_FULL.json
+    # (stdout must stay inside the driver's bounded tail buffer).
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": sf_val,
+    }
+    if "vs_anchor_total" in full:
+        compact["vs_anchor_total"] = full["vs_anchor_total"]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

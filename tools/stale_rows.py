@@ -113,6 +113,12 @@ def _module_files() -> dict[str, list[str]]:
         def deps_of(fname: str, seen: set[str]) -> set[str]:
             files: set[str] = set()
             for r in refs.get(fname, ()):
+                # `q` is the pure registration decorator (defined in
+                # plans/queries.py next to PRIORITY_HEAD): counting it
+                # as a dependency would stale the ENTIRE registry on
+                # every head-rotation edit. It never affects results.
+                if r == "q":
+                    continue
                 if r in mod_imports:
                     files.add(mod_imports[r])
                 elif r in funcs and r not in seen:
