@@ -164,6 +164,20 @@ def test_event_queries_deterministic_under_timestamp_ties(spark, tmp_path):
         "events_markov_stationary",
         "events_trigram_paths",
         "scd2_user_state_history",
+        # round-6 widening after the scd2 tie bug: the remaining
+        # tie-sensitive families (as-of joins, sequences, concurrency,
+        # time-weighted integrals, streaks). A one-off sweep verified
+        # ALL 56 events-only registry queries under this harness; these
+        # representatives keep the families pinned in CI.
+        "j9_asof_view_purchase",
+        "j10_asof_tolerance_1h",
+        "j11_asof_nearest_purchase",
+        "events_transition_matrix",
+        "events_funnel_conversion",
+        "events_max_concurrent",
+        "events_time_weighted_avg",
+        "j5_asof_last_login",
+        "events_cumulative_distinct_users",
     ]
     for name in names:
         qd = reg[name]
