@@ -121,6 +121,19 @@ def _load_anchor(sf_val) -> dict[str, float]:
     return {}
 
 
+def _anchor_machine_matches() -> bool:
+    """True when the committed anchor's machine fingerprint matches this
+    host. On a different machine (e.g. fewer CPUs) the absolute anchor
+    bests are meaningless and the >= 2x-anchor suspect test would flag
+    most queries, triggering pointless settle/rescue rounds (round-6
+    ADVICE item 4) — the spread test alone handles pollution there."""
+    try:
+        with open(ANCHOR_PATH) as fh:
+            return json.load(fh).get("machine", {}).get("cpus") == os.cpu_count()
+    except (OSError, ValueError):
+        return False
+
+
 def _steady_spread(rs: list[float]) -> float:
     """(max-min)/min over the 3 FASTEST runs: the steady-state spread.
     Rescue re-runs keep the polluted samples in `runs` for transparency,
@@ -171,12 +184,17 @@ def main() -> None:
     # > 1.0 or its best is >= 2x the committed anchor best; suspects get
     # up to two rescue passes (2 extra runs each) after a settle pause.
     reruns: dict[str, int] = {}
+    anchor_comparable = _anchor_machine_matches()
     for _attempt in range(2):
         suspects = [
             name
             for name in HEADLINE
             if _steady_spread(runs[name]) > 1.0
-            or (name in anchor and times[name] >= 2.0 * anchor[name])
+            or (
+                anchor_comparable
+                and name in anchor
+                and times[name] >= 2.0 * anchor[name]
+            )
         ]
         if not suspects:
             break

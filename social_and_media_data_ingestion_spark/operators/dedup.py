@@ -390,7 +390,11 @@ def connected_components(
     localCheckpoint block with NO lineage left to recompute it, failing
     the job mid-iteration; pass checkpoint_dir (an HDFS/object-store
     path) to use reliable `DataFrame.checkpoint` instead, which survives
-    executor death.
+    executor death. Passing it sets the SESSION-GLOBAL checkpoint dir
+    (explicit caller intent wins over ambient config); checkpoint files
+    persist after the run unless
+    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (see
+    `pagerank` for the full caveat).
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:

@@ -73,6 +73,15 @@ def pagerank(
     unrecoverably. Pass checkpoint_dir (an HDFS/object-store path) to
     use reliable `DataFrame.checkpoint` for every pin instead, which
     survives executor death at the cost of a FS round-trip per pin.
+    Two operational caveats with reliable checkpoints (they apply to
+    every Spark job, not just this operator): `setCheckpointDir` is
+    SESSION-GLOBAL, so passing `checkpoint_dir` redirects any ambient
+    configuration for the rest of the session (explicit caller intent
+    wins); and Spark does NOT delete checkpoint files when the frame is
+    dereferenced unless
+    `spark.cleaner.referenceTracking.cleanCheckpoints=true` — a
+    20-iteration run otherwise leaves ~20 rank-frame snapshots (N-row
+    scale, small) in the store for the caller/cluster GC to reap.
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)

@@ -1869,251 +1869,6 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Driver-sampling order: the harness checks the FIRST 50 registry entries,
-# so the head of the registry is curated to span every operator class
-# (ingestion, both keyword semantics, all join kinds, the full dedup + ANN
-# stacks incl. recall audits, quantization, multimodal, event/session
-# analytics, text/LLM-pipeline stages, corpus curation, and the hardest
-# TPC-H rewrite). Everything else follows in registration order.
-# The driver samples the FIRST 50 registry entries per round. Rotation
-# policy (round-3 advice): entries whose code changed this round lead (they
-# need fresh driver evidence), the rest are queries the driver has NEVER
-# sampled — so driver-green evidence accumulates across rounds instead of
-# re-proving the same 50. Everything dropped from the head stays covered by
-# the local gate (tools/verify_local.py runs all 167 with the identical
-# oracle mechanism).
-PRIORITY_HEAD = [
-    # ================= round-6 head =================
-    # The planned backlog-exhausting rotation (round-5 verdict item 1,
-    # RESULTS.md "Round-6 head-rotation note"): 14 re-proofs for queries
-    # whose code changed in r5/r6 after their last driver row, then the
-    # 36 never-driver-sampled registry queries (tools/next_head.py) in
-    # registry order. After this round every registry query has a driver
-    # row (cumulative 249/249) and every changed query's evidence
-    # postdates its change. Two substitutions vs the written note, both
-    # trading an already-evidenced re-proof for a query changed in r6:
-    # dedup_canonical_selection (already re-proved by its r05 row, which
-    # postdates all r5 changes) is replaced by dedup_shingle_containment
-    # (its df-guard was REWRITTEN in round 6, so its r05 row is stale);
-    # corpus_full_curation (its r5 change — the CC edge pin — already
-    # carries post-change driver evidence through canonical_selection's
-    # r05 row, and each of its pipeline stages has its own row) yields
-    # to scd2_user_state_history, whose tie-break SEMANTICS changed in
-    # round 6 (spell window now orders by (ts, event_id); oracle
-    # mirrored — see tests/test_robustness.py timestamp-tie harness).
-    # graph_pagerank_dangling also shares the r6-touched pagerank file
-    # (additive checkpoint_dir param, default path unchanged) but has an
-    # r05 row and no head slot left; it stays covered by the full local
-    # gate. Everything displaced stays covered by the local full gate
-    # (tools/verify_local.py runs all 249 with the identical oracle
-    # mechanism).
-    # -- re-proofs: code changed in r5/r6 after last driver row
-    "ml_naive_bayes_source",  # r6: integer-lp scoring + min_by argmax
-    "dedup_shingle_containment",  # r6: df-count-before-collect guard
-    "graph_pagerank_purchases",  # r5 eager pins + r6 checkpoint_dir
-    "graph_triangle_suppliers",  # r5 eager edge pin
-    "scd2_user_state_history",  # r6 tie-break fix (ts, event_id)
-    "dedup_near_dup_clusters",  # r5 CC edge pin
-    "dedup_minhash_lsh_pairs",  # r5 let-bound shingle pipeline
-    "dedup_ngram_jaccard",  # r5 let-bound shingle pipeline
-    "emb_quantize_int8",  # r5 quantize rewrite
-    "sim_int8_topk",  # r5 int8 norm rewrite
-    "sim_cosine_topk",  # r5 cosine rewrite
-    "er_blocked_name_linkage",  # r5 F.get ANSI fix
-    "corpus_mixture_weights",  # r5 exact integer div
-    "supplier_revenue_gini",  # r5 DECIMAL accumulation
-    # -- the 36 never-sampled backlog, registry order (exhausts it)
-    "agg_approx_stats",
-    "agg_percentiles",
-    "agg_corr_stats",
-    "agg_collect_sorted",
-    "window_running_revenue",
-    "window_lag_delta",
-    "window_dense_rank_parts",
-    "explode_token_topk",
-    "text_shingles_3gram",
-    "scalar_levenshtein",
-    "scalar_date_arithmetic",
-    "array_set_ops",
-    "events_daily_active",
-    "sql_passthrough_agg",
-    "events_value_histogram",
-    "window_percentile_standing",
-    "agg_mode_event_type",
-    "unpivot_price_components",
-    "text_boilerplate_fraction",
-    "events_audience_overlap",
-    "docs_topk_per_source",
-    "events_percent_change_daily",
-    "agg_bitwise_masks",
-    "events_hour_profile",
-    "customer_segment_mix",
-    "orders_size_distribution",
-    "lineitem_ship_latency",
-    "agg_filtered_counts",
-    "part_name_parse",
-    "customer_balance_outliers",
-    "orders_cohort_ltv",
-    "events_repeat_runs",
-    "supplier_part_coverage",
-    "orders_daily_trend",
-    "events_chi2_type_weekday",
-    "text_kwic_contexts",
-]
-
-_ROUND5_HEAD = [
-    # round-5 head, kept for the rotation ledger (these 50 all went
-    # driver-green in CORRECTNESS_r05.json)
-    # Policy (round-4 verdict item 2): registry growth is FROZEN; the
-    # head leads with the two queries whose code (and for containment,
-    # oracle) changed this round, then 48 queries the driver has NEVER
-    # sampled (r4 cumulative: 165/249; the 36 left over are listed in
-    # tools/next_head.py and exhaust the backlog next round). Everything
-    # displaced stays covered by the local full gate
-    # (tools/verify_local.py runs all 249 with the identical oracle
-    # mechanism).
-    # -- changed this round: hot-shingle df cap (max_df=256, oracle
-    #    mirrored) — the round-4 verdict's "What's wrong #1"
-    "dedup_shingle_containment",
-    # -- changed family: stateful machinery rewrite (threshold_alerts
-    #    schema now derived from key_col); running_totals shares
-    #    applyInPandasWithState plumbing and its last row predates r4
-    "stream_stateful_running_totals",
-    # -- TPC-H tail: never driver-sampled
-    "q4_order_priority",
-    "q11_important_parts",
-    "q12_priority_by_flag",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_banded_revenue",
-    "q20_excess_shippers",
-    "q22_idle_balances",
-    # -- experimentation family: never driver-sampled
-    "events_conversion_wilson",
-    "orders_cuped_theta",
-    "events_srm_check",
-    "orders_ab_welch_ttest",
-    # -- nonparametric / classical statistics family: never sampled
-    "lineitem_anova_returnflag",
-    "stats_mann_whitney_status",
-    "stats_kruskal_wallis_returnflag",
-    "stats_ks_two_sample",
-    "stats_spearman_qty_price",
-    # -- streaming + graph stragglers: never sampled
-    "stream_dedup_watermark",
-    "graph_pagerank_dangling",
-    # -- as-of join variants (j9 carried the family in r4)
-    "j10_asof_tolerance_1h",
-    "j11_asof_nearest_purchase",
-    # -- bench headliners without driver rows
-    "doc_pack_contexts",
-    "events_time_bucket_rollup",
-    "text_shingle_novelty",
-    # -- never-sampled backlog, diverse operator classes
-    "window_time_range_moving_avg",
-    "skew_salted_type_counts",
-    "j7_full_outer_counts",
-    "j8_cross_join_grid",
-    "sample_hash_mod",
-    "sample_stratified_hash",
-    "sample_fixed_quota_per_source",
-    "dedup_canonical_selection",
-    "corpus_dedup_rate_by_source",
-    "corpus_profile",
-    "text_langid_confusion",
-    "text_type_token_ratio",
-    "text_bigram_logprob",
-    "emb_vector_stats",
-    "emb_hard_negatives",
-    "emb_label_centroid_distances",
-    "emb_dim_variance",
-    "ml_split_leakage_audit",
-    "events_retention_matrix",
-    "events_stickiness_weekly",
-    "supplier_concentration_hhi",
-]
-
-_ROUND4_HEAD = [
-    # round-4 head, kept for the rotation ledger (these 50 all went
-    # driver-green in CORRECTNESS_r04.json)
-    "text_inverted_index",
-    # -- newest additions with no driver evidence yet: late ext3 batch
-    #    (purity/survival/Benford) + the ext4 batch (BM25, count-min,
-    #    Adamic-Adar, gap-fill, winsorized, DQ report, k-NN label audit)
-    "emb_cluster_purity",
-    "orders_repurchase_survival",
-    "orders_benford_audit",
-    "text_bm25_scores",
-    "agg_countmin_audit",
-    "graph_adamic_adar_suppliers",
-    "events_resample_gapfill",
-    "stats_winsorized_prices",
-    "dq_constraint_report",
-    "emb_knn_label_audit",
-    # -- round-4 second batch (temporal joins, repetition signals,
-    #    reservoir sampling, streaming asof/near-dup, SCD2/MERGE,
-    #    triangles, PMI, word-boundary Aho-Corasick) — first evidence
-    "f3_keyword_word_5k",
-    "j9_asof_view_purchase",
-    # (j10/j11 as-of variants: verified by the local gate; j9 carries the
-    # family's driver evidence this round — variants rotate next round)
-    "events_coactivity_histogram",
-    "text_repetition_signals",
-    "events_decayed_activity",
-    "sample_weighted_reservoir",
-    "stream_asof_enrich_purchases",
-    "stream_neardup_filter",
-    "scd2_user_state_history",
-    "lake_merge_upsert",
-    "graph_triangle_suppliers",
-    "text_pmi_bigrams",
-    # -- round-4 first batch — first evidence
-    "f2_keyword_substring_5k",
-    "graph_pagerank_iters12",
-    "emb_lloyd_centroids",
-    # -- never driver-sampled backlog (r1-r3 era); the rest of the
-    #    91-query never-sampled set (tools/next_head.py) rotates in
-    #    next round
-    # -- round-4 sixth batch: reconciliation, URL scalars, mixture plan
-    "dq_reconciliation_orders",
-    "scalar_url_components",
-    "corpus_mixture_weights",
-    # -- round-4 fourth batch (queries_ext5 tail): truncation-recall
-    #    audit, Markov stationary distribution, k-hop BFS, forecast
-    #    backtest, Gini concentration
-    "emb_truncation_recall",
-    "events_markov_stationary",
-    "graph_bfs_reachability",
-    "orders_forecast_backtest",
-    "supplier_revenue_gini",
-    # -- round-4 third batch (queries_ext5): newest novel operator
-    #    families — first driver evidence (the displaced backlog
-    #    entries rotate back next round)
-    "events_autocorrelation",
-    "events_seasonal_anomaly",
-    "stats_theil_sen_trend",
-    "ml_naive_bayes_source",
-    "er_blocked_name_linkage",
-    "text_feature_hashing",
-    "dedup_shingle_containment",
-    "graph_kcore_suppliers",
-    "part_price_skyline",
-    "events_trigram_paths",
-    "sample_rendezvous_shards",
-    "ml_drift_psi",
-    # -- stateful streaming alerting (newest)
-    "stream_threshold_alerts",
-    # -- ext4 second batch — first evidence (displaces three backlog
-    #    entries that rotate next round)
-    "text_rrf_fusion",
-    "join_bloom_filter_audit",
-    "lineitem_abc_pareto",
-]
-
-
 def registry() -> dict[str, QueryDef]:
     # extension modules register via the shared @q decorator on import
     from social_and_media_data_ingestion_spark.plans import (  # noqa: F401
@@ -2124,6 +1879,8 @@ def registry() -> dict[str, QueryDef]:
         queries_ext5,
         queries_tpch,
     )
+
+    from social_and_media_data_ingestion_spark.plans.priority import PRIORITY_HEAD
 
     by_name = {d.name: d for d in REGISTRY}
     head = [by_name[n] for n in PRIORITY_HEAD if n in by_name]

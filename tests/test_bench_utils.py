@@ -23,6 +23,19 @@ def test_steady_spread_zero_floor():
     assert bench._steady_spread([0.0, 0.0, 0.0]) == 0.0
 
 
+def test_anchor_machine_fingerprint_gates_ratio_test(tmp_path, monkeypatch):
+    import os
+
+    path = tmp_path / "BENCH_ANCHOR.json"
+    path.write_text(json.dumps({"machine": {"cpus": os.cpu_count()}}))
+    monkeypatch.setattr(bench, "ANCHOR_PATH", str(path))
+    assert bench._anchor_machine_matches()
+    path.write_text(json.dumps({"machine": {"cpus": os.cpu_count() + 1}}))
+    assert not bench._anchor_machine_matches()
+    monkeypatch.setattr(bench, "ANCHOR_PATH", str(tmp_path / "missing.json"))
+    assert not bench._anchor_machine_matches()
+
+
 def test_load_anchor_sf_mismatch_and_shape(tmp_path, monkeypatch):
     path = tmp_path / "BENCH_ANCHOR.json"
     path.write_text(

