@@ -60,6 +60,28 @@ def test_er_linkage_blocks_on_distinct_names(spark):
     assert "HashAggregate" in plan
 
 
+def test_er_phonetic_block_join_is_equi(spark):
+    """Phonetic blocking must pair names through an EQUI join on the
+    consonant-class key — no cross-block pair may ever materialize (the
+    whole point of blocking). The name1<name2 ordering and the
+    Levenshtein verify ride as post-join filters, never as a join-less
+    cartesian, and the pair space forms over DISTINCT names (hash-agg
+    below the join)."""
+    plan = _plan(spark, "er_phonetic_blocked_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "pkey" in plan  # the key reaches the join
+    assert "HashAggregate" in plan
+
+
+def test_er_phonetic_key_single_pass_no_join(spark):
+    """The block audit is ONE hash-agg on the in-row key: no join may
+    appear in its plan at all."""
+    plan = _plan(spark, "er_phonetic_block_audit")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_feature_hashing_no_vocabulary_join(spark):
     plan = _plan(spark, "text_feature_hashing")
     # the hashing trick needs NO dictionary: zero joins anywhere

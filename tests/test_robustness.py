@@ -251,3 +251,62 @@ def test_naive_bayes_integer_scores_tiebreak_deterministic(spark, tmp_path):
     # smallest (tot+v) class wins pure default-mass scoring
     assert per["a_src"] == (2, 1)
     assert per["b_src"][1] == 0  # doc 21 lost to the a_src tie-break
+
+
+def test_er_phonetic_queries_on_pathological_names(spark, tmp_path):
+    """The two phonetic-blocking ER queries vs their DuckDB oracles on a
+    synthetic part table of adversarial names: empty, whitespace,
+    digits-only (base collapses to ''), single letters, all-vowel words
+    (key = first letter only), vowel-only spelling variants (MUST share
+    a block — the point of phonetic blocking), case/punctuation noise,
+    and a long repeated-consonant name (run-collapse path). Both
+    engines must agree on rowcount AND values."""
+    import duckdb
+    import pandas as pd
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+
+    names = [
+        "",  # empty -> key ''
+        "   ",  # whitespace-only -> key ''
+        "12345",  # digits strip to '' -> key ''
+        "x",  # single letter, no digits
+        "aeiou",  # all vowels -> key 'a'
+        "smith",  # s53
+        "smyth",  # vowel variant: same block as smith
+        "SMITH!!",  # case+punct noise: same block as smith
+        "smitthh",  # repeated consonants collapse into smith's block
+        "schmidt",  # different code (extra consonants)
+        "bbbbbbbb",  # long consonant run -> single digit after collapse
+        "red widget",
+        "rad widget",  # vowel variant of 'red widget'
+    ]
+    rows = [(i, n) for i, n in enumerate(names) for _ in range(i % 2 + 1)]
+    pdf = pd.DataFrame(rows, columns=["p_partkey", "p_name"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/part.parquet/*.parquet')"
+    )
+    reg = registry()
+    for name in ["er_phonetic_blocked_pairs", "er_phonetic_block_audit"]:
+        qd = reg[name]
+        got = qd.spark(spark, str(tmp_path)).toPandas()
+        want = con.execute(qd.oracle).fetchdf()
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+        gs = got[sorted(got.columns)].copy()
+        ws = want[sorted(want.columns)].copy()
+        for c in gs.columns:
+            gs[c] = gs[c].astype(str)
+            ws[c] = ws[c].astype(str)
+        gs = gs.sort_values(list(gs.columns)).reset_index(drop=True)
+        ws = ws.sort_values(list(ws.columns)).reset_index(drop=True)
+        assert gs.equals(ws), f"{name}: value mismatch\n{gs}\n{ws}"
+    # the vowel variants really did land in one block and got verified
+    pairs = reg["er_phonetic_blocked_pairs"].spark(spark, str(tmp_path))
+    matched = {(r.name1, r.name2) for r in pairs.collect()}
+    assert ("smith", "smyth") in matched
+    assert ("rad widget", "red widget") in matched
