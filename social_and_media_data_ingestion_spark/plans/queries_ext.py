@@ -1811,28 +1811,49 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample and pins every per-doc boolean via correlated EXISTS/contains.
 # =============================================================================
 _KW5K_CACHE: dict[str, list[str]] = {}
+# Vocabulary cap BEFORE the 4-way crossJoin (round-6 verdict item 6):
+# the 4-gram space must be bounded by construction, not by the corpus —
+# an uncapped realistic vocabulary (10^4+ tokens) makes vocab**4
+# astronomically large before the limit(5000) ever applies. 60**4 ~
+# 13M candidate phrases regardless of corpus size; the cap is a
+# deterministic md5-ordered sample so the phrase dim stays identical
+# across engines and runs. Any corpus with >= 60 distinct tokens
+# (every test sf) produces the same bounded build.
+KW5K_VOCAB_CAP = 60
+
+
+def _kw5k_phrase_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCOLLECTED 5000-phrase build plan (exposed for the plan
+    guard pinning the capped-vocab shape)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .distinct()
+        .orderBy(F.md5(F.encode(F.col("tok"), "utf-8")), F.col("tok"))
+        .limit(KW5K_VOCAB_CAP)
+    )
+    parts = [vocab.select(F.col("tok").alias(n)) for n in ("a", "b", "c", "d")]
+    return (
+        parts[0]
+        .crossJoin(parts[1])
+        .crossJoin(parts[2])
+        .crossJoin(parts[3])
+        .select(F.concat_ws(" ", "a", "b", "c", "d").alias("kw"))
+        .orderBy(F.md5(F.encode(F.col("kw"), "utf-8")), F.col("kw"))
+        .limit(5000)
+    )
 
 
 def _kw5k_phrases(spark: SparkSession, sf_dir: str) -> list[str]:
     """The 5000-phrase keyword dim, memoized per sf_dir: the reference
     loads its keyword file once per run, and this is the same bounded
     driver state (5k short strings) — regenerating the 4-gram sample
-    per call would re-pay the vocab**4 build job every invocation."""
+    per call would re-pay the 4-gram build job every invocation."""
     if sf_dir not in _KW5K_CACHE:
-        docs = t(spark, sf_dir, "documents")
-        toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
-        vocab = docs.select(F.explode(toks).alias("tok")).distinct()
-        parts = [vocab.select(F.col("tok").alias(n)) for n in ("a", "b", "c", "d")]
-        phrases = (
-            parts[0]
-            .crossJoin(parts[1])
-            .crossJoin(parts[2])
-            .crossJoin(parts[3])
-            .select(F.concat_ws(" ", "a", "b", "c", "d").alias("kw"))
-            .orderBy(F.md5(F.encode(F.col("kw"), "utf-8")), F.col("kw"))
-            .limit(5000)
-        )
-        _KW5K_CACHE[sf_dir] = [r.kw for r in phrases.collect()]
+        _KW5K_CACHE[sf_dir] = [
+            r.kw for r in _kw5k_phrase_frame(spark, sf_dir).collect()
+        ]
     return _KW5K_CACHE[sf_dir]
 
 
@@ -1840,9 +1861,10 @@ def _kw5k_phrases(spark: SparkSession, sf_dir: str) -> list[str]:
     "f2_keyword_substring_5k",
     f"""
     WITH v AS (SELECT DISTINCT unnest({_TOKS2}) AS tok FROM documents),
+    vc AS (SELECT tok FROM v ORDER BY md5(tok), tok LIMIT {KW5K_VOCAB_CAP}),
     p AS (
       SELECT a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok AS kw
-      FROM v a, v b, v c, v d
+      FROM vc a, vc b, vc c, vc d
     ),
     kws AS (SELECT kw FROM p ORDER BY md5(kw), kw LIMIT 5000)
     SELECT d.doc_id,
@@ -1878,9 +1900,10 @@ def f2_keyword_substring_5k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f3_keyword_word_5k",
     f"""
     WITH v AS (SELECT DISTINCT unnest({_TOKS2}) AS tok FROM documents),
+    vc AS (SELECT tok FROM v ORDER BY md5(tok), tok LIMIT {KW5K_VOCAB_CAP}),
     p AS (
       SELECT a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok AS kw
-      FROM v a, v b, v c, v d
+      FROM vc a, vc b, vc c, vc d
     ),
     kws AS (SELECT kw FROM p ORDER BY md5(kw), kw LIMIT 5000)
     SELECT d.doc_id,

@@ -187,6 +187,26 @@ def test_5k_query_uses_arrow_python_path(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_5k_phrase_build_vocab_capped_before_crossjoin(spark):
+    """The 4-gram phrase builder must cap the vocabulary BEFORE the
+    4-way crossJoin (round-6 verdict item 6): the candidate space is
+    KW5K_VOCAB_CAP**4 by construction, independent of corpus size — an
+    uncapped realistic vocabulary would make vocab**4 astronomically
+    large before the final limit(5000) applies. The plan must show the
+    vocab-cap top-k (limit=KW5K_VOCAB_CAP) feeding the joins plus the
+    final limit=5000."""
+    from social_and_media_data_ingestion_spark.plans.queries_ext import (
+        KW5K_VOCAB_CAP,
+        _kw5k_phrase_frame,
+    )
+
+    df = _kw5k_phrase_frame(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"limit={KW5K_VOCAB_CAP}" in plan  # cap below the crossJoins
+    assert "limit=5000" in plan  # final phrase-sample cap
+    assert len(df.collect()) == 5000
+
+
 # --- word-boundary Aho-Corasick (matches_any_word_large) --------------------
 
 
