@@ -340,11 +340,14 @@ def test_naive_bayes_argmax_is_partial_combining_agg(spark):
 
 def test_containment_posting_lists_df_filtered_before_collect(spark):
     """The hot-shingle guard must drop df > max_df shingles with a
-    count aggregate + left_semi BEFORE collect_list runs: a list that
-    is only size()-filtered afterwards still buffers the hottest
-    shingle's entire unbounded id list in one aggregation buffer (the
-    executor-OOM vector the guard exists for). Structurally: every
-    collect_list node sits ABOVE the LeftSemi join in the plan."""
+    count aggregate + LEFT ANTI join on the hot set BEFORE collect_list
+    runs: a list that is only size()-filtered afterwards still buffers
+    the hottest shingle's entire unbounded id list in one aggregation
+    buffer (the executor-OOM vector the guard exists for).
+    Structurally: every collect_list node sits ABOVE the LeftAnti join
+    in the plan, and the tiny hot side rides a broadcast (AQE picks it;
+    un-hinted so an adversarially large hot set degrades to a shuffle
+    join instead of an OOM)."""
     from social_and_media_data_ingestion_spark.operators.dedup import (
         _pruned_postings,
         word_shingles,
@@ -355,17 +358,20 @@ def test_containment_posting_lists_df_filtered_before_collect(spark):
         "doc_id bigint, text string",
     )
     sh = word_shingles(df, "doc_id", "text", 2)
-    plan = (
-        _pruned_postings(sh, 4)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    pruned = _pruned_postings(sh, 4)
+    pruned.collect()  # run it: the broadcast choice is AQE's, so only
+    # the FINAL adaptive plan shows it
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the adaptive plan string appends the pre-AQE "Initial Plan"
+    # section below the final one — assert over the FINAL section only
+    plan = plan.split("== Initial Plan ==")[0]
     lines = plan.splitlines()
     collects = [i for i, l in enumerate(lines) if "collect_list" in l]
-    semis = [i for i, l in enumerate(lines) if "LeftSemi" in l]
-    assert collects and semis
-    assert max(collects) < min(semis)
+    antis = [i for i, l in enumerate(lines) if "LeftAnti" in l]
+    assert collects and antis
+    assert max(collects) < min(antis)
+    # the hot side broadcasts on this (non-adversarial) corpus
+    assert any("BroadcastHashJoin" in lines[i] for i in antis)
 
 
 def test_shingle_helpers_accept_quoted_identifiers(spark):
