@@ -253,9 +253,21 @@ def events_coactivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The output is TYPE-level, so the per-event decayed sums never
+    # need to materialize: avg over events of (sum of pair decays) ==
+    # (sum of ALL pair decays for the type) / n_events_of_type, with
+    # no-predecessor events contributing 0 to the numerator either way.
+    # The r6 spelling aggregated per event_id and LEFT-joined back onto
+    # events — an event_id-wide exchange plus a join (AQE flipped it to
+    # an SMJ once the per-event frame outgrew the broadcast threshold;
+    # caught by the r7 vs_anchor glance). Now the pair stream partial-
+    # aggregates map-side straight onto |event_type| keys (<= 3 rows
+    # per task leave the map side — no skew is constructible), the
+    # event counts are one more tiny agg, and the only join is 3x3
+    # broadcast.
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
     pairs = time_band_join(
-        ev.select("event_id", "user_id", "ts"),
+        ev.select("event_id", "user_id", "ts", "event_type"),
         ev.select("user_id", "ts"),
         "ts",
         "ts",
@@ -263,25 +275,33 @@ def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"],
     )
     age_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("r_ts"))
-    decayed = (
+    # every decay term is bounded in (0.5, 1] by the band, so the type
+    # total sums them in whatever order the partials arrive — the 4 dp
+    # floor-round absorbs float-ordering differences vs the oracle's
+    # per-event-then-avg reduction (double carries ~15 significant
+    # digits; the divergence is ~1e-10 relative)
+    by_type = (
         pairs.filter((age_us > 0) & (age_us <= 3_600_000_000))
-        .groupBy("p_event_id")
+        .groupBy(F.col("p_event_type").alias("event_type"))
         .agg(
             F.sum(F.pow(F.lit(2.0), -age_us / F.lit(1_800_000_000.0))).alias(
-                "decayed"
+                "sum_decayed"
             )
         )
     )
-    return (
-        ev.join(decayed, ev.event_id == decayed.p_event_id, "left")
-        .groupBy("event_type")
-        .agg(
-            (
-                F.floor(F.avg(F.coalesce("decayed", F.lit(0.0))) * 10000 + F.lit(0.5))
-                / 10000
-            ).alias("avg_decayed_activity"),
-            F.count("*").alias("n_events"),
-        )
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return counts.join(F.broadcast(by_type), "event_type", "left").select(
+        "event_type",
+        (
+            F.floor(
+                F.coalesce("sum_decayed", F.lit(0.0))
+                / F.col("n_events")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("avg_decayed_activity"),
+        "n_events",
     )
 
 
