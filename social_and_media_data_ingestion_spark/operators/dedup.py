@@ -31,6 +31,7 @@ import warnings
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types
 
 # 32-bit-safe universal-hash parameters (P is a Mersenne prime 2^31-1).
 _P = 2147483647
@@ -410,11 +411,20 @@ def connected_components(
     # shingle scans) would otherwise re-execute per iteration x per
     # action — measured 8.5 s for a 193-edge graph at sf0.1, ~1 s with
     # the pin (the edge frame is tiny next to the corpus that built it)
+    # numeric ids normalize to long (doc_id ints of any width unify);
+    # non-numeric ids (entity-resolution NAME nodes) keep their native
+    # type — min-label propagation only needs a total order, which
+    # strings have, and a lossy cast would corrupt them to NULL
+    numeric = isinstance(
+        edges.schema[src].dataType, types.NumericType
+    ) and isinstance(edges.schema[dst].dataType, types.NumericType)
+
+    def _id(c: str) -> "F.Column":
+        return F.col(c).cast("long") if numeric else F.col(c)
+
     bi = _truncate(
-        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t"))
-        .union(
-            edges.select(F.col(dst).cast("long").alias("s"), F.col(src).cast("long").alias("t"))
-        )
+        edges.select(_id(src).alias("s"), _id(dst).alias("t"))
+        .union(edges.select(_id(dst).alias("s"), _id(src).alias("t")))
         .distinct()
     )
     labels = bi.select(F.col("s").alias("id")).distinct().withColumn(

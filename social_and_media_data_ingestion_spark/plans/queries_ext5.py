@@ -770,6 +770,83 @@ def er_phonetic_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "er_entity_clusters",
+    f"""
+    WITH RECURSIVE names AS (
+      SELECT p_name, count(*)::BIGINT AS support FROM part GROUP BY 1
+    ), keyed AS (
+      SELECT p_name, support, {_sql_phonetic_key("p_name")} AS pkey
+      FROM names
+    ), pairs AS (
+      SELECT a.p_name AS n1, b.p_name AS n2
+      FROM keyed a JOIN keyed b ON a.pkey = b.pkey AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ), edges AS (
+      SELECT n1, n2 FROM pairs UNION SELECT n2, n1 FROM pairs
+    ), reach AS (
+      SELECT n1 AS node, n2 AS r FROM edges
+      UNION
+      SELECT rc.node, e.n2 FROM reach rc JOIN edges e ON rc.r = e.n1
+      WHERE e.n2 <> rc.node
+    ), labels AS (
+      SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT k.p_name, k.support,
+             coalesce(l.cluster, k.p_name) AS entity_id
+      FROM keyed k LEFT JOIN labels l ON k.p_name = l.node
+    )
+    SELECT entity_id,
+           count(*)::BIGINT AS n_members,
+           sum(support)::BIGINT AS total_support
+    FROM assigned GROUP BY 1
+    """,
+)
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: phonetic-blocked fuzzy pairs ->
+    connected components -> one canonical ENTITY per component (its
+    lexicographic-min member name), with member count and support mass.
+    The transitive step is what pair queries can't express: 'red
+    widget'~'rad widget' and 'rad widget'~'rod widget' merge all three
+    even when the ends are > the edit threshold apart. Spark side runs
+    min-label propagation over the (vocabulary-scale) pair graph with
+    STRING node ids — connected_components keeps non-numeric id types
+    native (a long cast would NULL them); singleton names (no fuzzy
+    partner) stay their own entity via the left join + coalesce. The
+    DuckDB oracle computes the identical fixpoint as a recursive-CTE
+    transitive closure — tractable because the closure runs on the
+    pruned pair graph, never the corpus."""
+    part = t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count("*").alias("support"))
+    keyed = names.select(
+        "p_name", "support", _phonetic_key(F.col("p_name")).alias("pkey")
+    )
+    a = keyed.select(F.col("p_name").alias("name1"), "pkey")
+    b = keyed.select(
+        F.col("p_name").alias("name2"), F.col("pkey").alias("pkey2")
+    )
+    pairs = a.join(
+        b,
+        (F.col("pkey") == F.col("pkey2")) & (F.col("name1") < F.col("name2")),
+    ).filter(F.levenshtein("name1", "name2") <= 4)
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cc = connected_components(
+        pairs.select("name1", "name2"), src="name1", dst="name2"
+    )
+    assigned = names.join(
+        cc, names.p_name == cc.id, "left"
+    ).select(
+        F.coalesce("cluster_id", "p_name").alias("entity_id"), "support"
+    )
+    return assigned.groupBy("entity_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("support").cast("bigint").alias("total_support"),
+    )
+
+
 # =============================================================================
 # Curation — shingle-CONTAINMENT near-superset pairs. Containment
 # C(A,B) = |S(A)∩S(B)|/|S(A)| is asymmetric: a short document embedded

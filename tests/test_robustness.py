@@ -292,7 +292,11 @@ def test_er_phonetic_queries_on_pathological_names(spark, tmp_path):
         f"read_parquet('{tmp_path}/part.parquet/*.parquet')"
     )
     reg = registry()
-    for name in ["er_phonetic_blocked_pairs", "er_phonetic_block_audit"]:
+    for name in [
+        "er_phonetic_blocked_pairs",
+        "er_phonetic_block_audit",
+        "er_entity_clusters",
+    ]:
         qd = reg[name]
         got = qd.spark(spark, str(tmp_path)).toPandas()
         want = con.execute(qd.oracle).fetchdf()
@@ -310,3 +314,15 @@ def test_er_phonetic_queries_on_pathological_names(spark, tmp_path):
     matched = {(r.name1, r.name2) for r in pairs.collect()}
     assert ("smith", "smyth") in matched
     assert ("rad widget", "red widget") in matched
+    # clustering merges TRANSITIVELY over string node ids: smith ~
+    # smyth and smith ~ smitthh coalesce all three into one entity
+    # labeled by the lexicographic-min member. 'SMITH!!' shares their
+    # BLOCK (key strips case/punct) but the case-sensitive Levenshtein
+    # verify correctly rejects it (distance 7), so it stays a singleton
+    # entity -- blocking recall and verify precision are separate dials.
+    clusters = {
+        r.entity_id: r.n_members
+        for r in reg["er_entity_clusters"].spark(spark, str(tmp_path)).collect()
+    }
+    assert clusters["smith"] == 3  # smith + smyth + smitthh
+    assert clusters["SMITH!!"] == 1  # blocked together, verified apart
