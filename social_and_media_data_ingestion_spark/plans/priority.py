@@ -24,6 +24,84 @@ from __future__ import annotations
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
+    # ================= round-7 head =================
+    # Policy change this round: rotation is now driven by the
+    # CONTENT-HASH staleness ledger (tools/stale_rows.py, rewritten per
+    # the r6 verdict): a driver row is evidence only while the query's
+    # closure hash (function + oracle + transitive engine deps) is
+    # unchanged from the artifact's commit snapshot. The ledger reports
+    # 91 rows needing evidence — 3 never-sampled (the new ER family),
+    # 6 changed this round, and 82 whose only green rows predate
+    # engine-wide r2/r3-era changes (mostly the tables.py timestamp
+    # normalization) that the old date-based tool never surfaced. The
+    # head takes the 3 never + the 6 changed + the 41 with the OLDEST
+    # evidence (all 20 r01-era rows + the first 21 r02-era rows,
+    # alphabetical); the remaining 41 stale rows are queued for the
+    # round-8 head (tools/stale_rows.py prints the authoritative list).
+    # Everything displaced stays covered by the local full gate
+    # (tools/verify_local.py runs all 252 with the identical oracle
+    # mechanism).
+    # -- never sampled: the new ER phonetic-blocking family and the
+    #    magic-byte format sniffer (r7 growth)
+    "er_phonetic_blocked_pairs",
+    "er_phonetic_block_audit",
+    "er_entity_clusters",
+    "multimodal_format_sniff",
+    # -- changed in r7 after their last driver row
+    "dedup_shingle_containment",  # r7: broadcast anti-join hot guard
+    "dedup_near_dup_clusters",  # r7: CC native-type node ids
+    "events_decayed_activity",  # r7: type-level agg, SMJ eliminated
+    "f2_keyword_substring_5k",  # r7: vocab cap before crossJoin
+    "f3_keyword_word_5k",  # r7: vocab cap before crossJoin
+    "graph_pagerank_purchases",  # r7: checkpoint-dir docstring (hash)
+    # -- stale, newest evidence r01
+    "a4_distinct_dim",
+    "agg_cube_revenue",
+    "agg_distinct_stats",
+    "agg_having_big_customers",
+    "f4_date_range",
+    "f5_lenient_parse_null_drop",
+    "f6_url_shape",
+    "f7_terms_extract",
+    "j4_anti_join",
+    "p4_concat_strip_urls",
+    "p5_nested_head",
+    "pivot_lineitem_status",
+    "q3_shipping_priority",
+    "scalar_datetime_roundtrip",
+    "scalar_dotted_date",
+    "scalar_string_funcs",
+    "setop_except",
+    "setop_intersect",
+    "subquery_above_avg",
+    "text_rolling_fingerprint",
+    # -- stale, newest evidence r02 (first 20 alphabetical; the other
+    #    18 r02 rows — j3 onward — rotate in round 8)
+    "a2_dedup_keep_first",
+    "a3_keep_latest",
+    "a6_max_watermark",
+    "agg_pricing_summary",
+    "agg_rollup_revenue",
+    "corpus_decontaminate",
+    "corpus_full_curation",
+    "dedup_embedding_cosine",
+    "dedup_fingerprint",
+    "dedup_minhash_calibration",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "emb_kmeans_assign",
+    "events_funnel_conversion",
+    "events_session_window",
+    "events_windowed_agg",
+    "f2_keyword_substring",
+    "f3_keyword_word_boundary",
+    "j1_semi_join",
+    "j2_fk_join_agg",
+]
+
+_ROUND6_HEAD = [
+    # round-6 head, kept for the rotation ledger (these 50 all went
+    # driver-green in CORRECTNESS_r06.json)
     # ================= round-6 head =================
     # The planned backlog-exhausting rotation (round-5 verdict item 1,
     # RESULTS.md "Round-6 head-rotation note"): 14 re-proofs for queries

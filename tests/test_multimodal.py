@@ -76,3 +76,30 @@ def test_chunk_audio_real_stub_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"abc"))], ["media_id", "payload"])
     with pytest.raises(Exception, match="torchaudio"):
         MM.chunk_audio(df, fake=False).collect()
+
+
+def test_sniff_format_magic_bytes(spark):
+    """Magic-byte detection: every signature resolves, RIFF without a
+    WAVE form-type stays unknown (it could be AVI), payloads shorter
+    than the probe windows never error, and detection is pure native
+    expressions (no Python eval node in the plan)."""
+    cases = [
+        (0, bytes([0xFF, 0xD8, 0xFF]) + b"rest", "image/jpeg"),
+        (1, bytes([0x89]) + b"PNG\r\n", "image/png"),
+        (2, b"GIF87a...", "image/gif"),
+        (3, b"GIF89a...", "image/gif"),
+        (4, b"RIFF" + bytes(4) + b"WAVEfmt ", "audio/x-wav"),
+        (5, b"RIFF" + bytes(4) + b"AVI LIST", "application/octet-stream"),
+        (6, b"plain text", "application/octet-stream"),
+        (7, b"", "application/octet-stream"),
+        (8, bytes([0xFF]), "application/octet-stream"),  # truncated JPEG
+        (9, b"RIFF", "application/octet-stream"),  # truncated RIFF
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p, _ in cases], ["media_id", "payload"]
+    )
+    out = MM.sniff_format(df)
+    got = {r.media_id: r.detected_mime for r in out.collect()}
+    assert got == {i: mime for i, _, mime in cases}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # JVM-native, no UDF boundary
