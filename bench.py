@@ -101,6 +101,15 @@ HEADLINE = [
     "stats_mann_whitney_status",
     "orders_forecast_backtest",
     "text_shingle_novelty",
+    # round-7 growth: phonetic-blocked ER (equi-join on the consonant-
+    # class key), transitive entity clustering (CC over the pair
+    # graph), magic-byte format sniffing (native binary-prefix probe) —
+    # benched so the new families carry throughput artifacts; absent
+    # from BENCH_ANCHOR.json, so vs_anchor ratios skip them until the
+    # anchor is re-pinned on a quiet machine
+    "er_phonetic_blocked_pairs",
+    "er_entity_clusters",
+    "multimodal_format_sniff",
 ]
 
 

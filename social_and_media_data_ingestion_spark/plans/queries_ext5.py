@@ -836,8 +836,14 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(
         pairs.select("name1", "name2"), src="name1", dst="name2"
     )
+    # shuffled-hash, not sort-merge: the label frame is a pinned
+    # ExistingRDD scan with no stats, so the static planner would pick
+    # an SMJ and AQE never revisits it — the hint keeps the join
+    # sort-free without assuming the label side broadcasts (on an
+    # adversarial corpus every name can have a fuzzy partner, making
+    # it vocabulary-scale)
     assigned = names.join(
-        cc, names.p_name == cc.id, "left"
+        cc.hint("shuffle_hash"), names.p_name == cc.id, "left"
     ).select(
         F.coalesce("cluster_id", "p_name").alias("entity_id"), "support"
     )
