@@ -240,8 +240,22 @@ def minhash_lsh_candidates(
     quadratic expansion in ONE task's row — an executor-OOM vector. Such
     buckets fall back to a banded self-join, which spreads the same pair
     set across tasks; buckets at or under the cap keep the in-row fast
-    path."""
+    path.
+
+    Documents too short to shingle carry NULL min-hashes (min over an
+    empty shingle set). They can never be near-duplicates by the
+    measure, so they are dropped BEFORE banding — without the filter,
+    concat_ws (which SKIPS nulls) would fold every such document into
+    one shared garbage bucket: on a web-scale corpus the billions of
+    empty/near-empty pages all land there, and its quadratic expansion
+    is precisely the hot-bucket blowup this operator guards against
+    (found by the r7 null-riddled harness; the DuckDB oracle's
+    NULL-propagating `||` concat never joined them, so the garbage
+    bucket was also silently divergent cross-engine)."""
     assert bands * rows_per_band <= 12
+    sigs = sigs.filter(
+        F.col("sig").isNotNull() & ~F.exists("sig", lambda x: x.isNull())
+    )
     band_entries = ",".join(
         "named_struct('band', {b}, 'bucket', concat_ws('_', {cols}))".format(
             b=b,

@@ -135,13 +135,19 @@ def decode_images(
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(_STUB_MSG.format(what="image", lib="Pillow"))
-            dims = [_fake_dims(len(bytes(p))) for p in pdf[payload_col]]
+            # a NULL payload decodes to NULL dims (the row survives,
+            # the failure is visible) — a lake WILL contain them, and
+            # bytes(None) would kill the whole batch (r7 null harness)
+            dims = [
+                (None, None, None) if p is None else _fake_dims(len(bytes(p)))
+                for p in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "channels": [d[2] for d in dims],
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
+                    "channels": pd.array([d[2] for d in dims], dtype="Int32"),
                 }
             )
 
@@ -165,7 +171,8 @@ def resize_images(
             if not fake:
                 raise NotImplementedError(_STUB_MSG.format(what="image", lib="Pillow"))
             out = [
-                bytes(p)[:budget].ljust(budget, b"\0") for p in pdf[payload_col]
+                None if p is None else bytes(p)[:budget].ljust(budget, b"\0")
+                for p in pdf[payload_col]
             ]
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "payload": out})
 
@@ -191,7 +198,9 @@ def extract_features(
                     _STUB_MSG.format(what="media-embedding", lib="torch/PIL")
                 )
             feats = [
-                [b / 255.0 for b in bytes(p)[:dim].ljust(dim, b"\0")]
+                None
+                if p is None
+                else [b / 255.0 for b in bytes(p)[:dim].ljust(dim, b"\0")]
                 for p in pdf[payload_col]
             ]
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "feature": feats})
@@ -215,6 +224,9 @@ def sample_frames(
                 raise NotImplementedError(_STUB_MSG.format(what="video", lib="pyav"))
             ids, idxs, offs = [], [], []
             for mid, dur in zip(pdf[id_col], pdf[duration_ms_col]):
+                if dur is None or pd.isna(dur):
+                    continue  # NULL duration -> no frames (mirrors the
+                    # oracle's range(0, NULL) producing no rows)
                 for i, off in enumerate(range(0, int(dur), every_ms)):
                     ids.append(int(mid))
                     idxs.append(i)
@@ -259,6 +271,9 @@ def chunk_audio(
                 )
             ids, idxs, starts, ns, rms = [], [], [], [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue  # NULL payload -> no chunks (same shape
+                    # as an empty payload; bytes(None) would throw)
                 samples = list(bytes(p))
                 for ci in range((len(samples) + win - 1) // win):
                     seg = samples[ci * win : (ci + 1) * win]

@@ -719,9 +719,15 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in TA.STOPWORDS[lang])
+    # coalesce: a NULL text must score 0 hits, not NULL — NULL hit
+    # counts make every CASE comparison NULL and the argmax falls
+    # through to the ELSE language, silently classifying NULL text as
+    # 'fr' while the Spark side's when-chain yields 'unk' (found by the
+    # r7 null-riddled-tables harness; the generated testdata has no
+    # NULL texts, so the oracle gate alone never exposed it)
     return (
-        f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
-        f"x -> list_contains([{words}], x)))"
+        f"coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"x -> list_contains([{words}], x))), 0)"
     )
 
 
@@ -811,7 +817,14 @@ _HASH_MINS = ", ".join(
       SELECT doc_id AS id, {_POLYHASH_SQL.format(arr=_SHINGLE_SQL)} AS hs FROM docs
     ),
     sigs AS (SELECT id, {_HASH_MINS} FROM hashed)
-    SELECT id, array_to_string([{", ".join(f"h{i}" for i in range(_MINHASH_K))}], ',') AS sig
+    SELECT id,
+           -- coalesce: an unshingleable doc (< n tokens / NULL text)
+           -- has all-NULL min-hashes; Spark's array_join skips nulls
+           -- and yields '', DuckDB's array_to_string yields NULL —
+           -- '' on both is the aligned "no signature" spelling
+           coalesce(
+             array_to_string([{", ".join(f"h{i}" for i in range(_MINHASH_K))}], ','),
+             '') AS sig
     FROM sigs
     """,
 )
@@ -1757,7 +1770,10 @@ def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFra
            n_bytes::BIGINT AS n_bytes,
            (n_bytes % 256 + 1)::INTEGER AS width,
            (n_bytes // 256 % 256 + 1)::INTEGER AS height,
-           3::INTEGER AS channels
+           -- NULL payload -> NULL dims (the fake decoder's contract;
+           -- a literal 3 here invented a channel count for a payload
+           -- that was never decoded)
+           (CASE WHEN n_bytes IS NULL THEN NULL ELSE 3 END)::INTEGER AS channels
     FROM m
     """,
 )

@@ -733,7 +733,14 @@ ARRAY_VOCAB = ["spark", "hash", "value", "table", "nonexistentword"]
            len(list_distinct(list_concat(toks, vocab)))::BIGINT AS n_union,
            len(list_filter(vocab, x -> NOT list_contains(toks, x)))::BIGINT AS n_missing
     FROM (
-      SELECT doc_id, list_distinct({_TOKS}) AS toks,
+      -- coalesce: NULL text tokenizes to the EMPTY set, not NULL —
+      -- otherwise the two engines' NULL-in-set-algebra rules diverge
+      -- (Spark propagates NULL through all three ops; DuckDB's
+      -- list_concat treats NULL as [] while its filters treat the
+      -- NULL membership test as false, which is internally
+      -- inconsistent too). Empty-set semantics are the only spelling
+      -- both engines agree on (r7 null-riddled harness).
+      SELECT doc_id, coalesce(list_distinct({_TOKS}), []) AS toks,
              {ARRAY_VOCAB!r} AS vocab
       FROM documents
     )
@@ -741,8 +748,11 @@ ARRAY_VOCAB = ["spark", "hash", "value", "table", "nonexistentword"]
 )
 def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = F.array_distinct(
-        F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    toks = F.coalesce(
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+        ),
+        F.array().cast("array<string>"),
     )
     vocab = F.array(*[F.lit(v) for v in ARRAY_VOCAB])
     return docs.select(
@@ -1673,8 +1683,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_chunks",
     """
     WITH s AS (
+      -- empty-text guard: DuckDB's string_split('', '') yields ['']
+      -- (one empty element, ascii 0) while Python's list(b'') is [] —
+      -- an empty payload must produce NO chunks on both engines
       SELECT doc_id AS media_id,
-             list_transform(string_split(text, ''), c -> ascii(c)::DOUBLE) AS samples
+             CASE WHEN length(text) = 0 THEN []::DOUBLE[]
+                  ELSE list_transform(string_split(text, ''),
+                                      c -> ascii(c)::DOUBLE) END AS samples
       FROM documents
     ),
     c AS (

@@ -1693,7 +1693,12 @@ def docs_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fp AS (
       SELECT doc_id, source,
-             CASE WHEN len(cs) = 0 THEN 0
+             -- -1 for NULL text: the window ORDER BY must never see a
+             -- NULL key — Spark sorts NULLS FIRST, DuckDB NULLS LAST,
+             -- so a NULL fingerprint silently permutes every rank in
+             -- its partition (r7 null-riddled harness)
+             CASE WHEN cs IS NULL THEN -1
+                  WHEN len(cs) = 0 THEN 0
                   ELSE list_reduce(cs, (acc, x) -> (acc * 31 + x) % 1000000007)
              END::BIGINT AS fp
       FROM d
@@ -1709,9 +1714,11 @@ def sample_fixed_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
     from social_and_media_data_ingestion_spark.operators import text_analysis as TA
 
     docs = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        TA.rolling_fingerprint("text"), F.asc("doc_id")
-    )
+    # -1 for NULL text (mirrors the oracle CASE): Spark orders ASC
+    # NULLS FIRST but DuckDB NULLS LAST, so a NULL sampling key would
+    # permute every rank in its partition between engines
+    fp = F.coalesce(TA.rolling_fingerprint("text"), F.lit(-1))
+    w = Window.partitionBy("source").orderBy(fp, F.asc("doc_id"))
     return (
         docs.select(
             "source", "doc_id", F.row_number().over(w).cast("long").alias("rk")

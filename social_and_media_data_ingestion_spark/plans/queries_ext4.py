@@ -1124,10 +1124,18 @@ def text_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the match-position filter LET-BINDS toks as lambda var tk: an
     # outer column ref inside the filter lambda is inlined by
     # CollapseProject and re-evaluates the tokenizer per position —
-    # O(tokens^2) per document (see operators/dedup._sql_shingles)
+    # O(tokens^2) per document (see operators/dedup._sql_shingles).
+    # Positions come from an index-carrying transform over the array
+    # itself, NOT sequence(1, size(tk)) + element_at: Spark's sequence
+    # steps BACKWARD when start > stop, so an EMPTY token array (blank
+    # text) yielded [1, 0] and element_at(tk, 1) threw
+    # INVALID_ARRAY_INDEX under ANSI — a job-killing crash on any
+    # pathological document (found by the r7 null-riddled harness; the
+    # transform spelling is empty- and NULL-safe by construction)
     pos_arr = (
         "flatten(transform(array(toks), tk -> "
-        f"filter(sequence(1, size(tk)), p -> element_at(tk, p) = '{_KWIC_WORD}')))"
+        f"filter(transform(tk, (x, i) -> IF(x = '{_KWIC_WORD}', i + 1, -1)), "
+        "p -> p > 0)))"
     )
     hits = d.select(
         "doc_id",
