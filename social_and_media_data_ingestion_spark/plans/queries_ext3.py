@@ -280,17 +280,34 @@ def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor-round absorbs float-ordering differences vs the oracle's
     # per-event-then-avg reduction (double carries ~15 significant
     # digits; the divergence is ~1e-10 relative)
+    # NULL-safe type key via sentinel, NOT eqNullSafe: a NULL
+    # event_type is a legitimate GROUP (groupBy keeps it on both
+    # engines) but a plain join key silently drops its decayed sum
+    # (r7 null-riddled events harness; the oracle's event_id-keyed
+    # join never had the problem). eqNullSafe fixes it too but
+    # measured ~3x slower on the broadcast join (0.38-0.47 s vs
+    # 0.10-0.14 s plain at sf0.1); coalescing NULL to a NUL-byte
+    # sentinel keeps the fast plain-equality path. A real type equal
+    # to "\\x00" would merge with the NULL group — not a realistic
+    # type string.
+    _NULL_KEY = chr(0)
     by_type = (
         pairs.filter((age_us > 0) & (age_us <= 3_600_000_000))
-        .groupBy(F.col("p_event_type").alias("event_type"))
+        .groupBy(
+            F.coalesce(F.col("p_event_type"), F.lit(_NULL_KEY)).alias("k")
+        )
         .agg(
             F.sum(F.pow(F.lit(2.0), -age_us / F.lit(1_800_000_000.0))).alias(
                 "sum_decayed"
             )
         )
     )
-    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
-    return counts.join(F.broadcast(by_type), "event_type", "left").select(
+    counts = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("k", F.coalesce(F.col("event_type"), F.lit(_NULL_KEY)))
+    )
+    return counts.join(F.broadcast(by_type), "k", "left").select(
         "event_type",
         (
             F.floor(

@@ -1309,10 +1309,14 @@ _PSI_NBINS = 10
       SELECT g.event_type, g.bin,
              coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
       FROM grid g
-      LEFT JOIN cells a ON a.event_type = g.event_type AND a.bin = g.bin
-                        AND a.half = 0
-      LEFT JOIN cells b ON b.event_type = g.event_type AND b.bin = g.bin
-                        AND b.half = 1
+      -- IS NOT DISTINCT FROM: a NULL event_type is a real group
+      -- (groupBy keeps it); plain = would zero its cells here and
+      -- DROP it entirely at the terms USING-join below, while Spark's
+      -- window-partitioned total kept the row (r7 null harness)
+      LEFT JOIN cells a ON a.event_type IS NOT DISTINCT FROM g.event_type
+                        AND a.bin = g.bin AND a.half = 0
+      LEFT JOIN cells b ON b.event_type IS NOT DISTINCT FROM g.event_type
+                        AND b.bin = g.bin AND b.half = 1
     ),
     tot AS (
       SELECT event_type, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
@@ -1325,7 +1329,7 @@ _PSI_NBINS = 10
                    * ln(((w.ca + 1) / (t.na + {_PSI_NBINS})::DOUBLE)
                         / ((w.cb + 1) / (t.nb + {_PSI_NBINS})::DOUBLE))
                    * 100000000 + 0.5) / 100000000 AS term
-      FROM wide w JOIN tot t USING (event_type)
+      FROM wide w JOIN tot t ON w.event_type IS NOT DISTINCT FROM t.event_type
     )
     SELECT event_type, max(na)::BIGINT AS n_first_half,
            max(nb)::BIGINT AS n_second_half,
@@ -1362,15 +1366,31 @@ def ml_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.sparkSession.range(_PSI_NBINS).select(F.col("id").alias("bin"))
     )
     grid = et.crossJoin(bins)
+    # eqNullSafe on the type: a NULL event_type is a real group and its
+    # cells must land on the grid — a name-based join key would zero
+    # them (r7 null-riddled events harness; oracle mirrors with
+    # IS NOT DISTINCT FROM)
     a = cells.filter(F.col("half") == 0).select(
-        "event_type", "bin", F.col("c").alias("ca")
+        F.col("event_type").alias("a_et"), F.col("bin").alias("a_bin"),
+        F.col("c").alias("ca"),
     )
     b = cells.filter(F.col("half") == 1).select(
-        "event_type", "bin", F.col("c").alias("cb")
+        F.col("event_type").alias("b_et"), F.col("bin").alias("b_bin"),
+        F.col("c").alias("cb"),
     )
     wide = (
-        grid.join(a, ["event_type", "bin"], "left")
-        .join(b, ["event_type", "bin"], "left")
+        grid.join(
+            a,
+            F.col("event_type").eqNullSafe(F.col("a_et"))
+            & (F.col("bin") == F.col("a_bin")),
+            "left",
+        )
+        .join(
+            b,
+            F.col("event_type").eqNullSafe(F.col("b_et"))
+            & (F.col("bin") == F.col("b_bin")),
+            "left",
+        )
         .select(
             "event_type",
             "bin",

