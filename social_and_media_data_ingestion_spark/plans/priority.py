@@ -24,83 +24,76 @@ from __future__ import annotations
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
-    # ================= round-7 head =================
-    # Policy change this round: rotation is now driven by the
-    # CONTENT-HASH staleness ledger (tools/stale_rows.py, rewritten per
-    # the r6 verdict): a driver row is evidence only while the query's
-    # closure hash (function + oracle + transitive engine deps) is
-    # unchanged from the artifact's commit snapshot. The ledger reports
-    # 91 rows needing evidence — 3 never-sampled (the new ER family),
-    # 6 changed this round, and 82 whose only green rows predate
-    # engine-wide r2/r3-era changes (mostly the tables.py timestamp
-    # normalization) that the old date-based tool never surfaced. The
-    # head takes the 3 never + the 6 changed + the 41 with the OLDEST
-    # evidence (all 20 r01-era rows + the first 21 r02-era rows,
-    # alphabetical); the remaining 41 stale rows are queued for the
-    # round-8 head (tools/stale_rows.py prints the authoritative list).
+    # ================= round-7 head (final curation) =================
+    # Composition, in priority order, per the content-hash ledger
+    # (tools/stale_rows.py):
+    #   1. 5 never-sampled growth queries (ER phonetic family + the
+    #      magic-byte format sniffer);
+    #   2. every query whose CODE or ORACLE changed this round — the
+    #      perf items (containment anti-join, decayed-activity rewrite,
+    #      kw5k vocab cap, CC native-type ids), the null-riddled-
+    #      harness fixes (kwic crash, LSH garbage bucket, language-id /
+    #      quota / set-ops / PSI / multimodal null semantics), and the
+    #      valid-vector contract over the whole embedding family;
+    #   3. oldest-evidence stale fill (r01-era rows predating the
+    #      tables.py loader rework).
+    # The remaining ~62 stale rows are the round-8 queue
+    # (`python tools/stale_rows.py` prints the authoritative list).
     # Everything displaced stays covered by the local full gate
-    # (tools/verify_local.py runs all 252 with the identical oracle
+    # (tools/verify_local.py runs all 254 with the identical oracle
     # mechanism).
-    # -- never sampled: the new ER phonetic-blocking family and the
-    #    magic-byte format sniffer (r7 growth)
-    "er_phonetic_blocked_pairs",
-    "er_phonetic_block_audit",
-    "er_entity_clusters",
     "er_blocking_recall_audit",
+    "er_entity_clusters",
+    "er_phonetic_block_audit",
+    "er_phonetic_blocked_pairs",
     "multimodal_format_sniff",
-    # -- changed in r7 after their last driver row
-    "dedup_shingle_containment",  # r7: broadcast anti-join hot guard
-    "dedup_near_dup_clusters",  # r7: CC native-type node ids
-    "events_decayed_activity",  # r7: type-level agg, SMJ eliminated
-    "f2_keyword_substring_5k",  # r7: vocab cap before crossJoin
-    "f3_keyword_word_5k",  # r7: vocab cap before crossJoin
-    "graph_pagerank_purchases",  # r7: checkpoint-dir docstring (hash)
-    # -- changed in r7 by the null-riddled-harness fixes (semantics
-    #    aligned on NULL/empty inputs; real-data results unchanged,
-    #    re-proof rows still required by the content ledger)
-    "text_language_id",  # oracle: coalesce NULL hit counts
-    "text_kwic_contexts",  # empty-array crash fix (transform positions)
-    "dedup_minhash_lsh_pairs",  # garbage-bucket filter before banding
-    "array_set_ops",  # empty-set semantics for NULL text, both sides
-    "sample_fixed_quota_per_source",  # null-safe sampling key
-    "multimodal_image_profile",  # NULL payload -> NULL dims, both sides
-    "multimodal_audio_chunks",  # empty/NULL payload -> no chunks
-    "multimodal_frame_sample",  # NULL duration -> no frames
-    # -- stale, newest evidence r01
+    "dedup_shingle_containment",
+    "dedup_near_dup_clusters",
+    "events_decayed_activity",
+    "f2_keyword_substring_5k",
+    "f3_keyword_word_5k",
+    "graph_pagerank_purchases",
+    "text_language_id",
+    "text_kwic_contexts",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_calibration",
+    "array_set_ops",
+    "sample_fixed_quota_per_source",
+    "multimodal_image_profile",
+    "multimodal_audio_chunks",
+    "multimodal_frame_sample",
+    "ml_drift_psi",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "emb_vector_stats",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivf_lloyd_topk",
+    "emb_lloyd_centroids",
+    "emb_kmeans_assign",
+    "emb_kmeans_update",
+    "emb_hard_negatives",
+    "emb_quantize_int8",
+    "sim_int8_topk",
+    "sim_ann_recall",
+    "sim_ivf_recall",
+    "sim_ivf_lloyd_recall",
+    "emb_pq_topk",
+    "emb_pq_recall",
+    "sim_retrieval_mrr",
+    "emb_pca_top_component",
+    "emb_cluster_purity",
+    "emb_truncation_recall",
+    "emb_dim_variance",
+    "emb_knn_label_audit",
+    "emb_label_centroid_distances",
     "a4_distinct_dim",
     "agg_cube_revenue",
     "agg_distinct_stats",
     "agg_having_big_customers",
-    "f4_date_range",
-    "f5_lenient_parse_null_drop",
-    "f6_url_shape",
-    "f7_terms_extract",
-    "j4_anti_join",
-    "p4_concat_strip_urls",
-    "p5_nested_head",
-    "pivot_lineitem_status",
-    "q3_shipping_priority",
-    "scalar_datetime_roundtrip",
-    "scalar_dotted_date",
-    "scalar_string_funcs",
-    "setop_except",
-    "setop_intersect",
-    "subquery_above_avg",
-    "text_rolling_fingerprint",
-    # -- stale, newest evidence r02 (first 11 alphabetical; the rest —
-    #    dedup_simhash onward — rotate in round 8 with the other 43)
-    "a2_dedup_keep_first",
-    "a3_keep_latest",
-    "a6_max_watermark",
-    "agg_pricing_summary",
-    "agg_rollup_revenue",
-    "corpus_decontaminate",
-    "corpus_full_curation",
-    "dedup_embedding_cosine",
-    "dedup_fingerprint",
-    "dedup_minhash_calibration",
-    "dedup_minhash_signatures",
 ]
+
 
 _ROUND6_HEAD = [
     # round-6 head, kept for the rotation ledger (these 50 all went

@@ -30,7 +30,10 @@ from social_and_media_data_ingestion_spark.operators import keyword_match as KM
 from social_and_media_data_ingestion_spark.operators import projections as PR
 from social_and_media_data_ingestion_spark.operators import similarity as SIM
 from social_and_media_data_ingestion_spark.operators import text_analysis as TA
-from social_and_media_data_ingestion_spark.plans.tables import t
+from social_and_media_data_ingestion_spark.plans.tables import (
+    t,
+    vectors,
+)
 
 
 @dataclass(frozen=True)
@@ -933,8 +936,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "sim_cosine_topk",
     """
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM valid_embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS nid, embedding AS ce FROM valid_embeddings),
     s AS (
       SELECT qid AS query_id, nid AS neighbor_id,
              list_sum(list_transform(range(len(qe)), i -> qe[i+1]::DOUBLE * ce[i+1]::DOUBLE))
@@ -951,7 +955,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     res = SIM.cosine_topk(emb, queries, k=5)
     return res.select(
@@ -1396,15 +1400,16 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_vector_stats",
     """
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     SELECT vec_id,
            len(embedding)::BIGINT AS dim,
            round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS norm,
            round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 6) AS mean_val
-    FROM embeddings
+    FROM valid_embeddings
     """,
 )
 def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     sq_sum = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -1431,7 +1436,8 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "sim_lsh_topk",
     f"""
-    WITH b AS (
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    b AS (
       SELECT vec_id, embedding,
              {" + ".join(
                  f"(CASE WHEN list_sum(list_transform(range(len(embedding)), "
@@ -1439,7 +1445,7 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  f"THEN {1 << j} ELSE 0 END)"
                  for j, (a, b) in enumerate(SIM._PLANE_SEEDS[:3])
              )} AS bucket
-      FROM embeddings
+      FROM valid_embeddings
     ),
     q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 10),
     s AS (
@@ -1458,7 +1464,7 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     res = SIM.lsh_bucketed_topk(emb, queries, k=5, planes=3)
     return res.select(
@@ -1486,8 +1492,14 @@ def _cos2(a: str, b: str) -> str:
 @q(
     "sim_ivf_topk",
     f"""
-    WITH cent AS (
-      SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    cent AS (
+      -- first 8 VALID vectors by id: the operator seeds with
+      -- orderBy(id).limit(k) over the valid-vector frame, so under
+      -- the r7 contract 'vec_id < 8' would diverge when low ids are
+      -- invalid (null-riddled embeddings harness)
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM valid_embeddings ORDER BY vec_id LIMIT 8
     ),
     assigned AS (
       SELECT neighbor_id, c_vec, centroid_id FROM (
@@ -1497,7 +1509,7 @@ def _cos2(a: str, b: str) -> str:
         FROM (
           SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.centroid_id,
                  {_cos2("e.embedding", "c.ce")} AS cent_sim
-          FROM embeddings e CROSS JOIN cent c
+          FROM valid_embeddings e CROSS JOIN cent c
         )
       ) WHERE rn = 1
     ),
@@ -1509,7 +1521,7 @@ def _cos2(a: str, b: str) -> str:
         FROM (
           SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.centroid_id,
                  {_cos2("e.embedding", "c.ce")} AS cent_sim
-          FROM embeddings e CROSS JOIN cent c
+          FROM valid_embeddings e CROSS JOIN cent c
           WHERE e.vec_id < 10
         )
       ) WHERE rn <= 2
@@ -1529,7 +1541,7 @@ def _cos2(a: str, b: str) -> str:
     """,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     res = SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
     return res.select(
@@ -1555,10 +1567,12 @@ def _lloyd_cte_sql(n_centroids: int, iters: int) -> str:
     """DuckDB CTE chain cent0 -> (a0, cent1) -> ... mirroring
     similarity.lloyd_centroids exactly (argmax assign with centroid-id
     tie-break; element-wise mean rounded to 6dp)."""
+    # valid_embeddings: the composing oracles all define the
+    # valid-vector CTE at their WITH head (plans/tables.vectors twin)
     parts = [
         f"cent0 AS (SELECT vec_id AS centroid_id, "
         f"list_transform(embedding, x -> x::DOUBLE) AS ce "
-        f"FROM embeddings WHERE vec_id < {n_centroids})"
+        f"FROM valid_embeddings ORDER BY vec_id LIMIT {n_centroids})"
     ]
     for r in range(iters):
         parts.append(
@@ -1568,7 +1582,7 @@ def _lloyd_cte_sql(n_centroids: int, iters: int) -> str:
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_cos2("e.embedding", "c.ce")} DESC,
                                            c.centroid_id ASC) AS rn
-        FROM embeddings e CROSS JOIN cent{r} c
+        FROM valid_embeddings e CROSS JOIN cent{r} c
       ) WHERE rn = 1
     )"""
         )
@@ -1589,7 +1603,8 @@ def _lloyd_cte_sql(n_centroids: int, iters: int) -> str:
 @q(
     "sim_ivf_lloyd_topk",
     f"""
-    WITH {_lloyd_cte_sql(8, _LLOYD_ITERS)},
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    {_lloyd_cte_sql(8, _LLOYD_ITERS)},
     cent AS (SELECT centroid_id, ce FROM cent{_LLOYD_ITERS}),
     assigned AS (
       SELECT neighbor_id, c_vec, centroid_id FROM (
@@ -1599,7 +1614,7 @@ def _lloyd_cte_sql(n_centroids: int, iters: int) -> str:
         FROM (
           SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.centroid_id,
                  {_cos2("e.embedding", "c.ce")} AS cent_sim
-          FROM embeddings e CROSS JOIN cent c
+          FROM valid_embeddings e CROSS JOIN cent c
         )
       ) WHERE rn = 1
     ),
@@ -1611,7 +1626,7 @@ def _lloyd_cte_sql(n_centroids: int, iters: int) -> str:
         FROM (
           SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.centroid_id,
                  {_cos2("e.embedding", "c.ce")} AS cent_sim
-          FROM embeddings e CROSS JOIN cent c
+          FROM valid_embeddings e CROSS JOIN cent c
           WHERE e.vec_id < 10
         )
       ) WHERE rn <= 2
@@ -1631,7 +1646,7 @@ def _lloyd_cte_sql(n_centroids: int, iters: int) -> str:
     """,
 )
 def sim_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     res = SIM.ivf_topk(
         emb, queries, k=5, n_centroids=8, nprobe=2, lloyd_iters=_LLOYD_ITERS
@@ -1654,7 +1669,8 @@ def sim_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_lloyd_centroids",
     f"""
-    WITH {_lloyd_cte_sql(8, _LLOYD_ITERS)}
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    {_lloyd_cte_sql(8, _LLOYD_ITERS)}
     SELECT centroid_id::BIGINT AS centroid_id,
            generate_subscripts(ce, 1)::BIGINT - 1 AS dim_idx,
            unnest(ce) AS value
@@ -1662,7 +1678,7 @@ def sim_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     cdf = SIM.lloyd_centroids_df(emb, n_centroids=8, iters=_LLOYD_ITERS)
     return cdf.select(
         F.col("centroid_id").cast("long").alias("centroid_id"),
@@ -1878,7 +1894,8 @@ def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_embedding_cosine",
     """
-    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    e AS (SELECT vec_id, embedding FROM valid_embeddings WHERE vec_id < 300)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(
              list_sum(list_transform(range(len(a.embedding)), i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
@@ -1892,7 +1909,7 @@ def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    emb = vectors(spark, sf_dir).filter(F.col("vec_id") < 300)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))

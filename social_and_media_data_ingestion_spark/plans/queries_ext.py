@@ -25,7 +25,10 @@ from social_and_media_data_ingestion_spark.plans.queries import (
     _lang_hits_sql,
     q,
 )
-from social_and_media_data_ingestion_spark.plans.tables import t
+from social_and_media_data_ingestion_spark.plans.tables import (
+    t,
+    vectors,
+)
 
 
 # =============================================================================
@@ -1461,7 +1464,9 @@ def _kmeans_seed_centroids(
     key = f"{sf_dir}#k={k}"
     if key not in _KMEANS_CENTROID_CACHE:
         rows = (
-            t(spark, sf_dir, "embeddings")
+            # valid-vector contract: a NULL seed poisons every Lloyd
+            # round downstream (r7 null-riddled embeddings probe)
+            vectors(spark, sf_dir)
             .select("vec_id", "embedding")
             .filter(F.col("vec_id") < k)
             .limit(k)
@@ -1476,10 +1481,11 @@ def _kmeans_seed_centroids(
 @q(
     "emb_kmeans_assign",
     f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM valid_embeddings WHERE vec_id < 8),
     scored AS (
       SELECT vec_id, cid, {_COS_SQL.replace("qe", "embedding")} AS cos
-      FROM embeddings CROSS JOIN cent
+      FROM valid_embeddings CROSS JOIN cent
     )
     SELECT vec_id, cid AS centroid_id, round(cos, 4) AS cosine
     FROM (
@@ -1495,7 +1501,7 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmax shuffle, and no repeated centroid-collect job across calls.
     from social_and_media_data_ingestion_spark.operators import similarity as SIM
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     cents = _kmeans_seed_centroids(spark, sf_dir)
     best = F.array_max(SIM._centroid_sim_structs("embedding", cents))
     return emb.select(
@@ -1515,10 +1521,11 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_kmeans_update",
     f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM valid_embeddings WHERE vec_id < 8),
     scored AS (
       SELECT vec_id, cid, embedding, {_COS_SQL.replace("qe", "embedding")} AS cos
-      FROM embeddings CROSS JOIN cent
+      FROM valid_embeddings CROSS JOIN cent
     ),
     assigned AS (
       SELECT vec_id, cid, embedding
@@ -1544,7 +1551,7 @@ def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (centroid, dim) partial-aggregated update.
     from social_and_media_data_ingestion_spark.operators import similarity as SIM
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     cents = _kmeans_seed_centroids(spark, sf_dir)
     assigned = emb.select(
         SIM._nearest_centroid_expr("embedding", cents).alias("centroid_id"),
@@ -1762,14 +1769,15 @@ def window_percentile_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_hard_negatives",
     """
-    WITH q AS (SELECT vec_id AS qid, label AS ql, embedding AS qe
-               FROM embeddings WHERE vec_id < 10),
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    q AS (SELECT vec_id AS qid, label AS ql, embedding AS qe
+               FROM valid_embeddings WHERE vec_id < 10),
     s AS (
       SELECT qid AS query_id, vec_id AS negative_id,
              list_sum(list_transform(range(len(qe)), i -> qe[i+1]::DOUBLE * embedding[i+1]::DOUBLE))
              / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
                 * sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
-      FROM embeddings CROSS JOIN q
+      FROM valid_embeddings CROSS JOIN q
       WHERE label <> ql
     )
     SELECT query_id, negative_id, round(cos, 4) AS cosine, rank
@@ -1782,7 +1790,7 @@ def window_percentile_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     q_side = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("ql"),

@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 
 from social_and_media_data_ingestion_spark.operators import similarity as SIM
 from social_and_media_data_ingestion_spark.plans.queries import _TOKS, q
-from social_and_media_data_ingestion_spark.plans.tables import t
+from social_and_media_data_ingestion_spark.plans.tables import (
+    t,
+    vectors,
+)
 
 
 # =============================================================================
@@ -41,9 +44,10 @@ from social_and_media_data_ingestion_spark.plans.tables import t
 @q(
     "emb_quantize_int8",
     """
-    WITH e AS (
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed
-      FROM embeddings
+      FROM valid_embeddings
     ),
     s AS (
       SELECT vec_id, ed, list_min(ed) AS vmin,
@@ -66,7 +70,7 @@ from social_and_media_data_ingestion_spark.plans.tables import t
     """,
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     # Every intermediate (the double-cast vector, vmin, scale, the code
     # array) is LET-BOUND as a lambda variable in one nested expression:
     # column refs inside HOF lambdas are inlined by CollapseProject and
@@ -113,10 +117,11 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_label_centroid_distances",
     """
-    WITH ex AS (
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    ex AS (
       SELECT label, unnest(range(len(embedding))) AS pos,
              unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-      FROM embeddings
+      FROM valid_embeddings
     ),
     cent AS (SELECT label, pos, avg(val) AS v FROM ex GROUP BY 1, 2)
     SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
@@ -127,7 +132,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     ex = emb.select(
         "label",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
@@ -379,7 +384,7 @@ _QUANT_SQL = """
                CASE WHEN list_max(ed) - list_min(ed) <= 0 THEN 1.0
                     ELSE (list_max(ed) - list_min(ed)) / 255.0 END AS scale
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed
-              FROM embeddings)
+              FROM valid_embeddings)
       )
 """
 
@@ -387,7 +392,8 @@ _QUANT_SQL = """
 @q(
     "sim_int8_topk",
     f"""
-    WITH d AS ({_QUANT_SQL}),
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    d AS ({_QUANT_SQL}),
     q AS (SELECT vec_id AS qid, dq AS qe FROM d WHERE vec_id < 10),
     s AS (
       SELECT qid AS query_id, c.vec_id AS neighbor_id,
@@ -408,7 +414,7 @@ _QUANT_SQL = """
     """,
 )
 def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     # quantize -> dequantize in ONE nested let-bound expression (vmin /
     # scale bound as lambda-var struct fields, never re-evaluated per
     # element — see emb_quantize_int8 above for the O(dim^2) rationale)
@@ -674,7 +680,8 @@ _REG_BASE = {d.name: d for d in REGISTRY}
 @q(
     "sim_ann_recall",
     f"""
-    WITH exact AS ({_REG_BASE["sim_cosine_topk"].oracle}),
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    exact AS ({_REG_BASE["sim_cosine_topk"].oracle}),
     approx AS ({_REG_BASE["sim_lsh_topk"].oracle})
     SELECT e.query_id,
            count(a.neighbor_id)::BIGINT AS n_hit,
@@ -1023,7 +1030,8 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "sim_ivf_recall",
     f"""
-    WITH exact AS ({_REG_BASE["sim_cosine_topk"].oracle}),
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    exact AS ({_REG_BASE["sim_cosine_topk"].oracle}),
     approx AS ({_REG_BASE["sim_ivf_topk"].oracle})
     SELECT e.query_id,
            count(a.neighbor_id)::BIGINT AS n_hit,
@@ -1061,7 +1069,8 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "sim_ivf_lloyd_recall",
     f"""
-    WITH exact AS ({_REG_BASE["sim_cosine_topk"].oracle}),
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    exact AS ({_REG_BASE["sim_cosine_topk"].oracle}),
     approx AS ({_REG_BASE["sim_ivf_lloyd_topk"].oracle})
     SELECT e.query_id,
            count(a.neighbor_id)::BIGINT AS n_hit,
@@ -1212,10 +1221,11 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_dim_variance",
     """
-    WITH ex AS (
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    ex AS (
       SELECT unnest(range(len(embedding))) AS pos,
              unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-      FROM embeddings
+      FROM valid_embeddings
     ),
     v AS (SELECT pos, var_samp(val) AS variance FROM ex GROUP BY 1),
     r AS (SELECT pos::BIGINT AS dim, variance,
@@ -1226,7 +1236,7 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     ex = emb.select(
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
             "pos", "val"
@@ -2328,9 +2338,10 @@ _PQ_SQDIFF = (
 ).format(sub=_PQ_SUB)
 
 _PQ_TOPK_ORACLE = f"""
-    WITH seeds AS (
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kk, embedding
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+      FROM (SELECT vec_id, embedding FROM valid_embeddings ORDER BY vec_id LIMIT {_PQ_K})
     ),
     book AS (
       SELECT mm, kk,
@@ -2346,7 +2357,7 @@ _PQ_TOPK_ORACLE = f"""
                    i -> (e.embedding[b.mm * {_PQ_SUB} + i + 1]::DOUBLE - b.w[i + 1])
                       * (e.embedding[b.mm * {_PQ_SUB} + i + 1]::DOUBLE - b.w[i + 1]))) ASC,
                  b.kk ASC) AS rn
-        FROM embeddings e CROSS JOIN book b
+        FROM valid_embeddings e CROSS JOIN book b
       ) WHERE rn = 1
     ),
     encl AS (SELECT vec_id, list(code ORDER BY mm) AS codes FROM enc GROUP BY vec_id),
@@ -2357,7 +2368,7 @@ _PQ_TOPK_ORACLE = f"""
              list_sum(list_transform(range({_PQ_M}), mm ->
                list_sum(list_transform(range({_PQ_SUB}), i -> {_PQ_SQDIFF}))
              )) AS approx_d
-      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+      FROM (SELECT vec_id, embedding FROM valid_embeddings WHERE vec_id < 10) q
       CROSS JOIN encl e
       CROSS JOIN books_all
       WHERE e.vec_id <> q.vec_id
@@ -2374,7 +2385,7 @@ _PQ_TOPK_ORACLE = f"""
 
 @q("emb_pq_topk", _PQ_TOPK_ORACLE)
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     res = SIM.pq_topk(
         emb, queries, k=5, m_subvectors=_PQ_M, n_codes=_PQ_K
@@ -2395,7 +2406,8 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_pq_recall",
     f"""
-    WITH exact AS (
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    exact AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -2403,7 +2415,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> (q.embedding[i + 1]::DOUBLE - e.embedding[i + 1]::DOUBLE)
                       * (q.embedding[i + 1]::DOUBLE - e.embedding[i + 1]::DOUBLE))) ASC,
                  e.vec_id ASC) AS rk
-        FROM embeddings q CROSS JOIN embeddings e
+        FROM valid_embeddings q CROSS JOIN valid_embeddings e
         WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
       ) WHERE rk <= 5
     ),
@@ -2418,7 +2430,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     exact = SIM.l2_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     approx = SIM.pq_topk(
@@ -2794,7 +2806,7 @@ _L2_EXACT_ORACLE = """
                  i -> (q.embedding[i + 1]::DOUBLE - e.embedding[i + 1]::DOUBLE)
                     * (q.embedding[i + 1]::DOUBLE - e.embedding[i + 1]::DOUBLE))) ASC,
                e.vec_id ASC) AS rk
-      FROM embeddings q CROSS JOIN embeddings e
+      FROM valid_embeddings q CROSS JOIN valid_embeddings e
       WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
     ) WHERE rk <= 5
 """
@@ -2821,6 +2833,7 @@ def _mrr_sql(method: str, approx_oracle: str, exact_oracle: str) -> str:
 @q(
     "sim_retrieval_mrr",
     f"""
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     {_mrr_sql("lsh", _REG_BASE["sim_lsh_topk"].oracle, _REG_BASE["sim_cosine_topk"].oracle)}
     UNION ALL
     {_mrr_sql("ivf", _REG_BASE["sim_ivf_topk"].oracle, _REG_BASE["sim_cosine_topk"].oracle)}
@@ -2829,7 +2842,7 @@ def _mrr_sql(method: str, approx_oracle: str, exact_oracle: str) -> str:
     """,
 )
 def sim_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
 
     def mrr(method: str, approx: DataFrame, exact: DataFrame) -> DataFrame:
@@ -3073,8 +3086,9 @@ def _pca_oracle() -> str:
     )""")
         prev = f"v{k}"
     return f"""
-    WITH e AS (
-      SELECT list_transform(embedding, x -> x::DOUBLE) AS x FROM embeddings
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    e AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS x FROM valid_embeddings
     ),
     dim AS (SELECT len(x) AS d FROM e LIMIT 1),
     v0 AS (
@@ -3095,7 +3109,7 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         power_iteration_top_component,
     )
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     v, ray = power_iteration_top_component(emb, iters=_PCA_ITERS)
     spark2 = emb.sparkSession
     return spark2.createDataFrame(

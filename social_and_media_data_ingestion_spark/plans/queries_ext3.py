@@ -20,7 +20,10 @@ from social_and_media_data_ingestion_spark.operators.temporal_join import (
     time_band_join,
 )
 from social_and_media_data_ingestion_spark.plans.queries import _TOKS, q
-from social_and_media_data_ingestion_spark.plans.tables import t
+from social_and_media_data_ingestion_spark.plans.tables import (
+    t,
+    vectors,
+)
 
 
 def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,8 +409,14 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_cluster_purity",
     """
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    cent AS (
+      -- vec_id < 8 over VALID vectors: mirrors emb_kmeans_assign's
+      -- seed cache (vectors().filter(vec_id < k)), which this query
+      -- composes — NOT the orderBy-limit seeding the Lloyd/IVF family
+      -- uses
+      SELECT vec_id AS cid, embedding AS ce
+      FROM valid_embeddings WHERE vec_id < 8
     ),
     scored AS (
       SELECT e.vec_id, e.label, cent.cid,
@@ -417,7 +426,7 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   x -> x::DOUBLE * x::DOUBLE)))
               * sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE))))
                AS cos
-      FROM embeddings e CROSS JOIN cent
+      FROM valid_embeddings e CROSS JOIN cent
     ),
     assigned AS (
       SELECT vec_id, label, cid
@@ -433,8 +442,12 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     best AS (
       SELECT cid, label AS majority_label, n AS n_majority,
+             -- NULLS LAST explicitly: on a majority TIE between a
+             -- real label and NULL (unlabeled members), the real label
+             -- wins on both engines (Spark defaults NULLS FIRST,
+             -- DuckDB NULLS LAST — r7 null harness)
              row_number() OVER (PARTITION BY cid
-                                ORDER BY n DESC, label ASC) AS rk
+                                ORDER BY n DESC, label ASC NULLS LAST) AS rk
       FROM lc
     ),
     sizes AS (SELECT cid, sum(n)::BIGINT AS n_members FROM lc GROUP BY 1)
@@ -453,13 +466,16 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     assigned = emb_kmeans_assign(spark, sf_dir).select("vec_id", "centroid_id")
-    labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labels = vectors(spark, sf_dir).select("vec_id", "label")
     lc = (
         assigned.join(labels, "vec_id")
         .groupBy("centroid_id", "label")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.partitionBy("centroid_id").orderBy(F.desc("n"), F.asc("label"))
+    # NULLS LAST: mirror of the oracle tie-break (see its comment)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("n"), F.asc_nulls_last("label")
+    )
     best = (
         lc.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)

@@ -46,7 +46,10 @@ from pyspark.sql import functions as F
 
 from social_and_media_data_ingestion_spark.operators.dedup import _polyhash, _tokens
 from social_and_media_data_ingestion_spark.plans.queries import _TOKS, q
-from social_and_media_data_ingestion_spark.plans.tables import t
+from social_and_media_data_ingestion_spark.plans.tables import (
+    t,
+    vectors,
+)
 
 
 def _r(col, dp: int):
@@ -572,8 +575,9 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_knn_label_audit",
     """
-    WITH probes AS (
-      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 40 = 0
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    probes AS (
+      SELECT vec_id, embedding, label FROM valid_embeddings WHERE vec_id % 40 = 0
     ),
     scored AS (
       SELECT p.vec_id AS query_id, p.label AS true_label,
@@ -584,7 +588,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   x -> x::DOUBLE * x::DOUBLE)))
               * sqrt(list_sum(list_transform(c.embedding,
                   x -> x::DOUBLE * x::DOUBLE)))) AS cos
-      FROM probes p JOIN embeddings c ON c.vec_id <> p.vec_id
+      FROM probes p JOIN valid_embeddings c ON c.vec_id <> p.vec_id
     ),
     knn AS (
       SELECT query_id, true_label, n_label
@@ -617,7 +621,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_and_media_data_ingestion_spark.operators.similarity import cosine_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") % 40 == 0)
     knn = cosine_topk(emb, probes, k=5)
     labels = emb.select(

@@ -65,7 +65,10 @@ from pyspark.sql import functions as F
 
 from social_and_media_data_ingestion_spark.operators.dedup import _polyhash, _tokens
 from social_and_media_data_ingestion_spark.plans.queries import q
-from social_and_media_data_ingestion_spark.plans.tables import t
+from social_and_media_data_ingestion_spark.plans.tables import (
+    t,
+    vectors,
+)
 
 # anchor date for integer day indices (differences are what matter; the
 # anchor just has to precede any data)
@@ -1446,8 +1449,8 @@ def _cos_topk_sql(slice_expr: str) -> str:
                 * sqrt(list_sum(list_transform(range(len({ce})),
                                                i -> {ce}[i+1]::DOUBLE * {ce}[i+1]::DOUBLE))))
                AS cos
-      FROM (SELECT vec_id AS nid, embedding AS ce FROM embeddings) c,
-           (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      FROM (SELECT vec_id AS nid, embedding AS ce FROM valid_embeddings) c,
+           (SELECT vec_id AS qid, embedding AS qe FROM valid_embeddings
             WHERE vec_id < 10) q
       WHERE nid <> qid
     """
@@ -1456,7 +1459,8 @@ def _cos_topk_sql(slice_expr: str) -> str:
 @q(
     "emb_truncation_recall",
     f"""
-    WITH fs AS ({_cos_topk_sql("{v}")}),
+    WITH valid_embeddings AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+    fs AS ({_cos_topk_sql("{v}")}),
     exact AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
@@ -1483,7 +1487,7 @@ def _cos_topk_sql(slice_expr: str) -> str:
 def emb_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_and_media_data_ingestion_spark.operators import similarity as SIM
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     exact = SIM.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     trunc = emb.select(

@@ -104,3 +104,30 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """SQL entry point: views + spark.sql(query)."""
     register_views(spark, sf_dir)
     return spark.sql(query)
+
+
+# Valid-vector contract (round 7): a NULL embedding (failed encoder), an
+# empty array, or an all-zero vector (no direction -> cosine is 0/0)
+# cannot participate in ANY vector operation — on a real lake they exist,
+# and unguarded they either ANSI-crash the job (DIVIDE_BY_ZERO at the
+# norm, INVALID_ARRAY_INDEX in PCA) or poison driver-side centroid
+# bootstraps (found by the r7 null-riddled embeddings probe: 21 of 24
+# vector queries died). Every vector query loads through `vectors()` and
+# mirrors VALID_EMBEDDING_SQL in its oracle; the filter is a no-op on
+# the generated testdata and pushes the IS NOT NULL conjunct to the
+# parquet scan.
+VALID_EMBEDDING_SQL = (
+    "embedding IS NOT NULL AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+
+
+def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the valid-vector contract."""
+    from pyspark.sql import functions as F
+
+    return t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & F.exists("embedding", lambda x: x != 0)
+    )

@@ -248,3 +248,85 @@ def test_every_events_query_agrees_on_null_riddled_table(
         if len(gs) != len(ws) or not gs.equals(ws):
             bad.append(f"{name}: value/rowcount divergence")
     assert not bad, "\n".join(bad)
+
+
+@pytest.fixture(scope="module")
+def null_embeddings_dir(spark, tmp_path_factory):
+    import numpy as np
+
+    tmp = tmp_path_factory.mktemp("nullemb")
+    rng = np.random.RandomState(7)
+    rows = []
+    for vid in range(30):
+        if vid % 9 == 0:
+            emb = None  # failed encoder
+        elif vid % 9 == 1:
+            emb = []  # degenerate empty vector
+        elif vid % 9 == 2:
+            emb = [0.0] * 64  # zero-norm: no direction, cosine is 0/0
+        else:
+            emb = [float(round(x, 3)) for x in rng.randn(64)]
+        rows.append((vid, emb, None if vid % 5 == 0 else vid % 4))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    sdf.write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+    return str(tmp)
+
+
+def _embeddings_only_queries():
+    others = [t for t in OTHER_TABLES if t != "embeddings"] + [
+        "documents",
+        "events",
+    ]
+    return [
+        name
+        for name, qd in registry().items()
+        if qd.oracle
+        and "embeddings" in qd.oracle.lower()
+        and not any(re.search(rf"\b{t}\b", qd.oracle.lower()) for t in others)
+    ]
+
+
+def test_every_embeddings_query_agrees_on_null_riddled_table(
+    spark, null_embeddings_dir
+):
+    """NULL / empty / zero-norm vectors across every embeddings-only
+    query. Before the r7 valid-vector contract (plans/tables.vectors +
+    the mirrored valid_embeddings oracle CTE), 21 of 24 vector queries
+    DIED on this fixture: ANSI DIVIDE_BY_ZERO at the cosine norm,
+    INVALID_ARRAY_INDEX in PCA, and NoneType poisoning of the
+    driver-side k-means/PQ centroid bootstraps."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{null_embeddings_dir}/embeddings.parquet/*.parquet')"
+    )
+    reg = registry()
+    names = _embeddings_only_queries()
+    assert len(names) >= 24
+    bad = []
+    for name in names:
+        qd = reg[name]
+        try:
+            got = qd.spark(spark, null_embeddings_dir).toPandas()
+            want = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+            continue
+        gs = (
+            got[sorted(got.columns)]
+            .astype(str)
+            .sort_values(sorted(got.columns))
+            .reset_index(drop=True)
+        )
+        ws = (
+            want[sorted(want.columns)]
+            .astype(str)
+            .sort_values(sorted(want.columns))
+            .reset_index(drop=True)
+        )
+        if len(gs) != len(ws) or not gs.equals(ws):
+            bad.append(f"{name}: value/rowcount divergence")
+    assert not bad, "\n".join(bad)
