@@ -1772,7 +1772,15 @@ def events_percent_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         (
             F.floor(
-                F.coalesce((F.col("total") - prev) / prev, F.lit(0.0)) * 10000
+                # try_divide: a zero-revenue previous day must yield
+                # pct_change 0.0 (via NULL -> coalesce), not an ANSI
+                # DIVIDE_BY_ZERO crash — DuckDB's x/0 is NULL, so the
+                # oracle always had the coalesce path (r7
+                # extreme-values probe)
+                F.coalesce(
+                    F.try_divide(F.col("total") - prev, prev), F.lit(0.0)
+                )
+                * 10000
                 + F.lit(0.5)
             )
             / 10000

@@ -2989,7 +2989,10 @@ def orders_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH uw AS (
       SELECT DISTINCT user_id,
-             date_diff('day', DATE '{_EPOCH}', ts::DATE) // 7 AS week
+             -- floor division, not //: DuckDB's // truncates toward
+             -- zero, so pre-1970 (negative-day) weeks were off by one
+             -- vs Spark's floor (r7 extreme-timestamps probe)
+             CAST(floor(date_diff('day', DATE '{_EPOCH}', ts::DATE) / 7.0) AS BIGINT) AS week
       FROM events
     ),
     firsts AS (
@@ -3052,7 +3055,8 @@ def events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d AS (
       SELECT DISTINCT date_diff('day', DATE '{_EPOCH}', ts::DATE) AS day,
-             date_diff('day', DATE '{_EPOCH}', ts::DATE) // 7 AS week,
+             -- floor division (see events_retention_matrix note)
+             CAST(floor(date_diff('day', DATE '{_EPOCH}', ts::DATE) / 7.0) AS BIGINT) AS week,
              user_id
       FROM events
     ),

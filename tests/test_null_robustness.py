@@ -330,3 +330,145 @@ def test_every_embeddings_query_agrees_on_null_riddled_table(
         if len(gs) != len(ws) or not gs.equals(ws):
             bad.append(f"{name}: value/rowcount divergence")
     assert not bad, "\n".join(bad)
+
+
+def test_streaming_queries_survive_null_riddled_inputs(
+    spark, null_events_dir, null_docs_dir
+):
+    """The nullable-column-sensitive streaming operators must neither
+    crash nor diverge from their oracles on null-riddled micro-batches
+    (NULL event_type/value/props; NULL/empty document text feeding the
+    shingle index). Batch-side nulls crashed Arrow batches and built
+    garbage LSH buckets before the r7 fixes — the streaming paths share
+    that machinery."""
+    import shutil
+
+    combined = null_events_dir  # events + documents side by side
+    if not (
+        __import__("os").path.exists(f"{null_events_dir}/documents.parquet")
+    ):
+        shutil.copytree(
+            f"{null_docs_dir}/documents.parquet",
+            f"{null_events_dir}/documents.parquet",
+        )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{combined}/events.parquet/*.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{combined}/documents.parquet/*.parquet')"
+    )
+    reg = registry()
+    bad = []
+    for name in [
+        "stream_dedup_watermark",
+        "stream_stateful_running_totals",
+        "stream_threshold_alerts",
+        "stream_neardup_filter",
+    ]:
+        qd = reg[name]
+        try:
+            got = qd.spark(spark, combined).toPandas()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+            continue
+        if qd.oracle is None:
+            continue
+        want = con.execute(qd.oracle).fetchdf()
+        gs = (
+            got[sorted(got.columns)]
+            .astype(str)
+            .sort_values(sorted(got.columns))
+            .reset_index(drop=True)
+        )
+        ws = (
+            want[sorted(want.columns)]
+            .astype(str)
+            .sort_values(sorted(want.columns))
+            .reset_index(drop=True)
+        )
+        if len(gs) != len(ws) or not gs.equals(ws):
+            bad.append(f"{name}: value/rowcount divergence")
+    assert not bad, "\n".join(bad)
+
+
+@pytest.fixture(scope="module")
+def extreme_ts_events_dir(spark, tmp_path_factory):
+    import datetime as dt
+
+    tmp = tmp_path_factory.mktemp("extremets")
+    stamps = [
+        dt.datetime(1969, 12, 31, 23, 59, 59),  # negative epoch second
+        dt.datetime(1969, 7, 20, 20, 17, 40),
+        dt.datetime(1970, 1, 1, 0, 0, 0),  # epoch zero
+        dt.datetime(1900, 1, 1, 0, 0, 0),  # deep past
+        dt.datetime(2024, 2, 29, 12, 0, 0),  # leap day
+        dt.datetime(2024, 3, 31, 2, 30, 0),  # EU DST-gap wall time
+        dt.datetime(2038, 1, 19, 3, 14, 8),  # past 32-bit rollover
+    ]
+    # year-9999 values are excluded NOT because the engines disagree but
+    # because pandas/Arrow interchange (timestamp[ns]) cannot represent
+    # them — the comparison harness would fail, not the query
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for k, ts in enumerate(stamps):
+            rows.append(
+                (eid, ts, u, ["view", "click", "purchase"][k % 3],
+                 float(k), "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp / "events.parquet")
+    )
+    return str(tmp)
+
+
+def test_every_events_query_agrees_on_extreme_timestamps(
+    spark, extreme_ts_events_dir
+):
+    """Pre-1970 (negative epoch), epoch zero, deep past, leap day, DST
+    wall times, and post-2038 timestamps across every events-only
+    query. Found in r7: DuckDB's `//` integer division truncates toward
+    zero while Spark's floor(x/7) floors, so pre-1970 week indices were
+    off by one in the retention/stickiness oracles; and
+    events_percent_change_daily CRASHED under ANSI when a zero-revenue
+    day became a lag() divisor (DuckDB's x/0 is NULL -> coalesce 0.0;
+    Spark now try_divide's to match)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{extreme_ts_events_dir}/events.parquet/*.parquet')"
+    )
+    reg = registry()
+    names = _events_only_queries()
+    bad = []
+    for name in names:
+        qd = reg[name]
+        try:
+            got = qd.spark(spark, extreme_ts_events_dir).toPandas()
+            want = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+            continue
+        gs = (
+            got[sorted(got.columns)]
+            .astype(str)
+            .sort_values(sorted(got.columns))
+            .reset_index(drop=True)
+        )
+        ws = (
+            want[sorted(want.columns)]
+            .astype(str)
+            .sort_values(sorted(want.columns))
+            .reset_index(drop=True)
+        )
+        if len(gs) != len(ws) or not gs.equals(ws):
+            bad.append(f"{name}: value/rowcount divergence")
+    assert not bad, "\n".join(bad)
