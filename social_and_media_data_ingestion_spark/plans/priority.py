@@ -24,28 +24,24 @@ from __future__ import annotations
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
-    # ================= round-7 head (final curation) =================
-    # Composition, in priority order, per the content-hash ledger
-    # (tools/stale_rows.py):
-    #   1. 5 never-sampled growth queries (ER phonetic family + the
-    #      magic-byte format sniffer);
-    #   2. every query whose CODE or ORACLE changed this round — the
-    #      perf items (containment anti-join, decayed-activity rewrite,
-    #      kw5k vocab cap, CC native-type ids), the null-riddled-
-    #      harness fixes (kwic crash, LSH garbage bucket, language-id /
-    #      quota / set-ops / PSI / multimodal null semantics), and the
-    #      valid-vector contract over the whole embedding family;
-    #   3. oldest-evidence stale fill (r01-era rows predating the
-    #      tables.py loader rework).
-    # The remaining ~62 stale rows are the round-8 queue
-    # (`python tools/stale_rows.py` prints the authoritative list).
+    # ================= round-7 head (final) =================
+    # Built by the content-hash ledger (tools/stale_rows.py), priority:
+    #   1. never-sampled growth queries (ER phonetic family, magic-byte
+    #      sniffer, non-finite metrics audit);
+    #   2. every query whose code or oracle changed in r7 (perf items,
+    #      null-riddled-harness fixes, the valid-vector contract over
+    #      the embedding family, the extreme-timestamp fixes);
+    #   3. oldest-evidence stale fill.
+    # The remaining stale rows are the round-8 queue (run
+    # `python tools/stale_rows.py` for the authoritative list).
     # Everything displaced stays covered by the local full gate
-    # (tools/verify_local.py runs all 254 with the identical oracle
+    # (tools/verify_local.py runs all 255 with the identical oracle
     # mechanism).
     "er_blocking_recall_audit",
     "er_entity_clusters",
     "er_phonetic_block_audit",
     "er_phonetic_blocked_pairs",
+    "events_nonfinite_audit",
     "multimodal_format_sniff",
     "dedup_shingle_containment",
     "dedup_near_dup_clusters",
@@ -64,6 +60,9 @@ PRIORITY_HEAD = [
     "multimodal_audio_chunks",
     "multimodal_frame_sample",
     "ml_drift_psi",
+    "events_percent_change_daily",
+    "events_retention_matrix",
+    "events_stickiness_weekly",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "emb_vector_stats",
@@ -88,11 +87,8 @@ PRIORITY_HEAD = [
     "emb_dim_variance",
     "emb_knn_label_audit",
     "emb_label_centroid_distances",
-    "a4_distinct_dim",
-    "agg_cube_revenue",
-    "agg_distinct_stats",
-    "agg_having_big_customers",
 ]
+
 
 
 _ROUND6_HEAD = [

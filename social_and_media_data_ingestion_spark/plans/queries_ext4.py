@@ -563,6 +563,58 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# DQ — non-finite metrics audit (r7). The engine's metric queries
+# assume FINITE inputs: NaN/Inf survive IEEE arithmetic differently
+# depending on EXPRESSION SHAPE (0*inf vs inf*0 ordering, and Spark's
+# floor(inf * 10^dp) silently wraps to LONG_MAX-scale garbage while
+# DuckDB keeps inf — found by the r7 extreme-values probe), so the
+# contract is enforced at ingestion, not re-derived in every
+# aggregation. This is the gate: per metric column, how many rows are
+# NULL / NaN / ±Inf, and the finite fraction a pipeline can threshold
+# on. One partial-aggregable scan; no shuffle beyond |event_type| rows.
+# =============================================================================
+@q(
+    "events_nonfinite_audit",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n_rows,
+           count(*) FILTER (WHERE value IS NULL)::BIGINT AS n_null,
+           count(*) FILTER (WHERE isnan(value))::BIGINT AS n_nan,
+           count(*) FILTER (WHERE isinf(value))::BIGINT AS n_inf,
+           count(*) FILTER (WHERE value IS NOT NULL
+                              AND NOT isnan(value)
+                              AND NOT isinf(value))::BIGINT AS n_finite,
+           floor(count(*) FILTER (WHERE value IS NOT NULL
+                                    AND NOT isnan(value)
+                                    AND NOT isinf(value))::DOUBLE
+                 / count(*) * 1000000 + 0.5) / 1000000 AS finite_frac
+    FROM events GROUP BY 1
+    """,
+)
+def events_nonfinite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value")
+    inf = F.lit(float("inf"))
+    is_nan = v.isNotNull() & F.isnan(v)
+    is_inf = v.isNotNull() & ((v == inf) | (v == -inf))
+    is_finite = v.isNotNull() & ~F.isnan(v) & (v != inf) & (v != -inf)
+    n_finite = F.count_if(is_finite)
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_if(v.isNull()).cast("bigint").alias("n_null"),
+        F.count_if(is_nan).cast("bigint").alias("n_nan"),
+        F.count_if(is_inf).cast("bigint").alias("n_inf"),
+        n_finite.cast("bigint").alias("n_finite"),
+        (
+            F.floor(
+                n_finite.cast("double") / F.count("*") * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("finite_frac"),
+    )
+
+
+# =============================================================================
 # Embedding audit — k-NN label consistency (leave-one-out): for a
 # hash-sampled probe set (vec_id % 40 == 0), predict each probe's label
 # by majority vote of its 5 nearest neighbors (cosine; the probe itself

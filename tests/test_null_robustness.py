@@ -472,3 +472,49 @@ def test_every_events_query_agrees_on_extreme_timestamps(
         if len(gs) != len(ws) or not gs.equals(ws):
             bad.append(f"{name}: value/rowcount divergence")
     assert not bad, "\n".join(bad)
+
+
+def test_nonfinite_audit_counts_and_contract(spark, tmp_path):
+    """events_nonfinite_audit is the enforcement point of the
+    finite-metrics contract: NaN/Inf survive IEEE arithmetic
+    differently depending on expression shape across engines (and
+    Spark's floor(inf * 10^dp) wraps to LONG_MAX-scale garbage while
+    DuckDB keeps inf), so metric queries assume finite inputs and THIS
+    query is the ingestion gate that finds violations. Exact counts on
+    a fixture of every non-finite class, and the oracle agrees."""
+    import datetime as dt
+
+    vals = [
+        float("nan"),
+        float("inf"),
+        float("-inf"),
+        1e308,
+        -0.0,
+        None,
+        5.0,
+        1e-308,
+    ]
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 10, i, 0), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    # NOT via pandas: its NaN-is-missing convention would silently turn
+    # the NaN row into a NULL before Spark ever sees it
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    reg = registry()
+    got = reg["events_nonfinite_audit"].spark(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_rows, r.n_null, r.n_nan, r.n_inf, r.n_finite) == (8, 1, 1, 2, 4)
+    assert r.finite_frac == 0.5
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = con.execute(reg["events_nonfinite_audit"].oracle).fetchall()
+    assert want == [("view", 8, 1, 1, 2, 4, 0.5)]
