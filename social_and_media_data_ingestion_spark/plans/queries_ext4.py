@@ -499,6 +499,11 @@ def stats_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (WHERE ts IS NULL) = 0
     FROM events
     UNION ALL
+    SELECT 'events_pk_dups',
+           (count(*) - count(DISTINCT event_id))::DOUBLE,
+           count(*) = count(DISTINCT event_id)
+    FROM events
+    UNION ALL
     SELECT 'documents_nonempty_text_frac',
            floor(avg(CASE WHEN len(trim(text)) > 0 THEN 1.0 ELSE 0.0 END)
                  * 1000000 + 0.5) / 1000000,
@@ -550,6 +555,19 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("ts").isNull()).cast("double").alias("metric"),
         (F.count_if(F.col("ts").isNull()) == 0).alias("passed"),
     )
+    # event_id is the events PK: per-id grouping, tie-breaks, and
+    # id-keyed joins are all ambiguous under at-least-once replays, so
+    # duplicates must be caught HERE (and cured by the keep-first /
+    # watermark dedup operators) before analytics run — the r7
+    # duplicate-id probe showed 3 queries legitimately diverging on a
+    # violated PK
+    ev_pk = events.agg(
+        F.lit("events_pk_dups").alias("check_id"),
+        (F.count("*") - F.countDistinct("event_id"))
+        .cast("double")
+        .alias("metric"),
+        (F.count("*") == F.countDistinct("event_id")).alias("passed"),
+    )
     nonempty = F.when(F.length(F.trim("text")) > 0, 1.0).otherwise(0.0)
     txt = documents.agg(
         F.lit("documents_nonempty_text_frac").alias("check_id"),
@@ -557,7 +575,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg(nonempty) >= 0.99).alias("passed"),
     )
     out = rowcount
-    for part in (pk, nulls, orphans, qty, ts_nulls, txt):
+    for part in (pk, nulls, orphans, qty, ts_nulls, ev_pk, txt):
         out = out.unionAll(part)
     return out
 

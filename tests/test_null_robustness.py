@@ -518,3 +518,90 @@ def test_nonfinite_audit_counts_and_contract(spark, tmp_path):
     )
     want = con.execute(reg["events_nonfinite_audit"].oracle).fetchall()
     assert want == [("view", 8, 1, 1, 2, 4, 0.5)]
+
+
+def test_duplicate_event_ids_detected_and_curable(spark, tmp_path):
+    """event_id is the events PK. Under at-least-once replays (exact
+    duplicates) or upstream rewrites (same id, conflicting payload),
+    per-id grouping, tie-breaks, and id-keyed joins are genuinely
+    ambiguous — the r7 duplicate-id probe showed 54/57 events queries
+    still agree cross-engine but 3 legitimately diverge on the violated
+    PK. The engine's contract: detect via dq_constraint_report's
+    events_pk_dups check, cure via the keep-first dedup operator, and
+    only then run analytics."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = []
+    for eid in range(12):
+        ts = dt.datetime(2024, 1, 1, 10, eid, 0)
+        rows.append((eid, ts, eid % 3, "view", float(eid), "{}"))
+        if eid % 4 == 0:  # at-least-once replay
+            rows.append((eid, ts, eid % 3, "view", float(eid), "{}"))
+        if eid % 5 == 0:  # same id, conflicting later payload
+            rows.append(
+                (eid, ts + dt.timedelta(seconds=30), eid % 3, "click",
+                 float(eid) + 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    # the other tables the DQ report scans (minimal valid frames)
+    spark.createDataFrame(
+        [(1, 1, "O", 10.0, "1996-01-02", "1-URGENT", "c", 0, "x")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "Customer#1", "addr", 1, "p", 0.0, "s", "c")],
+        "c_custkey bigint, c_name string, c_address string, "
+        "c_nationkey bigint, c_phone string, c_acctbal double, "
+        "c_mktsegment string, c_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 5.0, 100.0, 0.1, 0.02, "N", "O",
+          "1996-03-13", "1996-02-12", "1996-03-22", "D", "T", "c")],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string, l_commitdate string, "
+        "l_receiptdate string, l_shipinstruct string, l_shipmode string, "
+        "l_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(0, "some text", "en", "src0", 9)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    report = {
+        r.check_id: (r.metric, r.passed)
+        for r in registry()["dq_constraint_report"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # DETECT: 3 replays + 3 rewrites = 6 extra rows on 12 distinct ids
+    assert report["events_pk_dups"] == (6.0, False)
+    # CURE: keep-first dedup restores the PK ...
+    ev = registry  # noqa: F841 - keep flake quiet about the import use
+    from social_and_media_data_ingestion_spark.plans.tables import t as load_t
+
+    events = load_t(spark, str(tmp_path), "events")
+    # keep-FIRST per id = keep_latest's window with ascending order:
+    # one row per event_id, earliest (ts, then stable payload) wins
+    w = Window.partitionBy("event_id").orderBy(F.asc("ts"), F.asc("event_type"))
+    cured = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    assert cured.count() == 12
+    assert cured.select("event_id").distinct().count() == 12
+    # ... keeping the EARLIEST row per id (the original, not the rewrite)
+    kept = {r.event_id: r.event_type for r in cured.collect()}
+    assert all(v == "view" for v in kept.values())
