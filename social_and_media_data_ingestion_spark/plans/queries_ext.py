@@ -1690,13 +1690,18 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_chunks",
     """
     WITH s AS (
-      -- empty-text guard: DuckDB's string_split('', '') yields ['']
-      -- (one empty element, ascii 0) while Python's list(b'') is [] —
-      -- an empty payload must produce NO chunks on both engines
+      -- samples are UTF-8 BYTES (the fake's contract: one payload byte
+      -- = one 8-bit PCM sample), NOT codepoints: ascii(c) on a
+      -- character returns the full codepoint (ascii('X' emoji) =
+      -- 127881), which silently diverged from Python's list(bytes) on
+      -- any non-ASCII text (r7 unicode probe). Bytes come from hex
+      -- pairs of the encoded blob; range(0) on empty text also fixes
+      -- the old string_split('', '') == [''] empty-payload bug.
       SELECT doc_id AS media_id,
-             CASE WHEN length(text) = 0 THEN []::DOUBLE[]
-                  ELSE list_transform(string_split(text, ''),
-                                      c -> ascii(c)::DOUBLE) END AS samples
+             list_transform(range(octet_length(encode(text))),
+                            i -> ('0x' || substr(hex(encode(text)),
+                                                 i * 2 + 1, 2))::INT::DOUBLE)
+               AS samples
       FROM documents
     ),
     c AS (

@@ -605,3 +605,76 @@ def test_duplicate_event_ids_detected_and_curable(spark, tmp_path):
     # ... keeping the EARLIEST row per id (the original, not the rewrite)
     kept = {r.event_id: r.event_type for r in cured.collect()}
     assert all(v == "view" for v in kept.values())
+
+
+@pytest.fixture(scope="module")
+def unicode_docs_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("unidocs")
+    texts = [
+        "plain ascii words",
+        "nbsp separated words",
+        "thin space and em space",
+        "line sep and para sep",
+        "zero​width​joined",
+        "rtl שלום mixed",
+        "combining é accent",
+        "tab\tand\nnewline mix",
+        "ideographic　space",
+        "emoji \U0001f389 and \U0001f469‍\U0001f469‍\U0001f467 family",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp / "documents.parquet")
+    )
+    return str(tmp)
+
+
+def test_every_documents_query_agrees_on_unicode_chaos(
+    spark, unicode_docs_dir
+):
+    """Unicode whitespace variants (NBSP, thin/em/ideographic space,
+    line/para separators), zero-width joiners, RTL text, combining
+    marks, and astral-plane emoji across every documents-only query.
+    Both engines' \\s classes are ASCII-leaning in the same way, so
+    tokenization agrees — the one defect found was the audio-chunk
+    oracle sampling CODEPOINTS (ascii('emoji') = 127881) where the
+    fake's contract is UTF-8 BYTES; its oracle now iterates hex pairs
+    of the encoded blob."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{unicode_docs_dir}/documents.parquet/*.parquet')"
+    )
+    reg = registry()
+    bad = []
+    for name in _documents_only_queries():
+        qd = reg[name]
+        try:
+            got = qd.spark(spark, unicode_docs_dir).toPandas()
+            want = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+            continue
+        gs = (
+            got[sorted(got.columns)]
+            .astype(str)
+            .sort_values(sorted(got.columns))
+            .reset_index(drop=True)
+        )
+        ws = (
+            want[sorted(want.columns)]
+            .astype(str)
+            .sort_values(sorted(want.columns))
+            .reset_index(drop=True)
+        )
+        if len(gs) != len(ws) or not gs.equals(ws):
+            bad.append(f"{name}: value/rowcount divergence")
+    assert not bad, "\n".join(bad)
