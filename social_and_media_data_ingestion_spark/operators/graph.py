@@ -109,6 +109,11 @@ def pagerank(
         e.groupBy(F.col("s").alias("d_node")).agg(F.count("*").alias("deg"))
     )
     n_nodes = nodes.count()  # scalar: one number to the driver, like a codebook
+    if n_nodes == 0:
+        # empty edge list -> no nodes, no rank: a typed empty frame
+        # (node keeps the src column's type) instead of a 1/0 teleport
+        # (r7 empty-tables probe)
+        return e.select(F.col("s").alias("node"), F.lit(0.0).alias("pr"))
     pr = nodes.select(F.col("node").alias("p_node"), F.lit(1.0 / n_nodes).alias("pr"))
     teleport = (1.0 - damping) / n_nodes
     for i in range(iters):
@@ -201,6 +206,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         deg.select(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long")).first()[0]
     )
     spark = edges.sparkSession
+    schema = "n_triangles bigint, n_wedges bigint, clustering double"
+    if n_wedges is None:
+        # no nodes at all: SUM over the empty degree frame is NULL, and
+        # SQL engines agree the wedge count and the 3t/w ratio are NULL
+        # here, not 0 (r7 empty-tables probe)
+        return spark.createDataFrame([(int(tri), None, None)], schema)
     clustering = 3.0 * tri / n_wedges if n_wedges else 0.0
     import math
 
@@ -212,7 +223,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
                 math.floor(clustering * 1_000_000 + 0.5) / 1_000_000,
             )
         ],
-        "n_triangles bigint, n_wedges bigint, clustering double",
+        schema,
     )
 
 

@@ -151,6 +151,8 @@ def pq_codebooks(
     rows = (
         corpus.orderBy(id_col).limit(n_codes).select(F.col(vec_col).alias("v")).collect()
     )
+    if not rows:  # empty corpus -> empty codebook (r7 empty-tables probe)
+        return []
     d = len(rows[0].v)
     if d % m_subvectors:
         raise ValueError(f"dim {d} not divisible by m_subvectors={m_subvectors}")
@@ -243,6 +245,11 @@ def pq_encode(
     encoding is pure row-local expression work — the shape that makes PQ
     viable over a 100 TB corpus (M bytes/vector out, no shuffle, no
     Python)."""
+    if not books:  # empty codebook <=> empty corpus: typed empty codes
+        return corpus.select(
+            F.col(id_col).alias("id"),
+            F.expr("CAST(array() AS ARRAY<INT>)").alias("codes"),
+        )
     m_subvectors, n_codes = len(books), len(books[0])
     sub = len(books[0][0])
     codes = []
@@ -278,6 +285,15 @@ def pq_topk(
     exchange is the per-query top-k window. Output:
     (query_id, neighbor_id, approx_dist, rank)."""
     books = pq_codebooks(corpus, m_subvectors, n_codes, id_col, vec_col)
+    if not books:  # empty corpus -> no neighbors, schema preserved
+        return (
+            corpus.select(
+                F.col(id_col).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(0.0).alias("approx_dist"),
+                F.lit(1).alias("rank"),
+            ).where(F.lit(False))
+        )
     sub = len(books[0][0])
     enc = pq_encode(corpus, books, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"), "codes"
@@ -390,7 +406,17 @@ def _centroid_sim_structs(vec_col: str, cents: list[tuple[int, list[float]]]):
     SMALLEST centroid id at equal similarity, matching the window
     (desc cs, asc centroid_id) spelling this replaces. Compiled as ONE
     SQL expression (see the compiler note above): k*dim literals through
-    the Column DSL cost ~0.9 s of driver build time per query."""
+    the Column DSL cost ~0.9 s of driver build time per query.
+
+    An EMPTY centroid list (empty corpus / no seeds) compiles to a
+    typed empty array — array() alone is VOID-typed and every
+    downstream array_max(...).getField would fail analysis (r7
+    empty-tables probe); with the struct type pinned, array_max yields
+    a typed NULL and sort/slice/explode yield no rows."""
+    if not cents:
+        return F.expr(
+            "CAST(array() AS ARRAY<STRUCT<cs: DOUBLE, neg_cid: INT>>)"
+        )
     entries = []
     vq = _qident(vec_col)
     for cid, cv in cents:
@@ -440,6 +466,8 @@ def lloyd_centroids(
         .collect()
     )
     cents = [(int(r.centroid_id), list(r.cent_vec)) for r in seed_rows]
+    if not cents:  # empty corpus -> no centroids (r7 empty-tables probe)
+        return []
     vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     for _ in range(iters):
         assigned = vecs.select(
@@ -560,8 +588,14 @@ def power_iteration_top_component(
     the normalized vector is rounded again — both with the
     floor(x*10^dp + 0.5) convention mirrored in the oracle SQL (Python
     round() is half-even and would diverge on exact halves).
+
+    Empty corpus -> ([], 0.0): no dominant direction exists (r7
+    empty-tables probe; callers emit zero rows for an empty vector).
     """
-    d = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        return [], 0.0
+    d = len(head[0])
     v = [_round_half_up(1.0 / d ** 0.5, round_dp)] * d
     ray = 0.0
     for _ in range(iters):

@@ -1503,6 +1503,10 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = vectors(spark, sf_dir)
     cents = _kmeans_seed_centroids(spark, sf_dir)
+    if not cents:
+        # no seed centroids -> no assignments (the oracle's CROSS JOIN
+        # against an empty cent set), with types/columns unchanged
+        emb = emb.where(F.lit(False))
     best = F.array_max(SIM._centroid_sim_structs("embedding", cents))
     return emb.select(
         "vec_id",
@@ -1553,6 +1557,8 @@ def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = vectors(spark, sf_dir)
     cents = _kmeans_seed_centroids(spark, sf_dir)
+    if not cents:  # empty seed set -> no assignments (oracle CROSS JOIN)
+        emb = emb.where(F.lit(False))
     assigned = emb.select(
         SIM._nearest_centroid_expr("embedding", cents).alias("centroid_id"),
         F.col("embedding").alias("e"),
@@ -1906,6 +1912,8 @@ def f2_keyword_substring_5k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     kws = _kw5k_phrases(spark, sf_dir)  # bounded keyword dim
+    if not kws:  # empty vocabulary -> EXISTS over zero phrases is false
+        return docs.select("doc_id", F.lit(False).alias("matched"))
     assert len(kws) >= KM.AHOCORASICK_THRESHOLD  # must exercise the AC path
     return docs.select(
         "doc_id", KM.auto_contains_any(["text"], kws).alias("matched")
@@ -1947,6 +1955,8 @@ def f3_keyword_word_5k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     kws = _kw5k_phrases(spark, sf_dir)
+    if not kws:  # empty vocabulary -> EXISTS over zero phrases is false
+        return docs.select("doc_id", F.lit(False).alias("matched"))
     assert len(kws) >= KM.AHOCORASICK_THRESHOLD  # must exercise the AC path
     return docs.select(
         "doc_id", KM.auto_matches_any_word(["text"], kws).alias("matched")

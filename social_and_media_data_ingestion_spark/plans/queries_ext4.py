@@ -1027,7 +1027,12 @@ def ml_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("strategy"),
             F.count("*").alias("n_users"),
             leaked.alias("n_users_leaked"),
-            _r(leaked.cast("double") / F.count("*"), 6).alias("leak_frac_r"),
+            # try_divide: 0 users -> NULL leak fraction, matching DuckDB
+            # where float division by zero yields NULL (Spark ANSI `/`
+            # raises; r7 empty-tables probe)
+            _r(F.try_divide(leaked.cast("double"), F.count("*")), 6).alias(
+                "leak_frac_r"
+            ),
         )
 
     return summary("nf_row", "row_hash").unionAll(summary("nf_group", "group_hash"))

@@ -1916,20 +1916,16 @@ def dq_reconciliation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("header_cents"),
     ).join(detail, orders.o_orderkey == detail.l_orderkey, "left")
     delta = F.abs(F.col("header_cents") - F.col("line_cents"))
+    # count_if for the two filtered counts: COUNT semantics return 0 on
+    # an empty join where sum(when) returns NULL — the oracle's
+    # count(*) FILTER shape (r7 empty-tables probe)
     return joined.agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.when(F.col("line_cents").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_headerless_of_lines"),
-        F.sum(
-            F.when(
-                F.col("line_cents").isNotNull()
-                & (delta > F.col("header_cents") / F.lit(100).cast("long")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_mismatch_gt_1pct"),
+        F.count_if(F.col("line_cents").isNull()).alias("n_headerless_of_lines"),
+        F.count_if(
+            F.col("line_cents").isNotNull()
+            & (delta > F.col("header_cents") / F.lit(100).cast("long"))
+        ).alias("n_mismatch_gt_1pct"),
         F.max(F.when(F.col("line_cents").isNotNull(), delta))
         .cast("bigint")
         .alias("max_abs_delta_cents"),
@@ -2864,20 +2860,22 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2
         ).alias("arm")
     )
+    # count_if, not sum(when): COUNT semantics give 0 on an empty arm
+    # frame where SUM gives NULL — the oracle's count(*) FILTER shape
+    # (r7 empty-tables probe)
     c = arms.agg(
         F.count("*").alias("n"),
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("arm0"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("arm1"),
+        F.count_if(F.col("arm") == 0).alias("arm0"),
+        F.count_if(F.col("arm") == 1).alias("arm1"),
     )
     half = F.col("n") / F.lit(2.0)
-    chi2 = (
+    # try_divide: n=0 -> half=0 -> chi2 NULL, matching DuckDB where
+    # float division by zero yields NULL (not IEEE inf/nan)
+    chi2 = F.try_divide(
         (F.col("arm0") - half) * (F.col("arm0") - half)
-        + (F.col("arm1") - half) * (F.col("arm1") - half)
-    ) / half
+        + (F.col("arm1") - half) * (F.col("arm1") - half),
+        half,
+    )
     return c.select(
         "n", "arm0", "arm1",
         _r(chi2, 6).alias("chi2"),
@@ -2945,34 +2943,48 @@ def orders_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         )
 
+    # count_if (COUNT semantics: 0 on empty) for the arm sizes, and
+    # try_divide on every ratio whose divisor can degenerate (n=0 arm,
+    # n=1 arm, zero-variance arm): Spark ANSI `/` raises on a zero
+    # divisor where DuckDB float division yields NULL, so the NULL
+    # spelling must be explicit on the Spark side (r7 empty-tables
+    # probe).
     s = base.agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.count_if(F.col("arm") == 0).alias("n0"),
+        F.count_if(F.col("arm") == 1).alias("n1"),
         _f(F.col("d"), 0).alias("s0"),
         _f(F.col("d"), 1).alias("s1"),
         _f(F.col("d") * F.col("d"), 0).alias("ss0"),
         _f(F.col("d") * F.col("d"), 1).alias("ss1"),
     )
-    se0 = (
-        (F.col("ss0") - F.col("s0").cast("double") * F.col("s0") / F.col("n0"))
-        / (F.col("n0") - 1)
-        / F.col("n0")
+    se0 = F.try_divide(
+        F.try_divide(
+            F.col("ss0")
+            - F.try_divide(F.col("s0").cast("double") * F.col("s0"), F.col("n0")),
+            F.col("n0") - 1,
+        ),
+        F.col("n0"),
     )
-    se1 = (
-        (F.col("ss1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
-        / (F.col("n1") - 1)
-        / F.col("n1")
+    se1 = F.try_divide(
+        F.try_divide(
+            F.col("ss1")
+            - F.try_divide(F.col("s1").cast("double") * F.col("s1"), F.col("n1")),
+            F.col("n1") - 1,
+        ),
+        F.col("n1"),
     )
-    mean_diff = F.col("s0") / F.col("n0").cast("double") - F.col("s1") / F.col(
-        "n1"
-    ).cast("double")
-    df = (se0 + se1) * (se0 + se1) / (
-        se0 * se0 / (F.col("n0") - 1) + se1 * se1 / (F.col("n1") - 1)
+    mean_diff = F.try_divide(
+        F.col("s0"), F.col("n0").cast("double")
+    ) - F.try_divide(F.col("s1"), F.col("n1").cast("double"))
+    df = F.try_divide(
+        (se0 + se1) * (se0 + se1),
+        F.try_divide(se0 * se0, F.col("n0") - 1)
+        + F.try_divide(se1 * se1, F.col("n1") - 1),
     )
     return s.select(
         "n0",
         "n1",
-        _r(mean_diff / F.sqrt(se0 + se1), 6).alias("t_stat"),
+        _r(F.try_divide(mean_diff, F.sqrt(se0 + se1)), 6).alias("t_stat"),
         _r(df, 4).alias("welch_df"),
     )
 
