@@ -2090,7 +2090,13 @@ def customer_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("c_acctbal") - F.col("med")).alias("ad"),
     )
     mad = dev.agg(F.median("ad").alias("mad"))
-    z = (F.col("c_acctbal") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    # try_divide: a degenerate corpus (one customer, or >=50% at the
+    # median) has MAD 0 — the modified z is NULL and the screen keeps
+    # nothing, exactly the oracle's x/0 -> NULL -> filtered path; Spark
+    # ANSI `/` would crash the job instead (r7 one-row probe)
+    z = F.try_divide(
+        F.col("c_acctbal") - F.col("med"), F.lit(1.4826) * F.col("mad")
+    )
     return (
         dev.crossJoin(F.broadcast(mad))
         # 1.2 (not the textbook 3): the synthetic balances are uniform, so

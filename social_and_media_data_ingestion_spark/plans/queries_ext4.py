@@ -1101,9 +1101,15 @@ def orders_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y_cents")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    ) / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    # try_divide: a single-day priority has n·Σx² − (Σx)² = 0 (no x
+    # spread, the OLS slope is undefined) — NULL like the oracle's
+    # x/0, not a Spark ANSI crash (r7 one-row probe)
+    slope = F.try_divide(
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        ),
+        F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
     intercept = (
         F.col("sy").cast("double") / F.col("n_days")
         - slope * (F.col("sx").cast("double") / F.col("n_days"))

@@ -2264,13 +2264,21 @@ def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.col("nn")
     ssw = F.col("sstot") - F.col("sum_sq_over_n")
     sst = F.col("sstot") - F.col("stot").cast("double") * F.col("stot") / F.col("nn")
+    # try_divide throughout: k=1 (one group) or nn=k (one row per
+    # group) leaves the F undefined, and a zero total variance leaves
+    # eta² undefined — NULL like the oracle's x/0, not a Spark ANSI
+    # crash (r7 one-row probe)
     return agg.select(
         "k",
         F.col("nn").alias("n_rows"),
-        _r((ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 4).alias(
-            "f_stat"
-        ),
-        _r(ssb / sst, 6).alias("eta_squared"),
+        _r(
+            F.try_divide(
+                F.try_divide(ssb, F.col("k") - 1),
+                F.try_divide(ssw, F.col("nn") - F.col("k")),
+            ),
+            4,
+        ).alias("f_stat"),
+        _r(F.try_divide(ssb, sst), 6).alias("eta_squared"),
     )
 
 
@@ -2348,14 +2356,19 @@ def stats_mann_whitney_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tie"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    # try_divide on the tie term (nn=1 -> nn(nn-1)=0) and on z itself
+    # (an empty group -> sigma=0): NULL like the oracle's x/0, not a
+    # Spark ANSI crash (r7 one-row probe)
     sigma = F.sqrt(
         F.col("n1").cast("double")
         * F.col("n2")
         / 12
         * (
             (F.col("nn") + 1)
-            - F.col("tie").cast("double")
-            / (F.col("nn") * (F.col("nn") - 1))
+            - F.try_divide(
+                F.col("tie").cast("double"),
+                F.col("nn") * (F.col("nn") - 1),
+            )
         )
     )
     return agg.select(
@@ -2364,7 +2377,10 @@ def stats_mann_whitney_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1.alias("u1"),
         (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
         _r(
-            (u1 - F.col("n1").cast("double") * F.col("n2") / 2) / sigma, 6
+            F.try_divide(
+                u1 - F.col("n1").cast("double") * F.col("n2") / 2, sigma
+            ),
+            6,
         ).alias("z"),
     )
 
@@ -2455,25 +2471,29 @@ def stats_kruskal_wallis_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("tie"),
     )
     n = F.col("n")
+    # try_divide on every degenerable ratio: an absent flag group
+    # (R_g²/0), n=1 (tie correction /(n³−n)=0), or all-tied data
+    # (corr=0) leave H undefined — NULL like the oracle's x/0, not a
+    # Spark ANSI crash (r7 one-row probe)
     h0 = (
         F.lit(12.0)
         / (n.cast("double") * (n + 1))
         * (
-            F.col("ra") * F.col("ra") / F.col("n_a")
-            + F.col("rn") * F.col("rn") / F.col("n_n")
-            + F.col("rr") * F.col("rr") / F.col("n_r")
+            F.try_divide(F.col("ra") * F.col("ra"), F.col("n_a"))
+            + F.try_divide(F.col("rn") * F.col("rn"), F.col("n_n"))
+            + F.try_divide(F.col("rr") * F.col("rr"), F.col("n_r"))
         )
         - F.lit(3.0) * (n + 1)
     )
-    corr = F.lit(1.0) - F.col("tie").cast("double") / (
-        n.cast("double") * n * n - n
+    corr = F.lit(1.0) - F.try_divide(
+        F.col("tie").cast("double"), n.cast("double") * n * n - n
     )
     return agg.select(
         "n",
         "n_a",
         "n_n",
         "n_r",
-        _r(h0 / corr, 6).alias("h_stat"),
+        _r(F.try_divide(h0, corr), 6).alias("h_stat"),
     )
 
 
@@ -2544,9 +2564,11 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
     j = ranked.crossJoin(F.broadcast(tot))
+    # try_divide: an absent group (n=0) has no ECDF — D is NULL like
+    # the oracle's x/0, not a Spark ANSI crash (r7 one-row probe)
     gap = F.abs(
-        F.col("c1_cum") / F.col("n1").cast("double")
-        - F.col("c2_cum") / F.col("n2").cast("double")
+        F.try_divide(F.col("c1_cum"), F.col("n1").cast("double"))
+        - F.try_divide(F.col("c2_cum"), F.col("n2").cast("double"))
     )
     return j.groupBy("n1", "n2").agg(
         _r(F.max(gap), 6).alias("d_stat"),
@@ -2658,8 +2680,14 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = nd * F.col("s12") - F.col("s1").cast("double") * F.col("s2")
     d1 = nd * F.col("s11") - F.col("s1").cast("double") * F.col("s1")
     d2 = nd * F.col("s22") - F.col("s2").cast("double") * F.col("s2")
+    # try_divide: n=1 or a constant variable has zero rank variance —
+    # rho is NULL like the oracle's x/0, not a Spark ANSI crash (r7
+    # one-row probe)
     return s.select(
-        "n", _r(num / (F.sqrt(d1) * F.sqrt(d2)), 6).alias("spearman_rho")
+        "n",
+        _r(F.try_divide(num, F.sqrt(d1) * F.sqrt(d2)), 6).alias(
+            "spearman_rho"
+        ),
     )
 
 
@@ -2813,10 +2841,13 @@ def orders_cuped_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
     vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    # try_divide: one customer (or zero pre/post variance) leaves the
+    # CUPED adjustment undefined — NULL like the oracle's x/0, not a
+    # Spark ANSI crash (r7 one-row probe)
     return s.select(
         "n",
-        _r(cov / vx, 6).alias("theta"),
-        _r(cov * cov / (vx * vy), 6).alias("var_reduction"),
+        _r(F.try_divide(cov, vx), 6).alias("theta"),
+        _r(F.try_divide(cov * cov, vx * vy), 6).alias("var_reduction"),
     )
 
 

@@ -139,6 +139,58 @@ def test_every_query_agrees_on_empty_tables(spark, empty_sf_dir):
     assert not bad, "\n".join(bad)
 
 
+@pytest.fixture(scope="module")
+def onerow_sf_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("onerow_sf")
+    src = "/root/testdata/sf0.001"
+    for tab in TABLES:
+        spark.read.parquet(f"{src}/{tab}.parquet").limit(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"{tab}.parquet"))
+    return str(tmp)
+
+
+def test_every_query_agrees_on_one_row_tables(spark, onerow_sf_dir):
+    """n=1 is the other degenerate cardinality: sample-variance /(n-1)
+    divisors, OLS over one x value, rank tests with an absent group,
+    MAD 0 under a single observation. The r7 sweep found 8 ANSI
+    DIVIDE_BY_ZERO job-killers here (trend slope, ANOVA F,
+    Mann-Whitney sigma, Kruskal-Wallis H, KS ECDFs, Spearman rho,
+    CUPED theta, MAD z) — all now try_divide, yielding the oracle's
+    NULL. Note the one-row tables are NOT referentially consistent
+    (the single lineitem's orderkey need not match the single order) —
+    both engines see the same parquet, so joins just go empty
+    identically."""
+    con = duckdb.connect()
+    for tab in TABLES:
+        con.execute(
+            f"CREATE VIEW {tab} AS SELECT * FROM "
+            f"read_parquet('{onerow_sf_dir}/{tab}.parquet/*.parquet')"
+        )
+    reg = registry()
+    names = [n for n, qd in reg.items() if qd.oracle is not None]
+    assert len(names) >= 250
+    bad = []
+    for name in names:
+        qd = reg[name]
+        try:
+            got = qd.spark(spark, onerow_sf_dir).toPandas()
+            want = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+            continue
+        if sorted(got.columns) != sorted(want.columns):
+            bad.append(f"{name}: schema {sorted(got.columns)} vs "
+                       f"{sorted(want.columns)}")
+            continue
+        gs, ws = _canon(got), _canon(want)
+        if len(gs) != len(ws):
+            bad.append(f"{name}: rows {len(gs)} vs {len(ws)}")
+        elif not gs.equals(ws):
+            bad.append(f"{name}: value divergence")
+    assert not bad, "\n".join(bad)
+
+
 def test_grouping_sets_on_empty_input_divergence(spark, empty_sf_dir):
     """Documented divergence, pinned so a Spark behavior change gets
     noticed: over EMPTY input Spark's rollup/cube/grouping-sets emit 0
