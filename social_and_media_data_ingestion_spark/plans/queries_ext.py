@@ -971,7 +971,17 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (three chained regexp_replace + one regexp_extract_all), fully
 # JVM-side, no shuffle — scales linearly with corpus bytes.
 # =============================================================================
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# BOUNDED quantifiers, not +: with an unbounded local part, Java's
+# backtracking regex costs O(run) at EVERY start position inside a long
+# [A-Za-z0-9._%+-] run before failing at '@' — O(L²) on a crawl page
+# with a 100 KB unbroken token (measured: minutes for ONE such doc,
+# while DuckDB's RE2 stays linear; r7 hostile-doc probe). RFC 5321's
+# own limits (64-char local part, 255-char domain) cap the per-start
+# work at a constant, restoring O(L) scanning with IDENTICAL matches on
+# real addresses — and both engines share the pattern string, so the
+# oracle changes in lockstep. The URL pattern needs no bound: its
+# unbounded [^\s]+ only runs after the literal 'http' prefix matched.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,63}"
 _PII_URL = r"https?://[^\s]+"
 _PII_TERMS = r"\b(spark|sql)\b"
 
@@ -1703,25 +1713,41 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- any non-ASCII text (r7 unicode probe). Bytes come from hex
       -- pairs of the encoded blob; range(0) on empty text also fixes
       -- the old string_split('', '') == [''] empty-payload bug.
-      SELECT doc_id AS media_id,
-             list_transform(range(octet_length(encode(text))),
-                            i -> ('0x' || substr(hex(encode(text)),
-                                                 i * 2 + 1, 2))::INT::DOUBLE)
-               AS samples
+      -- hex(encode(text)) is HOISTED to a projected column, and each
+      -- chunk's 500-hex-char slice is ALSO a projected column before
+      -- any lambda touches it: DuckDB re-evaluates expressions
+      -- referenced inside list_transform lambdas PER ELEMENT, so the
+      -- inlined spelling recomputed the full-document hex per byte —
+      -- O(bytes²), 33 s for ONE 100 KB document (r7 hostile-doc
+      -- probe). This shape is the same arithmetic at O(bytes).
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
       FROM documents
     ),
     c AS (
-      SELECT media_id, samples,
-             unnest(range(((len(samples) + 249) // 250)::INT)) AS ci
+      SELECT media_id, nb, hx,
+             unnest(range(((nb + 249) // 250)::INT)) AS ci
       FROM s
+    ),
+    ch AS (
+      SELECT media_id, ci,
+             substr(hx, ci * 500 + 1, 500) AS chx,
+             least(250, nb - ci * 250)::INT AS ns
+      FROM c
+    ),
+    sm AS (
+      SELECT media_id, ci, ns,
+             list_transform(range(ns),
+                            i -> ('0x' || substr(chx, i * 2 + 1, 2))::INT::DOUBLE)
+               AS sam
+      FROM ch
     )
     SELECT media_id,
            ci::INTEGER AS chunk_index,
            (ci * 250)::INTEGER AS start_ms,
-           len(list_slice(samples, ci * 250 + 1, ci * 250 + 250))::INTEGER AS n_samples,
-           round(sqrt(list_sum(list_transform(list_slice(samples, ci * 250 + 1, ci * 250 + 250), x -> x * x))
-                      / len(list_slice(samples, ci * 250 + 1, ci * 250 + 250))), 4) AS rms
-    FROM c
+           ns::INTEGER AS n_samples,
+           round(sqrt(list_sum(list_transform(sam, x -> x * x)) / ns), 4) AS rms
+    FROM sm
     """,
 )
 def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
