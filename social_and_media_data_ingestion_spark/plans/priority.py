@@ -37,6 +37,11 @@ PRIORITY_HEAD = [
     # Everything displaced stays covered by the local full gate
     # (tools/verify_local.py runs all 255 with the identical oracle
     # mechanism).
+    # late-r7 growth: the dimension-contract gate (never sampled, new
+    # code) takes the slot of emb_label_centroid_distances, whose
+    # changed-in-r7 re-proof moves to the r8 queue — never-sampled
+    # growth outranks a re-proof under the rotation policy
+    "emb_dim_audit",
     "er_blocking_recall_audit",
     "er_entity_clusters",
     "er_phonetic_block_audit",
@@ -86,7 +91,6 @@ PRIORITY_HEAD = [
     "emb_truncation_recall",
     "emb_dim_variance",
     "emb_knn_label_audit",
-    "emb_label_centroid_distances",
 ]
 
 

@@ -1258,6 +1258,60 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# DQ — embedding DIMENSION audit: the histogram of vector lengths over
+# the RAW table (deliberately not vectors(): the audit must see what
+# the contract would filter), with the modal dimension flagged. The
+# dimension contract companion to the valid-vector contract
+# (plans/tables.py): vector math assumes a dim-consistent corpus —
+# zip_with silently truncates a wrong-dim pair to the shorter length
+# and index-based access ANSI-crashes past the shorter end (r7
+# mixed-dim probe: 18 of 24 vector queries corrupt or die on 3 bad
+# rows) — so this one-scan partial-aggregable gate is the ingestion
+# enforcement point, and `vectors(dim=...)` is the cure. NULL
+# embeddings group under a NULL dim (size(NULL) is NULL on both
+# engines); the modal pick orders NULLS LAST explicitly since Spark
+# ASC defaults NULLS FIRST where DuckDB defaults NULLS LAST.
+# =============================================================================
+@q(
+    "emb_dim_audit",
+    """
+    WITH d AS (
+      SELECT len(embedding)::BIGINT AS dim, count(*)::BIGINT AS n
+      FROM embeddings GROUP BY 1
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS tot FROM d)
+    SELECT dim, n,
+           (row_number() OVER (ORDER BY n DESC, dim ASC NULLS LAST) = 1)
+             AS is_modal,
+           floor(n::DOUBLE / tot * 1000000 + 0.5) / 1000000 AS frac_r
+    FROM d, tot
+    """,
+)
+def emb_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    d = (
+        emb.select(F.size("embedding").cast("long").alias("dim"))
+        .groupBy("dim")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = d.agg(F.sum("n").alias("tot"))
+    w = Window.orderBy(F.desc("n"), F.asc_nulls_last("dim"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn("is_modal", F.row_number().over(w) == 1)
+        .select(
+            "dim",
+            "n",
+            "is_modal",
+            (
+                F.floor(F.col("n") / F.col("tot") * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("frac_r"),
+        )
+    )
+
+
+# =============================================================================
 # LLM layer — canonical selection: per near-dup cluster, keep the "best"
 # member (longest text, doc_id as tie-break) and count what gets dropped —
 # the decision step that turns clustering into an actual dedup. The

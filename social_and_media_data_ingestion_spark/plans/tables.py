@@ -122,12 +122,29 @@ VALID_EMBEDDING_SQL = (
 )
 
 
-def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embeddings table under the valid-vector contract."""
+def vectors(
+    spark: SparkSession, sf_dir: str, dim: int | None = None
+) -> DataFrame:
+    """The embeddings table under the valid-vector contract.
+
+    DIMENSION contract (r7 mixed-dim probe): vector math additionally
+    assumes a dim-consistent corpus — `zip_with` silently truncates a
+    wrong-dim pair to the shorter length (corrupt cosines, no error)
+    and index-based access ANSI-crashes past the shorter end. Mixed
+    dims are DETECTED by the `emb_dim_audit` registry query (the
+    ingestion gate, like `events_nonfinite_audit` for non-finite
+    metrics); corpora that fail it pass the modal dimension here as
+    `dim` to enforce the cure. The registry's own queries leave
+    dim=None — the generated testdata is dim-consistent by
+    construction, and an unconditional equality filter would cost a
+    dim-discovery job on every map-only vector plan."""
     from pyspark.sql import functions as F
 
-    return t(spark, sf_dir, "embeddings").filter(
+    base = t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
         & (F.size("embedding") > 0)
         & F.exists("embedding", lambda x: x != 0)
     )
+    if dim is not None:
+        base = base.filter(F.size("embedding") == dim)
+    return base

@@ -678,3 +678,54 @@ def test_every_documents_query_agrees_on_unicode_chaos(
         if len(gs) != len(ws) or not gs.equals(ws):
             bad.append(f"{name}: value/rowcount divergence")
     assert not bad, "\n".join(bad)
+
+
+@pytest.fixture(scope="module")
+def mixed_dim_dir(spark, tmp_path_factory):
+    """sf0.001 embeddings with three corrupted dimensions: a truncated
+    vector (10), a doubled vector (128), and a dim-1 vector."""
+    tmp = tmp_path_factory.mktemp("mixeddim")
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).toPandas()
+    src.at[src.index[5], "embedding"] = src.iloc[5]["embedding"][:10]
+    src.at[src.index[6], "embedding"] = list(src.iloc[6]["embedding"]) * 2
+    src.at[src.index[7], "embedding"] = [1.0]
+    spark.createDataFrame(src).write.mode("overwrite").parquet(
+        str(tmp / "embeddings.parquet")
+    )
+    return str(tmp), len(src.iloc[0]["embedding"])
+
+
+def test_dimension_contract_audit_and_cure(spark, mixed_dim_dir):
+    """The dimension contract (r7 mixed-dim probe: 18 of 24 vector
+    queries corrupt or crash on 3 wrong-dim rows — zip_with silently
+    truncates to the shorter length, index access ANSI-crashes):
+    `emb_dim_audit` is the detection gate, `vectors(dim=modal)` the
+    cure. The audit is oracle-verified on the corrupt fixture; the
+    cure must drop exactly the corrupted rows."""
+    sf_dir, dim = mixed_dim_dir
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+    from social_and_media_data_ingestion_spark.plans.tables import vectors
+
+    qd = registry()["emb_dim_audit"]
+    got = qd.spark(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = con.execute(qd.oracle).fetchdf()
+    gs = got.sort_values("dim").reset_index(drop=True)
+    ws = want.sort_values("dim").reset_index(drop=True)
+    assert gs[["dim", "n", "is_modal", "frac_r"]].astype(str).equals(
+        ws[["dim", "n", "is_modal", "frac_r"]].astype(str)
+    )
+    # the audit's semantics: modal dim is the true one, 3 rows off-dim
+    modal = gs[gs.is_modal].iloc[0]
+    assert modal.dim == dim
+    assert int(gs[~gs.is_modal].n.sum()) == 3
+    # the cure: enforcement drops exactly the corrupted rows
+    cured = vectors(spark, sf_dir, dim=dim)
+    assert cured.count() == int(modal.n)
+    assert cured.filter(f"size(embedding) <> {dim}").count() == 0
