@@ -1011,10 +1011,15 @@ def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PII_TERMS,
         "<TERM>",
     )
+    # idx=0 (whole match) EXPLICITLY: Spark's regexp_extract_all
+    # defaults to group 1 and RAISES on a group-less pattern — but only
+    # lazily, at the first row where the pattern actually matches, so a
+    # corpus with no PII passes while the first real email crashes the
+    # job (r7 match-path probe; DuckDB's default is group 0)
     n_masked = (
-        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL)))
-        + F.size(F.regexp_extract_all("text", F.lit(_PII_URL)))
-        + F.size(F.regexp_extract_all("text", F.lit(_PII_TERMS)))
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+        + F.size(F.regexp_extract_all("text", F.lit(_PII_URL), 0))
+        + F.size(F.regexp_extract_all("text", F.lit(_PII_TERMS), 0))
     )
     return docs.select(
         "doc_id", redacted.alias("redacted"), n_masked.cast("long").alias("n_masked")

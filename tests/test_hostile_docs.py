@@ -142,3 +142,78 @@ def test_every_documents_query_agrees_on_hostile_docs(
         elif not gs.equals(ws):
             bad.append(f"{name}: value divergence")
     assert not bad, "\n".join(bad)
+
+
+@pytest.fixture(scope="module")
+def pii_docs_dir(spark, tmp_path_factory):
+    """Documents that actually EXERCISE the PII match paths — the
+    generated testdata contains zero emails, zero URLs, and zero
+    denylist terms, so every gate pass of pii_redact_documents had
+    verified only the no-match identity path."""
+    tmp = tmp_path_factory.mktemp("piidocs")
+    local64 = "a" * 64
+    local65 = "a" * 65
+    texts = [
+        "contact me at alice.smith+tag@sub.example.co.uk today",
+        "two hits bob@x.io and carol_9%d@host-name.org in one line",
+        f"rfc boundary {local64}@example.com fits the 64-char limit",
+        f"over boundary {local65}@example.com still redacts a match",
+        "see https://example.com/a?b=c#d and http://plain.net next",
+        "denylist spark and sql but not sparkle or sqlite",
+        "MixedCase@Example.COM and no-scheme www.example.com",
+        "trailing dot site.com. and bare @ and user@ incomplete",
+        "no pii here at all",
+        "",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp / "documents.parquet")
+    )
+    return str(tmp)
+
+
+def test_pii_redaction_match_paths_agree_cross_engine(spark, pii_docs_dir):
+    """Java regex (Spark) vs RE2 (DuckDB) on text where the patterns
+    actually FIRE: multiple matches per line, the RFC {1,64} boundary,
+    case-insensitivity of the class ranges, scheme-less URLs (must NOT
+    match), partial '@' fragments (must NOT match). Values compared
+    exactly — redacted text and per-doc mask counts."""
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+
+    qd = registry()["pii_redact_documents"]
+    got = (
+        qd.spark(spark, pii_docs_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{pii_docs_dir}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(qd.oracle).fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(want.astype(str))
+    # the fixture is not vacuous: every branch fires at least once
+    n = dict(zip(got.doc_id, got.n_masked))
+    red = dict(zip(got.doc_id, got.redacted))
+    assert "<EMAIL>" in red[0] and n[0] == 1
+    assert red[1].count("<EMAIL>") == 2 and n[1] == 2
+    assert "<EMAIL>" in red[2]          # 64-char local part matches whole
+    assert "<EMAIL>" in red[3]          # 65: the trailing 64 still redact
+    assert red[4].count("<URL>") == 2 and n[4] == 2
+    assert red[5].count("<TERM>") == 2 and "sparkle" in red[5]
+    assert "<EMAIL>" in red[6] and "www.example.com" in red[6]  # no scheme
+    assert n[8] == 0 and n[9] == 0
