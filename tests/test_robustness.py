@@ -327,3 +327,46 @@ def test_er_phonetic_queries_on_pathological_names(spark, tmp_path):
     }
     assert clusters["smith"] == 3  # smith + smyth + smitthh
     assert clusters["SMITH!!"] == 1  # blocked together, verified apart
+
+
+def test_srm_flag_fires_on_imbalanced_assignment(spark, tmp_path):
+    """The r7 vacuous-coverage audit: events_srm_check's srm_flag is
+    False on every generated sf (assignment is genuinely balanced), so
+    the gate never exercised the ALARM branch. This fixture picks user
+    ids that all hash into arm 0 under the rendezvous split, so a real
+    sample-ratio mismatch fires the flag — on BOTH engines."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import _RDV_P
+
+    arm0 = [
+        u for u in range(200)
+        if ((u % _RDV_P) * 2654435761 + 104729) % _RDV_P % 2 == 0
+    ][:12]
+    assert len(arm0) == 12
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 10, i), uid, "view", 1.0, None)
+        for i, uid in enumerate(arm0)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    qd = registry()["events_srm_check"]
+    got = qd.spark(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = con.execute(qd.oracle).fetchdf()
+    assert got.astype(str).equals(want.astype(str))
+    r = got.iloc[0]
+    assert r.n == 12 and r.arm0 == 12 and r.arm1 == 0
+    assert bool(r.srm_flag) is True  # chi2 = 12 >> 3.841: the alarm fires
