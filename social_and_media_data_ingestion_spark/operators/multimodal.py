@@ -19,7 +19,7 @@ signature, batch shape, metadata contract — is real and tested end-to-end.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -127,9 +127,23 @@ def _fake_dims(n: int) -> tuple[int, int, int]:
 
 
 def decode_images(
-    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload", fake: bool = True
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
-    """payload -> (width, height, channels). Arrow-batched mapInPandas."""
+    """payload -> (width, height, channels). Arrow-batched mapInPandas.
+
+    `passthrough` columns ride THROUGH the UDF and come back next to
+    the decode output. This exists because the alternative — decoding
+    on (id, payload) alone and joining the profile back on the id —
+    silently MULTIPLIES rows when the id is not unique (k duplicate
+    ids -> k² joined rows; found by the r7 duplicate-doc_id probe on
+    multimodal_image_profile). A media lake under at-least-once
+    ingestion WILL contain duplicate ids; a 1-in/1-out decode must
+    stay row-aligned by construction, never re-keyed."""
+    keep = list(passthrough)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -142,16 +156,27 @@ def decode_images(
                 (None, None, None) if p is None else _fake_dims(len(bytes(p)))
                 for p in pdf[payload_col]
             ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype("int64"),
-                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
-                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
-                    "channels": pd.array([d[2] for d in dims], dtype="Int32"),
-                }
-            )
+            out = {"media_id": pdf[id_col].astype("int64")}
+            for c in keep:
+                out[c] = pdf[c]
+            out["width"] = pd.array([d[0] for d in dims], dtype="Int32")
+            out["height"] = pd.array([d[1] for d in dims], dtype="Int32")
+            out["channels"] = pd.array([d[2] for d in dims], dtype="Int32")
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(_decode, IMAGE_DECODE_SCHEMA)
+    if keep:
+        schema = T.StructType(
+            [T.StructField("media_id", T.LongType())]
+            + [T.StructField(c, df.schema[c].dataType) for c in keep]
+            + [
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("channels", T.IntegerType()),
+            ]
+        )
+    else:
+        schema = IMAGE_DECODE_SCHEMA
+    return df.select(id_col, payload_col, *keep).mapInPandas(_decode, schema)
 
 
 def resize_images(

@@ -1806,10 +1806,15 @@ def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind="image",
         mime="image/x-fake",
     )
-    decoded = MM.decode_images(media)
-    return media.select("media_id", F.col("meta.n_bytes").alias("n_bytes")).join(
-        decoded, "media_id"
-    )
+    # n_bytes rides THROUGH the decode UDF (passthrough), not joined
+    # back on media_id afterwards: under duplicate ids (at-least-once
+    # ingestion) the re-join multiplied k same-id rows into k² (r7
+    # duplicate-doc_id probe) — and dropping the join also drops the
+    # profile's only exchange (pure map plan now).
+    return MM.decode_images(
+        media.withColumn("n_bytes", F.col("meta.n_bytes")),
+        passthrough=["n_bytes"],
+    ).select("media_id", "n_bytes", "width", "height", "channels")
 
 
 # =============================================================================

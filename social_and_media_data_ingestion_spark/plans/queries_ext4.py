@@ -504,6 +504,11 @@ def stats_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) = count(DISTINCT event_id)
     FROM events
     UNION ALL
+    SELECT 'documents_pk_dups',
+           (count(*) - count(DISTINCT doc_id))::DOUBLE,
+           count(*) = count(DISTINCT doc_id)
+    FROM documents
+    UNION ALL
     SELECT 'documents_nonempty_text_frac',
            floor(avg(CASE WHEN len(trim(text)) > 0 THEN 1.0 ELSE 0.0 END)
                  * 1000000 + 0.5) / 1000000,
@@ -568,6 +573,18 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("metric"),
         (F.count("*") == F.countDistinct("event_id")).alias("passed"),
     )
+    # doc_id is the documents PK — same at-least-once contract as
+    # event_id (the r7 duplicate-doc_id probe: 69/71 documents queries
+    # agree on a violated PK, curation keep-first and RRF fusion
+    # legitimately diverge; and the image-profile re-join it exposed is
+    # now a passthrough). Detect here, cure with keep-first dedup.
+    doc_pk = documents.agg(
+        F.lit("documents_pk_dups").alias("check_id"),
+        (F.count("*") - F.countDistinct("doc_id"))
+        .cast("double")
+        .alias("metric"),
+        (F.count("*") == F.countDistinct("doc_id")).alias("passed"),
+    )
     nonempty = F.when(F.length(F.trim("text")) > 0, 1.0).otherwise(0.0)
     txt = documents.agg(
         F.lit("documents_nonempty_text_frac").alias("check_id"),
@@ -575,7 +592,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg(nonempty) >= 0.99).alias("passed"),
     )
     out = rowcount
-    for part in (pk, nulls, orphans, qty, ts_nulls, ev_pk, txt):
+    for part in (pk, nulls, orphans, qty, ts_nulls, ev_pk, doc_pk, txt):
         out = out.unionAll(part)
     return out
 

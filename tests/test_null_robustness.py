@@ -729,3 +729,94 @@ def test_dimension_contract_audit_and_cure(spark, mixed_dim_dir):
     cured = vectors(spark, sf_dir, dim=dim)
     assert cured.count() == int(modal.n)
     assert cured.filter(f"size(embedding) <> {dim}").count() == 0
+
+
+def test_duplicate_doc_ids_detected_curable_and_row_aligned(spark, tmp_path):
+    """doc_id is the documents PK. The r7 duplicate-doc_id probe (full
+    504-row sweep, /tmp scratch): 69/71 documents-only queries agree
+    cross-engine on a violated PK; corpus_full_curation and
+    text_rrf_fusion legitimately diverge (keep-first and rank fusion
+    are ambiguous per duplicated id) — and multimodal_image_profile
+    was silently MULTIPLYING rows (decode profile re-joined on the
+    non-unique id: k duplicates -> k² rows; now a passthrough through
+    the decode UDF). Contract mirrors events: detect via
+    dq_constraint_report's documents_pk_dups, cure via keep-first."""
+    import duckdb as _duck
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from social_and_media_data_ingestion_spark.plans.tables import t as load_t
+
+    rows = [(i, f"document number {i} alpha beta", "en", "src0", 20)
+            for i in range(12)]
+    rows.append((1, "document number 1 alpha beta", "en", "src0", 20))  # replay
+    rows.append((2, "conflicting replacement text", "de", "src1", 28))  # rewrite
+    rows.append((3, "document number 3 alpha beta", "en", "src0", 20))
+    rows.append((3, "document number 3 alpha beta", "en", "src0", 20))  # triple
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # minimal valid frames for the DQ report's other scans
+    spark.createDataFrame(
+        [(1, 1, "O", 10.0, "1996-01-02", "1-URGENT", "c", 0, "x")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "Customer#1", "addr", 1, "p", 0.0, "s", "c")],
+        "c_custkey bigint, c_name string, c_address string, "
+        "c_nationkey bigint, c_phone string, c_acctbal double, "
+        "c_mktsegment string, c_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 5.0, 100.0, 0.1, 0.02, "N", "O",
+          "1996-03-13", "1996-02-12", "1996-03-22", "D", "T", "c")],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string, l_commitdate string, "
+        "l_receiptdate string, l_shipinstruct string, l_shipmode string, "
+        "l_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    import datetime as dt
+    spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1, 10, 0), 0, "view", 1.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    # DETECT: 4 extra rows on 12 distinct ids
+    report = {
+        r.check_id: (r.metric, r.passed)
+        for r in registry()["dq_constraint_report"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert report["documents_pk_dups"] == (4.0, False)
+    # CURE: keep-first per doc_id (n_chars then text as the stable
+    # tie-break on exact replays)
+    docs = load_t(spark, str(tmp_path), "documents")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("n_chars"), F.asc("text"))
+    cured = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    assert cured.count() == 12
+    # ROW-ALIGNED: the decode profile emits exactly one row per INPUT
+    # row even with duplicate ids, and still hash-matches its oracle
+    qd = registry()["multimodal_image_profile"]
+    got = qd.spark(spark, str(tmp_path)).toPandas()
+    assert len(got) == 16  # 12 + 4 duplicates, NOT 12 + k² blowup
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(qd.oracle).fetchdf()
+    key = ["media_id", "n_bytes", "width", "height", "channels"]
+    gs = got[key].astype(str).sort_values(key).reset_index(drop=True)
+    ws = want[key].astype(str).sort_values(key).reset_index(drop=True)
+    assert gs.equals(ws)
