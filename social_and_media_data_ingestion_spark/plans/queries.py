@@ -468,33 +468,90 @@ def a6_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "agg_pricing_summary",
     """
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus,
+             floor(l_quantity * 100 + 0.5)::BIGINT AS qty_c,
+             floor(l_extendedprice * 100 + 0.5)::BIGINT AS price_c,
+             floor(l_discount * 100 + 0.5)::BIGINT AS disc_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)      AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4)      AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4)      AS avg_disc,
-           count(*)::BIGINT               AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           sum(qty_c)::DOUBLE / 100    AS sum_qty,
+           sum(price_c)::DOUBLE / 100  AS sum_base_price,
+           floor(sum(price_c * (100 - disc_c))::DOUBLE / 100 + 0.5) / 100
+             AS sum_disc_price,
+           floor(sum(qty_c)::DOUBLE / 100 / count(*) * 10000 + 0.5) / 10000
+             AS avg_qty,
+           floor(sum(price_c)::DOUBLE / 100 / count(*) * 10000 + 0.5) / 10000
+             AS avg_price,
+           floor(sum(disc_c)::DOUBLE / 100 / count(*) * 10000 + 0.5) / 10000
+             AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM q
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize-then-sum (SCALE.md §4): every measure is fixed to its
+    exact decimal scale per ROW (2dp prices/qty/discount are cents
+    exactly; price·(1−disc) is price_c·(100−disc_c) — value·10⁴ as a
+    PURE-INTEGER product, no double multiply at all), so the group
+    sums are exact integers and partial-sum ORDER cannot move the
+    rounded cent. The r7 duplicate-rows probe caught the old
+    sum-doubles-then-round spelling flipping last digits run-to-run;
+    DECIMAL(38,0) accumulation mirrors DuckDB's BIGINT→HUGEINT
+    promotion so both engines stay exact at any scale factor."""
     li = t(spark, sf_dir, "lineitem")
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+
+    def _dsum(col):
+        return F.sum(col.cast("decimal(38,0)")).cast("double")
+
+    q = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        qty_c.alias("qty_c"),
+        price_c.alias("price_c"),
+        disc_c.alias("disc_c"),
+    )
+    # final rounding is the floor(x·10^dp + 0.5) convention, NOT
+    # round(): Spark's ROUND on a double rounds the SHORTEST decimal
+    # repr while DuckDB rounds the binary value — on an exact-half
+    # boundary (which exact integer sums now actually hit) they split.
+    # Accumulator widths: the plain-cents sums stay LONG (int64 holds
+    # 6e11 rows × 1e7 cents with 6× headroom at 100 TB; measured ~2×
+    # faster than Spark's 128-bit decimal agg path) — only the
+    # value·10⁴ disc-price sum (~1e9/row → 6e20 at 100 TB) genuinely
+    # needs DECIMAL(38,0).
+    n = F.count("*")
+
+    def _f(x, dp):
+        s = 10 ** dp
+        return F.floor(x * s + F.lit(0.5)) / s
+
+    sum_qty_c = F.sum("qty_c").cast("double")
+    sum_price_c = F.sum("price_c").cast("double")
+    sum_disc_c = F.sum("disc_c").cast("double")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        q.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (sum_qty_c / 100).alias("sum_qty"),
+            (sum_price_c / 100).alias("sum_base_price"),
+            (
+                F.floor(
+                    _dsum(F.col("price_c") * (100 - F.col("disc_c"))) / 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("sum_disc_price"),
+            _f(sum_qty_c / 100 / n, 4).alias("avg_qty"),
+            _f(sum_price_c / 100 / n, 4).alias("avg_price"),
+            _f(sum_disc_c / 100 / n, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

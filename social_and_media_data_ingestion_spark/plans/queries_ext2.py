@@ -1158,22 +1158,26 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_rfm_segmentation",
     """
     WITH rfm AS (
+      -- monetary in exact integer CENTS (quantize-then-sum, r7
+      -- duplicate-rows probe: the float sum's partial order flipped
+      -- the last cent run-to-run); cents order == dollars order, so
+      -- the quartile windows are unchanged
       SELECT o_custkey,
              max(o_orderdate) AS last_order,
              count(*)::BIGINT AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS m_cents
       FROM orders GROUP BY 1
     ),
     q AS (
-      SELECT o_custkey, frequency, monetary,
+      SELECT o_custkey, frequency, m_cents,
              ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
              ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
-             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+             ntile(4) OVER (ORDER BY m_cents DESC, o_custkey) AS m_q
       FROM rfm
     )
     SELECT (r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR) AS segment,
            count(*)::BIGINT AS n_customers,
-           floor(avg(monetary) * 100 + 0.5) / 100 AS avg_monetary
+           floor(avg(m_cents) + 0.5) / 100 AS avg_monetary
     FROM q GROUP BY 1
     """,
 )
@@ -1186,20 +1190,26 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_and_media_data_ingestion_spark.operators.scale import global_ntile
 
     orders = t(spark, sf_dir, "orders")
+    # monetary as exact integer CENTS (quantize-then-sum, r7
+    # duplicate-rows probe): the quartile order is unchanged (cents
+    # order == dollars order) and the segment average divides exact
+    # integers instead of re-summing floats
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("m_cents"),
     )
     seg = rfm
     for col, order in [
         ("r_q", [F.desc("last_order"), F.asc("o_custkey")]),
         ("f_q", [F.desc("frequency"), F.asc("o_custkey")]),
-        ("m_q", [F.desc("monetary"), F.asc("o_custkey")]),
+        ("m_q", [F.desc("m_cents"), F.asc("o_custkey")]),
     ]:
         seg = global_ntile(seg, 4, order, out_col=col)
     seg = seg.select(
-        "monetary",
+        "m_cents",
         F.concat(
             F.col("r_q").cast("string"),
             F.col("f_q").cast("string"),
@@ -1208,7 +1218,7 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seg.groupBy("segment").agg(
         F.count("*").alias("n_customers"),
-        (F.floor(F.avg("monetary") * 100 + F.lit(0.5)) / 100).alias("avg_monetary"),
+        (F.floor(F.avg("m_cents") + F.lit(0.5)) / 100).alias("avg_monetary"),
     )
 
 

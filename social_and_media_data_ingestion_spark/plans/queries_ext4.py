@@ -912,9 +912,14 @@ def join_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_abc_pareto",
     """
     WITH rev AS (
+      -- quantize-then-sum: per-row value·10⁴ as a pure-integer
+      -- product (2dp inputs), summed exactly, then rounded to cents
+      -- with integer arithmetic — the old floor(float_sum·100+0.5)
+      -- flipped cents with partial-sum order (r7 duplicate-rows probe)
       SELECT l_partkey,
-             floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)::BIGINT
-               AS rev_cents
+             (sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                  * (100 - floor(l_discount * 100 + 0.5)::BIGINT)) + 50)
+               // 100 AS rev_cents
       FROM lineitem GROUP BY 1
     ),
     tot AS (SELECT sum(rev_cents)::BIGINT AS t FROM rev),
@@ -945,17 +950,18 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_running_sum,
     )
 
+    # per-row value·10⁴ integers (quantize-then-sum, r7 duplicate-rows
+    # probe); (sum+50) DIV 100 rounds to cents in pure integer math —
+    # revenue is non-negative, so truncating DIV == floor on both
+    # engines
+    rev4 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint") * (
+        100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    )
     rev = (
         t(spark, sf_dir, "lineitem")
+        .select("l_partkey", rev4.alias("rev4"))
         .groupBy("l_partkey")
-        .agg(
-            F.floor(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("rev_cents")
-        )
+        .agg(F.expr("(sum(rev4) + 50) DIV 100").alias("rev_cents"))
     )
     run = global_running_sum(
         rev,

@@ -148,12 +148,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q9_profit_by_nation",
     """
-    SELECT supp_nation, yr, round(sum(profit), 2) AS total_profit
+    SELECT supp_nation, yr,
+           floor(sum(profit_e6)::DOUBLE / 10000 + 0.5) / 100 AS total_profit
     FROM (
       SELECT sn.n_name AS supp_nation,
              year(o_orderdate)::BIGINT AS yr,
-             l_extendedprice * (1 - l_discount)
-               - 0.8 * p_retailprice * l_quantity AS profit
+             -- value·10⁶ as a pure-integer expression: price·(1−disc)
+             -- is price_c·(100−disc_c)·100 and 0.8·retail·qty is
+             -- 80·retail_c·qty_c, both exact (2dp inputs)
+             floor(l_extendedprice * 100 + 0.5)::BIGINT
+               * (100 - floor(l_discount * 100 + 0.5)::BIGINT) * 100
+             - 80 * floor(p_retailprice * 100 + 0.5)::BIGINT
+                  * floor(l_quantity * 100 + 0.5)::BIGINT
+               AS profit_e6
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN part     ON l_partkey = p_partkey
@@ -164,6 +171,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize-then-sum (SCALE.md §4; r7 duplicate-rows probe caught
+    the double-sum spelling flipping cents with summation order):
+    per-row profit is an exact value·10⁶ integer — 2dp inputs make
+    price_c·(100−disc_c)·100 − 80·retail_c·qty_c lossless — summed in
+    DECIMAL(38,0) (DuckDB: BIGINT→HUGEINT), rounded once at the end."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     part = t(spark, sf_dir, "part")
@@ -172,9 +184,13 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(
         F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
     )
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+
+    def _c(col):
+        return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+
+    profit_e6 = (
+        _c("l_extendedprice") * (100 - _c("l_discount")) * 100
+        - 80 * _c("p_retailprice") * _c("l_quantity")
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -182,7 +198,20 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == sn.snk)
         .groupBy("supp_nation", F.year("o_orderdate").cast("long").alias("yr"))
-        .agg(F.round(F.sum(profit), 2).alias("total_profit"))
+        .agg(
+            # floor(x·100+0.5) convention, not round(): Spark ROUND on a
+            # double rounds the shortest decimal repr, DuckDB the binary
+            # value — exact integer sums actually land on half-cent
+            # boundaries (one sf0.01 group did)
+            (
+                F.floor(
+                    F.sum(profit_e6.cast("decimal(38,0)")).cast("double")
+                    / 10000
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("total_profit")
+        )
     )
 
 

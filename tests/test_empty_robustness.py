@@ -211,3 +211,76 @@ def test_grouping_sets_on_empty_input_divergence(spark, empty_sf_dir):
         qd = reg[name]
         assert qd.spark(spark, empty_sf_dir).count() == 0  # Spark: no rows
         assert len(con.execute(qd.oracle).fetchdf()) == 1  # SQL: () row
+
+
+@pytest.fixture(scope="module")
+def dup_relational_dir(spark, tmp_path_factory):
+    """sf0.001 with duplicated orders rows (one replay + one double
+    replay) and duplicated lineitem rows — at-least-once ingestion for
+    the relational tables."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("dup_rel")
+    src = "/root/testdata/sf0.001"
+    for tab in TABLES:
+        pdf = spark.read.parquet(f"{src}/{tab}.parquet").toPandas()
+        if tab == "orders":
+            pdf = pd.concat([pdf, pdf.iloc[[1, 2, 2]]], ignore_index=True)
+        if tab == "lineitem":
+            pdf = pd.concat([pdf, pdf.iloc[[0, 5]]], ignore_index=True)
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            str(tmp / f"{tab}.parquet")
+        )
+    return str(tmp)
+
+
+def test_every_orders_lineitem_query_agrees_on_duplicate_rows(
+    spark, dup_relational_dir
+):
+    """Duplicate relational rows with NO exception list: every
+    orders/lineitem-touching query must agree cross-engine. The r7
+    probe found 4 divergers, all the same root cause — summing DOUBLES
+    then rounding, where duplicated rows (or just partial-sum order)
+    land the sum on a rounding boundary: TPC-H Q1, Q9, ABC-Pareto, and
+    RFM flipped last cents RUN-TO-RUN on identical input. All four now
+    quantize-then-sum (exact per-row decimal-scale integers, wide
+    accumulation, floor(x·10^dp+0.5) once at the end — round() itself
+    diverges cross-engine on exact halves, which exact sums actually
+    hit). This sweep pins the whole family deterministic."""
+    con = duckdb.connect()
+    for tab in TABLES:
+        con.execute(
+            f"CREATE VIEW {tab} AS SELECT * FROM "
+            f"read_parquet('{dup_relational_dir}/{tab}.parquet/*.parquet')"
+        )
+    reg = registry()
+    import re as _re
+
+    names = [
+        n
+        for n, qd in reg.items()
+        if qd.oracle is not None
+        and (
+            _re.search(r"\border(s)?\b", qd.oracle.lower())
+            or _re.search(r"\blineitem\b", qd.oracle.lower())
+        )
+    ]
+    assert len(names) >= 130
+    bad = []
+    for name in names:
+        qd = reg[name]
+        try:
+            got = qd.spark(spark, dup_relational_dir).toPandas()
+            want = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+            continue
+        if sorted(got.columns) != sorted(want.columns):
+            bad.append(f"{name}: schema mismatch")
+            continue
+        gs, ws = _canon(got), _canon(want)
+        if len(gs) != len(ws):
+            bad.append(f"{name}: rows {len(gs)} vs {len(ws)}")
+        elif not gs.equals(ws):
+            bad.append(f"{name}: value divergence")
+    assert not bad, "\n".join(bad)
