@@ -49,11 +49,12 @@ def main() -> None:
                         and row.get("rows_match") is not False
                     )
                     # oracle-less rows-only path (err="no_oracle" with a
-                    # spark row count) is the strongest evidence such a
-                    # query can ever have
+                    # NON-ZERO spark row count) is the strongest evidence
+                    # such a query can ever have; a zero-row result proves
+                    # nothing and re-enters the rotation (r7 ADVICE)
                     or (
                         row.get("err") == "no_oracle"
-                        and row.get("spark_rows") is not None
+                        and (row.get("spark_rows") or 0) > 0
                     )
                 )
                 sampled[name] = ok  # later rounds overwrite: latest status wins

@@ -53,7 +53,11 @@ def _git(*args: str) -> str:
 
 
 def _artifact_commit(path: str) -> str:
-    """Commit that last touched the artifact; WORKTREE if untracked."""
+    """Commit that last touched the artifact; WORKTREE if untracked OR
+    tracked-but-dirty (round-7 ADVICE: a locally-modified artifact holds
+    evidence produced by the working tree, not by the old snapshot)."""
+    if _git("status", "--porcelain", "--", path).strip():
+        return WORKTREE
     out = _git("log", "-1", "--format=%H", "--", path).strip()
     return out if out else WORKTREE
 
@@ -260,8 +264,10 @@ def _green(row: dict) -> bool:
         return True
     # oracle-less rows-only path: driver records err="no_oracle" with a
     # spark row count; that IS the strongest evidence such a query can
-    # ever have (round-6 ADVICE item 1)
-    if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+    # ever have (round-6 ADVICE item 1) — but a ZERO-row result proves
+    # nothing (round-7 ADVICE: a silently-empty query must not count as
+    # verified; it re-enters the rotation instead)
+    if row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
         return True
     return False
 
@@ -269,8 +275,11 @@ def _green(row: dict) -> bool:
 def main() -> None:
     current = closure_hashes(Snapshot(WORKTREE))
 
-    # evidence: query -> set of snapshot hashes with a green driver row
+    # evidence: query -> set of snapshot hashes with a green driver row;
+    # newest_round: query -> highest round number carrying a green row
+    # (the row's AGE — head rotation drains oldest-evidence first)
     evidence: dict[str, set[str]] = {}
+    newest_round: dict[str, int] = {}
     snap_hash_cache: dict[str, dict[str, str]] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         rel = os.path.relpath(path, ROOT)
@@ -280,10 +289,12 @@ def main() -> None:
                 current if ref == WORKTREE else closure_hashes(Snapshot(ref))
             )
         hashes = snap_hash_cache[ref]
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
         with open(path) as f:
             for name, row in json.load(f).items():
                 if _green(row) and name in hashes:
                     evidence.setdefault(name, set()).add(hashes[name])
+                    newest_round[name] = max(newest_round.get(name, 0), rnd)
 
     stale: list[str] = []
     never: list[str] = []
@@ -292,6 +303,9 @@ def main() -> None:
             never.append(qname)
         elif current[qname] not in evidence[qname]:
             stale.append(qname)
+    # oldest newest-green-round first, then name, so `head -n` of the
+    # STALE block IS the rotation queue
+    stale.sort(key=lambda n: (newest_round[n], n))
 
     print(f"registry: {len(current)}")
     print(f"with driver evidence: {len(evidence)}")
@@ -300,7 +314,7 @@ def main() -> None:
         print(f"  NEVER {n}")
     print(f"stale (code changed since newest green driver row): {len(stale)}")
     for n in stale:
-        print(f"  STALE {n}")
+        print(f"  STALE r{newest_round[n]} {n}")
     if "--fail" in sys.argv and (stale or never):
         sys.exit(1)
 
