@@ -432,9 +432,19 @@ def connected_components(
     numeric = isinstance(
         edges.schema[src].dataType, types.NumericType
     ) and isinstance(edges.schema[dst].dataType, types.NumericType)
+    # mixed endpoint types (e.g. a long src against a string dst) would
+    # otherwise union a long column with a string column positionally
+    # and fail analysis with an opaque error — normalize both sides to
+    # string: min-label propagation only needs a total order, and the
+    # string order is consistent across both endpoints (r7 ADVICE)
+    to_string = not numeric and (
+        edges.schema[src].dataType != edges.schema[dst].dataType
+    )
 
     def _id(c: str) -> "F.Column":
-        return F.col(c).cast("long") if numeric else F.col(c)
+        if numeric:
+            return F.col(c).cast("long")
+        return F.col(c).cast("string") if to_string else F.col(c)
 
     bi = _truncate(
         edges.select(_id(src).alias("s"), _id(dst).alias("t"))
@@ -576,7 +586,14 @@ def _pruned_postings(sh: DataFrame, max_df: int) -> DataFrame:
     (count agg + anti probe; the count exchange carries only partial
     (shingle, count) rows so it is not reusable). Kept un-pinned so
     tests can assert the plan shape (collect_list strictly above the
-    LeftAnti)."""
+    LeftAnti).
+
+    NULL shingles are dropped up front: anti-join NULL semantics never
+    match the hot set, so a NULL key would bypass the df guard entirely
+    and buffer unbounded (unreachable from concat_ws-built shingles,
+    which are non-null, but the bounded-buffer invariant must hold by
+    construction for any caller — r7 ADVICE)."""
+    sh = sh.filter(F.col("shingle").isNotNull())
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))

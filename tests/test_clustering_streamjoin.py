@@ -49,6 +49,23 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert any((tmp_path / "ckpt").rglob("*"))
 
 
+def test_connected_components_mixed_endpoint_types(spark):
+    """A long src against a string dst (mixed endpoint types) must not
+    fail analysis when the doubled edge set unions the two columns
+    positionally — both sides normalize to string (r7 ADVICE). Pure
+    string-string edges keep their native type; numeric-numeric still
+    normalizes to long (covered by the basic tests)."""
+    edges = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id_a bigint, id_b string"
+    )
+    rows = connected_components(edges).collect()
+    assert dict(rows[0].asDict()).keys() == {"id", "cluster_id"}
+    got = {r["id"]: r["cluster_id"] for r in rows}
+    # {1, 2, "a"} share a cluster; {3, "b"} the other (min string label)
+    assert got["1"] == got["2"] == got["a"] == "1"
+    assert got["3"] == got["b"] == "3"
+
+
 def test_connected_components_nonconvergence_warns(spark):
     """A component with diameter > max_iter must warn instead of silently
     returning split clusters (labels may be wrong — that's the point)."""

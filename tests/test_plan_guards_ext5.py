@@ -374,6 +374,25 @@ def test_containment_posting_lists_df_filtered_before_collect(spark):
     assert any("BroadcastHashJoin" in lines[i] for i in antis)
 
 
+def test_containment_posting_lists_drop_null_shingles(spark):
+    """A NULL shingle key never matches the anti-joined hot set, so
+    without an explicit filter it would bypass the df > max_df guard
+    entirely and buffer unbounded (r7 ADVICE). _pruned_postings must
+    drop NULL shingles by construction — they carry no containment
+    signal for any caller."""
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        _pruned_postings,
+    )
+
+    sh = spark.createDataFrame(
+        [(i, None) for i in range(50)] + [(1, "kept"), (2, "kept")],
+        "id bigint, shingle string",
+    )
+    rows = _pruned_postings(sh, 4).collect()
+    assert {r["shingle"] for r in rows} == {"kept"}
+    assert sorted(rows[0]["ids"]) == [1, 2]
+
+
 def test_shingle_helpers_accept_quoted_identifiers(spark):
     """_sql_tokens/_sql_shingles interpolate the column NAME into a SQL
     string; names needing quoting (spaces, hyphens) must parse the same
