@@ -963,6 +963,137 @@ def er_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "er_union_blocked_linkage",
+    f"""
+    WITH names AS (
+      SELECT p_name, count(*)::BIGINT AS support FROM part GROUP BY 1
+    ), keyed AS (
+      SELECT p_name, support, {_sql_phonetic_key("p_name")} AS pkey,
+             split_part(p_name, ' ', 2) AS noun
+      FROM names
+    ), blocks AS (
+      SELECT p_name, support, 'p' AS pass, pkey AS bkey FROM keyed
+      UNION ALL
+      SELECT p_name, support, 't', noun FROM keyed
+    ), passes AS (
+      SELECT a.p_name AS name1, b.p_name AS name2,
+             a.support AS support1, b.support AS support2,
+             (a.pass = 'p')::INTEGER AS vp, (a.pass = 't')::INTEGER AS vt
+      FROM blocks a JOIN blocks b
+        ON a.pass = b.pass AND a.bkey = b.bkey AND a.p_name < b.p_name
+    ), cand AS (
+      SELECT name1, name2,
+             min(support1) AS support1, min(support2) AS support2,
+             max(vp)::BIGINT AS via_phonetic, max(vt)::BIGINT AS via_token
+      FROM passes GROUP BY 1, 2
+    )
+    SELECT name1, name2,
+           levenshtein(name1, name2)::BIGINT AS lev,
+           round(1.0 - levenshtein(name1, name2)::DOUBLE
+                 / greatest(length(name1), length(name2)), 6) AS sim,
+           via_phonetic, via_token, support1, support2
+    FROM cand
+    WHERE levenshtein(name1, name2) <= 4
+    """,
+)
+def er_union_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass (UNION-blocked) production linkage — the cure the
+    blocking-recall audit quantified: single-key blocking under-recalls
+    by construction (on this vocabulary phonetic alone catches 0.07 of
+    true fuzzy matches, last-token 0.62, their union 0.69 —
+    er_blocking_recall_audit), so candidates come from the UNION of the
+    phonetic-key and last-token-key blocks. Spelled as ONE composite-key
+    equi-join: each distinct name emits a (pass, block-key) row per
+    blocking pass via an in-row explode, and candidates form through a
+    single self equi-join on (pass, bkey) — one shuffle covers every
+    pass, no cross-block pair ever materializes, and adding a third
+    blocking pass is one more array element, not another join. Pairs
+    caught by both passes are deduplicated by a hash-agg with max()
+    keeping per-pass provenance (via_phonetic/via_token). The query
+    declares the Levenshtein verify above that dedup, and Catalyst
+    proves it only references the grouping keys and PUSHES it below the
+    aggregate into the join's residual condition — the plan you want at
+    100 TB: candidates failing the verify are pruned before the
+    pair-dedup shuffle ever sees them, and the only cost is one extra
+    in-row lev evaluation per ADDITIONAL pass that blocks an
+    already-matched pair (bounded by the pass count, never by the
+    corpus). Pinned by test_er_union_linkage_plan: the verify rides the
+    equi join as a residual filter, never a join key, and never a
+    cartesian. The audit's `union` row and this path reconcile by
+    construction: its n_caught equals this query's row count (pinned by
+    test_er_union_linkage_matches_recall_audit)."""
+    part = t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count("*").alias("support"))
+    keyed = names.select(
+        "p_name",
+        "support",
+        _phonetic_key(F.col("p_name")).alias("pkey"),
+        F.coalesce(F.get(F.split("p_name", " "), 1), F.lit("")).alias("noun"),
+    )
+    blocks = keyed.select(
+        "p_name",
+        "support",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p").alias("pass"), F.col("pkey").alias("bkey")
+                ),
+                F.struct(
+                    F.lit("t").alias("pass"), F.col("noun").alias("bkey")
+                ),
+            )
+        ).alias("bb"),
+    ).select("p_name", "support", "bb.pass", "bb.bkey")
+    a = blocks.select(
+        F.col("p_name").alias("name1"),
+        F.col("support").alias("support1"),
+        "pass",
+        "bkey",
+    )
+    b = blocks.select(
+        F.col("p_name").alias("name2"),
+        F.col("support").alias("support2"),
+        F.col("pass").alias("pass2"),
+        F.col("bkey").alias("bkey2"),
+    )
+    passes = a.join(
+        b,
+        (F.col("pass") == F.col("pass2"))
+        & (F.col("bkey") == F.col("bkey2"))
+        & (F.col("name1") < F.col("name2")),
+    ).select(
+        "name1",
+        "name2",
+        "support1",
+        "support2",
+        (F.col("pass") == "p").cast("int").alias("vp"),
+        (F.col("pass") == "t").cast("int").alias("vt"),
+    )
+    cand = passes.groupBy("name1", "name2").agg(
+        F.min("support1").alias("support1"),
+        F.min("support2").alias("support2"),
+        F.max("vp").cast("bigint").alias("via_phonetic"),
+        F.max("vt").cast("bigint").alias("via_token"),
+    )
+    lev = F.levenshtein("name1", "name2")
+    return cand.filter(lev <= 4).select(
+        "name1",
+        "name2",
+        lev.cast("bigint").alias("lev"),
+        F.round(
+            1.0
+            - lev.cast("double")
+            / F.greatest(F.length("name1"), F.length("name2")),
+            6,
+        ).alias("sim"),
+        "via_phonetic",
+        "via_token",
+        "support1",
+        "support2",
+    )
+
+
 # =============================================================================
 # Curation — shingle-CONTAINMENT near-superset pairs. Containment
 # C(A,B) = |S(A)∩S(B)|/|S(A)| is asymmetric: a short document embedded
