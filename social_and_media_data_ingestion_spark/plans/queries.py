@@ -2020,21 +2020,87 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
-# Approximate aggregates — HLL++ distinct and quantile sketches. Sketch
-# values are engine-specific, so no SQL oracle (rows-only check); the
-# EXACT twins are oracle-verified in agg_distinct_stats.
+# Approximate aggregates — HLL++ distinct and quantile sketches. Raw
+# sketch values are engine-specific, so they can't be value-compared;
+# instead the query verifies each sketch against its DOCUMENTED error
+# bound in-query (r7 verdict item 7): the exact values are computed in
+# the same single-pass aggregate, the bound checks come out as booleans,
+# and the DuckDB oracle independently recomputes the exact columns and
+# asserts the bound columns as literal TRUE — so the exact anchors are
+# cross-engine verified and a sketch drifting out of contract flips a
+# hashed boolean. Bounds: HLL++ default rsd=0.05, checked at 3 sigma
+# (relative error <= 0.15, deterministic per dataset). percentile_approx
+# default accuracy=10000 guarantees the returned value's RANK is within
+# n/10000 of the target rank — checked as rank containment, not value
+# containment (an interpolated exact-quantile window can exclude every
+# actual data value at small n): a second scan counts rows strictly
+# below / at-or-below each sketch value, giving the value's true rank
+# interval [cnt_lt+1, cnt_le] (ties widen it), and the check asserts
+# q*n lands inside it widened by 10x slack, floor 2 ranks. Two scans
+# total (sketch pass + rank-count pass against the broadcast 1-row
+# sketch frame) — the canonical audit shape; the rank counts cannot be
+# folded into the first pass because they condition on its output.
+# Empty input: every check degenerates to TRUE on both engines.
 # =============================================================================
-@q("agg_approx_stats", None)
+@q(
+    "agg_approx_stats",
+    """
+    SELECT count(*)::BIGINT AS n_rows,
+           count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+           TRUE AS parts_within_bound,
+           TRUE AS median_within_bound,
+           TRUE AS q25_within_bound,
+           TRUE AS q75_within_bound
+    FROM lineitem
+    """,
+)
 def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return li.agg(
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    sketch = li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        # two scalar columns (not one array) so every downstream
-        # canonicalizer — including ones that hash raw row values — can
-        # digest the result
-        F.percentile_approx("l_extendedprice", 0.25).alias("approx_q25"),
-        F.percentile_approx("l_extendedprice", 0.75).alias("approx_q75"),
+        F.expr(
+            "percentile_approx(price, array(0.25D, 0.5D, 0.75D))"
+        ).alias("ap"),
+    )
+    ranks = li.crossJoin(F.broadcast(sketch.select("ap"))).agg(
+        *[
+            c
+            for i in range(3)
+            for c in (
+                F.count_if(F.col("price") < F.get("ap", i)).alias(f"lt{i}"),
+                F.count_if(F.col("price") <= F.get("ap", i)).alias(f"le{i}"),
+            )
+        ]
+    )
+
+    def _within(i: int, quantile: float) -> "F.Column":
+        # true rank of the sketch value is somewhere in [lt+1, le] (ties
+        # widen the interval); the documented contract places the target
+        # rank q*n within n/10000 of it — checked at 10x slack, floor 2
+        slack = F.greatest(F.lit(2.0), F.col("n_rows") / 1000.0)
+        target = F.lit(quantile) * F.col("n_rows")
+        return (F.col("n_rows") == 0) | (
+            (target >= F.col(f"lt{i}") + 1 - slack)
+            & (target <= F.col(f"le{i}") + slack)
+        )
+
+    return sketch.crossJoin(F.broadcast(ranks)).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        F.when(F.col("exact_parts") == 0, F.col("approx_parts") == 0)
+        .otherwise(
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.15
+        )
+        .alias("parts_within_bound"),
+        _within(1, 0.5).alias("median_within_bound"),
+        _within(0, 0.25).alias("q25_within_bound"),
+        _within(2, 0.75).alias("q75_within_bound"),
     )
 
 
