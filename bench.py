@@ -110,6 +110,10 @@ HEADLINE = [
     "er_phonetic_blocked_pairs",
     "er_entity_clusters",
     "multimodal_format_sniff",
+    # round-8 growth: multi-pass union blocking as one composite-key
+    # equi-join — benched so the multi-pass candidate machinery carries
+    # a throughput artifact alongside its plan guard
+    "er_union_blocked_linkage",
 ]
 
 
@@ -153,10 +157,60 @@ def _steady_spread(rs: list[float]) -> float:
     return round((max(best3) - min(best3)) / min(best3), 3) if min(best3) > 0 else 0.0
 
 
+def _preflight_quiet() -> float | None:
+    """Hard pre-flight gate (round-7 verdict): a bench run made under
+    sustained ambient load records machine weather as if it were plan
+    drift (r7's driver artifact inflated untouched queries by a uniform
+    ~1.23x). Waits up to ~3 min for the 1-minute load average to drop
+    under the threshold; returns the offending load if the box never
+    quiets so the caller can REFUSE to emit an artifact instead of
+    emitting a poisoned one. Threshold overridable via
+    SPARK_GRAFT_BENCH_MAX_LOAD; gate skippable for ad-hoc exploration
+    with SPARK_GRAFT_BENCH_SKIP_PREFLIGHT=1."""
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_PREFLIGHT") == "1":
+        return None
+    try:
+        max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    except ValueError:
+        max_load = 4.0
+    load = None
+    for attempt in range(10):
+        try:
+            load = os.getloadavg()[0]
+        except OSError:
+            return None  # platform without loadavg: gate is a no-op
+        if load <= max_load:
+            return None
+        print(
+            f"# preflight: load_1m={load:.2f} > {max_load} "
+            f"(attempt {attempt + 1}/10), settling 20s",
+            file=sys.stderr,
+        )
+        time.sleep(20)
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     write_anchor = "--write-anchor" in sys.argv
+    bad_load = _preflight_quiet()
+    if bad_load is not None:
+        # refuse to bench: one explicit stdout line, BENCH_FULL.json
+        # untouched — a missing number is recoverable, a poisoned
+        # committed number masquerades as a plan regression forever
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_runtime",
+                    "error": "preflight_load",
+                    "load_1m": round(bad_load, 2),
+                    "unit": "sec",
+                    "sf": sf,
+                }
+            )
+        )
+        return
     spark = get_spark(app_name="bench")
     reg = registry()
 

@@ -244,18 +244,24 @@ def minhash_lsh_candidates(
 
     Documents too short to shingle carry NULL min-hashes (min over an
     empty shingle set). They can never be near-duplicates by the
-    measure, so they are dropped BEFORE banding — without the filter,
-    concat_ws (which SKIPS nulls) would fold every such document into
-    one shared garbage bucket: on a web-scale corpus the billions of
-    empty/near-empty pages all land there, and its quadratic expansion
-    is precisely the hot-bucket blowup this operator guards against
-    (found by the r7 null-riddled harness; the DuckDB oracle's
-    NULL-propagating `||` concat never joined them, so the garbage
-    bucket was also silently divergent cross-engine)."""
+    measure, so they must not band — without a guard, concat_ws (which
+    SKIPS nulls) folds every such document into one shared garbage
+    bucket: on a web-scale corpus the billions of empty/near-empty
+    pages all land there, and its quadratic expansion is precisely the
+    hot-bucket blowup this operator guards against (found by the r7
+    null-riddled harness; the DuckDB oracle's NULL-propagating `||`
+    concat never joined them, so the garbage bucket was also silently
+    divergent cross-engine). The guard is the post-banding
+    `bucket != ''` filter rather than a sig-level null filter: a
+    predicate on the sig column gets pushed into the signature
+    projection and re-inlines the whole minhash expression per
+    conjunct (r7's spelling tripled it — 24 array_min evaluations per
+    row instead of 8, ~2x the query's map time), while the bucket
+    string is generator OUTPUT, evaluated once by construction. The
+    mapping is exact: min-hashes are all-NULL or none (one shingle set
+    per row), all-NULL concat_ws's to '' and any real (long, long)
+    band concat_ws's to a non-empty 'x_y' — so '' ⇔ unshingleable."""
     assert bands * rows_per_band <= 12
-    sigs = sigs.filter(
-        F.col("sig").isNotNull() & ~F.exists("sig", lambda x: x.isNull())
-    )
     band_entries = ",".join(
         "named_struct('band', {b}, 'bucket', concat_ws('_', {cols}))".format(
             b=b,
@@ -265,9 +271,13 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     )
-    banded = sigs.select(
-        "id", F.explode(F.expr(f"array({band_entries})")).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+    banded = (
+        sigs.select(
+            "id", F.explode(F.expr(f"array({band_entries})")).alias("bb")
+        )
+        .select("id", "bb.band", "bb.bucket")
+        .filter(F.col("bucket") != "")
+    )
     ids = F.array_sort(F.collect_set("id"))
     pairs = F.flatten(
         F.transform(
@@ -278,11 +288,19 @@ def minhash_lsh_candidates(
             ),
         )
     )
+    # PIN the bucket frame: it feeds THREE consumers (small-bucket
+    # expansion + both sides of the hot-bucket self-join), and Spark's
+    # exchange reuse does not deduplicate the collect_set aggregation
+    # subtree — unpinned, the corpus scan + signature computation + one
+    # shuffle execute once PER consumer (measured 3 parquet scans and
+    # zero ReusedExchange at sf0.1). The pinned frame is bucket-scale
+    # (one row per non-singleton (band, bucket)), tiny next to the
+    # corpus that built it.
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
-    )
+    ).localCheckpoint(eager=True)
     small = (
         grouped.filter(F.size("ids") <= max_bucket)
         .select(F.explode(pairs).alias("p"))
@@ -293,8 +311,13 @@ def minhash_lsh_candidates(
         "band", "bucket", F.explode("ids").alias("id")
     )
     a, b = hot_members.alias("a"), hot_members.alias("b")
+    # shuffled-hash, not sort-merge: the pinned frame scans as an
+    # ExistingRDD with no stats, so the static planner would pick an
+    # SMJ and AQE never revisits pinned segments; deliberately NOT a
+    # broadcast hint — an adversarial corpus can make the hot-member
+    # set arbitrarily large, and shuffle-hash degrades safely
     large = a.join(
-        b,
+        b.hint("shuffle_hash"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.id") < F.col("b.id")),
