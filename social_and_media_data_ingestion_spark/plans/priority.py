@@ -24,6 +24,80 @@ from __future__ import annotations
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
+    # ================= round-8 head =================
+    # The low-churn rotation round (round-7 verdict item 1): drain the
+    # oldest of the 87-row staleness queue. Composition, in rotation-
+    # policy order:
+    #   1. the round's one growth query (never sampled): the
+    #      union-blocked ER linkage;
+    #   2. every query whose closure changed in r8 — the bounded-error
+    #      approx-stats oracle, the LSH triplication fix + bucket-frame
+    #      pin (minhash family), and the CC/_pruned_postings hardening
+    #      (containment, clusters);
+    #   3. oldest-evidence stale fill: all 20 r1-evidence rows and the
+    #      first 23 (of 29) r2-evidence rows, alphabetical within age.
+    # `python tools/stale_rows.py` prints the remaining queue (the r9
+    # head); everything displaced stays covered by the local full gate
+    # (tools/verify_local.py runs all 257 with the identical oracle
+    # mechanism).
+    "er_union_blocked_linkage",
+    "agg_approx_stats",
+    "dedup_minhash_calibration",
+    "dedup_minhash_lsh_pairs",
+    "dedup_near_dup_clusters",
+    "dedup_shingle_containment",
+    "er_entity_clusters",
+    # -- oldest-evidence stale fill: r1 rows
+    "a4_distinct_dim",
+    "agg_cube_revenue",
+    "agg_distinct_stats",
+    "agg_having_big_customers",
+    "f4_date_range",
+    "f5_lenient_parse_null_drop",
+    "f6_url_shape",
+    "f7_terms_extract",
+    "j4_anti_join",
+    "p4_concat_strip_urls",
+    "p5_nested_head",
+    "pivot_lineitem_status",
+    "q3_shipping_priority",
+    "scalar_datetime_roundtrip",
+    "scalar_dotted_date",
+    "scalar_string_funcs",
+    "setop_except",
+    "setop_intersect",
+    "subquery_above_avg",
+    "text_rolling_fingerprint",
+    # -- oldest-evidence stale fill: r2 rows (first 23 of 29)
+    "a2_dedup_keep_first",
+    "a3_keep_latest",
+    "a6_max_watermark",
+    "agg_pricing_summary",
+    "agg_rollup_revenue",
+    "corpus_decontaminate",
+    "corpus_full_curation",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "events_funnel_conversion",
+    "events_session_window",
+    "events_windowed_agg",
+    "f2_keyword_substring",
+    "f3_keyword_word_boundary",
+    "j1_semi_join",
+    "j2_fk_join_agg",
+    "j3_self_join_next_line",
+    "j5_asof_last_login",
+    "j6_range_band_join",
+    "p1_project_defaults",
+    "pii_redact_documents",
+    "q21_waiting_suppliers",
+    "scalar_german_date",
+]
+
+
+_ROUND7_HEAD = [
+    # round-7 head, kept for the rotation ledger (these 50 all went
+    # driver-green in CORRECTNESS_r07.json)
     # ================= round-7 head (final) =================
     # Built by the content-hash ledger (tools/stale_rows.py), priority:
     #   1. never-sampled growth queries (ER phonetic family, magic-byte
@@ -92,7 +166,6 @@ PRIORITY_HEAD = [
     "emb_dim_variance",
     "emb_knn_label_audit",
 ]
-
 
 
 _ROUND6_HEAD = [
