@@ -251,22 +251,28 @@ def minhash_lsh_candidates(
     hot-bucket blowup this operator guards against (found by the r7
     null-riddled harness; the DuckDB oracle's NULL-propagating `||`
     concat never joined them, so the garbage bucket was also silently
-    divergent cross-engine). The guard is the post-banding
-    `bucket != ''` filter rather than a sig-level null filter: a
+    divergent cross-engine). The guard is a post-banding
+    `bucket IS NOT NULL` filter rather than a sig-level null filter: a
     predicate on the sig column gets pushed into the signature
     projection and re-inlines the whole minhash expression per
     conjunct (r7's spelling tripled it — 24 array_min evaluations per
     row instead of 8, ~2x the query's map time), while the bucket
     string is generator OUTPUT, evaluated once by construction. The
-    mapping is exact: min-hashes are all-NULL or none (one shingle set
-    per row), all-NULL concat_ws's to '' and any real (long, long)
-    band concat_ws's to a non-empty 'x_y' — so '' ⇔ unshingleable."""
+    bucket is built with NULL-PROPAGATING concat (matching the
+    oracle's `||`), never concat_ws: concat_ws SKIPS interior NULLs,
+    so under a caller-supplied partially-NULL signature [5,NULL] and
+    [NULL,5] would both bucket as '5' — spurious candidates no hash
+    agreement justifies. With concat, ANY NULL hash in the band nulls
+    the bucket and the row leaves that band; the NULL ⇔ unbandable
+    mapping is total for ANY sigs frame, not just the all-NULL-or-none
+    output of minhash_signatures (round-8 ADVICE)."""
     assert bands * rows_per_band <= 12
     band_entries = ",".join(
-        "named_struct('band', {b}, 'bucket', concat_ws('_', {cols}))".format(
+        "named_struct('band', {b}, 'bucket', concat({cols}))".format(
             b=b,
-            cols=",".join(
-                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            cols=",'_',".join(
+                f"cast(sig[{b * rows_per_band + r}] as string)"
+                for r in range(rows_per_band)
             ),
         )
         for b in range(bands)
@@ -276,7 +282,7 @@ def minhash_lsh_candidates(
             "id", F.explode(F.expr(f"array({band_entries})")).alias("bb")
         )
         .select("id", "bb.band", "bb.bucket")
-        .filter(F.col("bucket") != "")
+        .filter(F.col("bucket").isNotNull())
     )
     ids = F.array_sort(F.collect_set("id"))
     pairs = F.flatten(
@@ -295,12 +301,18 @@ def minhash_lsh_candidates(
     # shuffle execute once PER consumer (measured 3 parquet scans and
     # zero ReusedExchange at sf0.1). The pinned frame is bucket-scale
     # (one row per non-singleton (band, bucket)), tiny next to the
-    # corpus that built it.
+    # corpus that built it. LAZY pin (eager=False, round-8 ADVICE):
+    # the RDD is marked persistent at construction, so the first
+    # action computes it once and all three consumers read the cached
+    # blocks — same dedup as eager — but plan-only callers (the plan
+    # guards) no longer execute the aggregation job just to build the
+    # DataFrame, and no lineage-truncated blocks exist until a caller
+    # actually runs the query.
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     small = (
         grouped.filter(F.size("ids") <= max_bucket)
         .select(F.explode(pairs).alias("p"))

@@ -11,10 +11,14 @@ Design for 100 TB of media:
   overflow Arrow limits (`spark.sql.execution.arrow.maxRecordsPerBatch`).
 
 The real codec libraries (PIL / torchaudio / pyav) are NOT in this
-container, so the actual decoders are STUBS that raise NotImplementedError
-with a clear message; every operator also ships a deterministic fake
-(`fake=True`, the default) so the Spark-side plumbing — schema, UDF
-signature, batch shape, metadata contract — is real and tested end-to-end.
+container (re-probed every round), so the image/video decoders are STUBS
+that raise NotImplementedError with a clear message; every operator also
+ships a deterministic fake (`fake=True`, the default) so the Spark-side
+plumbing — schema, UDF signature, batch shape, metadata contract — is
+real and tested end-to-end. Two REAL paths need no codec library at all
+and are fully implemented: magic-byte format sniffing (native prefix
+expressions) and RIFF/WAVE PCM audio decode (`decode_wav_pcm`, stdlib
+`wave` — `chunk_audio(fake=False)` chunks real WAV samples).
 """
 
 from __future__ import annotations
@@ -274,6 +278,45 @@ AUDIO_CHUNK_SCHEMA = T.StructType(
 )
 
 
+def decode_wav_pcm(p: bytes) -> tuple[int, list[float]]:
+    """(frame_rate, mono samples) from RIFF/WAVE PCM bytes — a REAL
+    decode with ZERO third-party dependencies: the stdlib `wave` module
+    parses the RIFF container and `array` unpacks the PCM frames (WAV
+    is little-endian; byteswapped on big-endian hosts). 8-bit PCM is
+    unsigned (centered by -128), 16-bit is signed; multi-channel audio
+    mixes down by per-frame arithmetic mean (the standard mono mixdown,
+    deterministic). Raises wave.Error on a non-WAV payload — sniff
+    first (`sniff_format` detects RIFF/WAVE natively) and route
+    non-WAV rows to the stub-gated codec paths."""
+    import array
+    import io
+    import sys as _sys
+    import wave
+
+    with wave.open(io.BytesIO(p)) as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        samples: list[float] = [v - 128 for v in raw]
+    elif sw == 2:
+        arr = array.array("h", raw)
+        if _sys.byteorder == "big":
+            arr.byteswap()
+        samples = list(arr)
+    else:
+        raise NotImplementedError(
+            f"{8 * sw}-bit PCM needs a real codec library (not installed)"
+        )
+    if nch > 1:
+        samples = [
+            sum(samples[i : i + nch]) / nch
+            for i in range(0, len(samples), nch)
+        ]
+    return rate, samples
+
+
 def chunk_audio(
     df: DataFrame,
     sample_rate: int = 1000,
@@ -283,23 +326,30 @@ def chunk_audio(
     fake: bool = True,
 ) -> DataFrame:
     """payload -> fixed-duration windows with per-window RMS energy
-    (1-file -> N-rows UDTF shape). Stub treats each payload byte as one
-    8-bit PCM sample; the integer arithmetic is exact, so the fake is
-    oracle-verifiable. Real decode would go through torchaudio/soundfile."""
-    win = sample_rate * window_ms // 1000
+    (1-file -> N-rows UDTF shape). The fake (default) treats each
+    payload byte as one 8-bit PCM sample at `sample_rate`; the integer
+    arithmetic is exact, so the fake is oracle-verifiable. fake=False
+    is a REAL decode (round-9: the only media decoder this container
+    can run) — stdlib-wave RIFF/WAVE PCM via `decode_wav_pcm`, using
+    the FILE's own frame rate (the `sample_rate` arg applies to the
+    fake only); window boundaries and the RMS loop are byte-identical
+    between the two paths, so every fake-path test pins the real
+    path's chunk math too."""
+    fake_win = sample_rate * window_ms // 1000
 
     def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    _STUB_MSG.format(what="audio", lib="torchaudio/soundfile")
-                )
             ids, idxs, starts, ns, rms = [], [], [], [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None:
                     continue  # NULL payload -> no chunks (same shape
                     # as an empty payload; bytes(None) would throw)
-                samples = list(bytes(p))
+                if fake:
+                    samples: list[float] = list(bytes(p))
+                    win = fake_win
+                else:
+                    rate, samples = decode_wav_pcm(bytes(p))
+                    win = rate * window_ms // 1000
                 for ci in range((len(samples) + win - 1) // win):
                     seg = samples[ci * win : (ci + 1) * win]
                     ids.append(int(mid))

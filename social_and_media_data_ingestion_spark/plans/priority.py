@@ -24,6 +24,74 @@ from __future__ import annotations
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
+    # ================= round-9 head =================
+    # The rotation-FINISHING round (round-8 verdict item 1): the ledger
+    # (tools/stale_rows.py) reads 44 stale + 1 never on this tree, and
+    # all 45 fit in one 50-slot head — after CORRECTNESS_r09 lands the
+    # ledger reads ZERO and the suite's arming test
+    # (tests/test_stale_ledger.py) keeps it that way. Composition, in
+    # rotation-policy order:
+    #   1. the round's one growth query (never sampled): the end-to-end
+    #      ER pipeline (union blocking -> CC -> entity report);
+    #   2. every query whose closure changed in r9 — the ''-block guard
+    #      on the union linkage, the NULL-propagating LSH bucket + lazy
+    #      pin (minhash family + full-curation composite), the pinned
+    #      approx-stats sketch frame, and the real stdlib-wave decode
+    #      path added beside chunk_audio's fake;
+    #   3. ALL 38 remaining stale rows, oldest evidence first.
+    "er_resolution_pipeline",
+    # -- changed in r9
+    "multimodal_audio_chunks",
+    "agg_approx_stats",
+    "corpus_full_curation",
+    "dedup_minhash_calibration",
+    "dedup_minhash_lsh_pairs",
+    "er_union_blocked_linkage",
+    # -- stale queue, oldest evidence (r2) first
+    "scalar_json_extract",
+    "text_chunk_documents",
+    "text_quality_score",
+    "text_token_counts",
+    "union_events_orders",
+    "window_topk_orders",
+    "agg_quantile_sketch_audit",
+    "corpus_curate_pipeline",
+    "docs_quality_deciles",
+    "events_max_concurrent",
+    "orders_rfm_segmentation",
+    "q9_profit_by_nation",
+    "window_ntile_quartiles",
+    "dq_constraint_report",
+    "dq_reconciliation_orders",
+    "graph_pagerank_iters12",
+    "lineitem_abc_pareto",
+    "stream_neardup_filter",
+    "stream_threshold_alerts",
+    "text_pmi_bigrams",
+    "text_repetition_signals",
+    "dedup_canonical_selection",
+    "emb_label_centroid_distances",
+    "events_srm_check",
+    "graph_pagerank_dangling",
+    "lineitem_anova_returnflag",
+    "ml_split_leakage_audit",
+    "orders_ab_welch_ttest",
+    "orders_cuped_theta",
+    "stats_kruskal_wallis_returnflag",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_status",
+    "stats_spearman_qty_price",
+    "text_langid_confusion",
+    "text_shingle_novelty",
+    "customer_balance_outliers",
+    "graph_triangle_suppliers",
+    "orders_daily_trend",
+]
+
+
+_ROUND8_HEAD = [
+    # round-8 head, kept for the rotation ledger (these 50 all went
+    # driver-green in CORRECTNESS_r08.json)
     # ================= round-8 head =================
     # The low-churn rotation round (round-7 verdict item 1): drain the
     # oldest of the 87-row staleness queue. Composition, in rotation-

@@ -2039,7 +2039,14 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q*n lands inside it widened by 10x slack, floor 2 ranks. Two scans
 # total (sketch pass + rank-count pass against the broadcast 1-row
 # sketch frame) — the canonical audit shape; the rank counts cannot be
-# folded into the first pass because they condition on its output.
+# folded into the first pass because they condition on its output. The
+# 1-row sketch frame feeds TWO consumers (the rank pass and the final
+# assembly) and exchange reuse does not deduplicate the aggregate
+# subtree (3 lineitem scans and a doubled countDistinct shuffle
+# measured unpinned — round-8 ADVICE), so it is pinned with a lazy
+# localCheckpoint: one job computes it at first action, both consumers
+# read the persisted 1-row block, and the two-scan claim above is the
+# plan that actually executes.
 # Empty input: every check degenerates to TRUE on both engines.
 # =============================================================================
 @q(
@@ -2065,7 +2072,7 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "percentile_approx(price, array(0.25D, 0.5D, 0.75D))"
         ).alias("ap"),
-    )
+    ).localCheckpoint(eager=False)
     ranks = li.crossJoin(F.broadcast(sketch.select("ap"))).agg(
         *[
             c

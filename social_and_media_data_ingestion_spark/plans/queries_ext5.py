@@ -973,9 +973,11 @@ def er_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              split_part(p_name, ' ', 2) AS noun
       FROM names
     ), blocks AS (
-      SELECT p_name, support, 'p' AS pass, pkey AS bkey FROM keyed
-      UNION ALL
-      SELECT p_name, support, 't', noun FROM keyed
+      SELECT * FROM (
+        SELECT p_name, support, 'p' AS pass, pkey AS bkey FROM keyed
+        UNION ALL
+        SELECT p_name, support, 't', noun FROM keyed
+      ) WHERE bkey <> ''
     ), passes AS (
       SELECT a.p_name AS name1, b.p_name AS name2,
              a.support AS support1, b.support AS support2,
@@ -1045,6 +1047,14 @@ def er_union_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("p_name", "support", "bb.pass", "bb.bkey")
+    # ''-block guard (same invariant as LSH's bucket != ''): a name with
+    # no second token — or an all-vowel name whose phonetic key is empty
+    # — must NOT participate in that pass. Without this every
+    # unblockable name lands in one shared '' block whose pair expansion
+    # is quadratic in the unblockable count: the garbage hot bucket.
+    # Filtered AFTER the explode (generator output), mirrored in the
+    # oracle's blocks CTE, so both engines drop the same rows.
+    blocks = blocks.filter(F.col("bkey") != "")
     a = blocks.select(
         F.col("p_name").alias("name1"),
         F.col("support").alias("support1"),
@@ -1091,6 +1101,163 @@ def er_union_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "via_token",
         "support1",
         "support2",
+    )
+
+
+@q(
+    "er_resolution_pipeline",
+    f"""
+    WITH RECURSIVE names AS (
+      SELECT p_name, count(*)::BIGINT AS support FROM part GROUP BY 1
+    ), keyed AS (
+      SELECT p_name, support, {_sql_phonetic_key("p_name")} AS pkey,
+             split_part(p_name, ' ', 2) AS noun
+      FROM names
+    ), blocks AS (
+      SELECT * FROM (
+        SELECT p_name, 'p' AS pass, pkey AS bkey FROM keyed
+        UNION ALL
+        SELECT p_name, 't', noun FROM keyed
+      ) WHERE bkey <> ''
+    ), pairs AS (
+      SELECT DISTINCT a.p_name AS n1, b.p_name AS n2
+      FROM blocks a JOIN blocks b
+        ON a.pass = b.pass AND a.bkey = b.bkey AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ), edges AS (
+      SELECT n1, n2 FROM pairs UNION SELECT n2, n1 FROM pairs
+    ), reach AS (
+      SELECT n1 AS node, n2 AS r FROM edges
+      UNION
+      SELECT rc.node, e.n2 FROM reach rc JOIN edges e ON rc.r = e.n1
+      WHERE e.n2 <> rc.node
+    ), labels AS (
+      SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT k.p_name, k.support,
+             coalesce(l.cluster, k.p_name) AS entity_id
+      FROM keyed k LEFT JOIN labels l ON k.p_name = l.node
+    ), members AS (
+      SELECT entity_id, count(*)::BIGINT AS n_members,
+             sum(support)::BIGINT AS total_support
+      FROM assigned GROUP BY 1
+    ), pstats AS (
+      SELECT a.entity_id, count(*)::BIGINT AS n_pairs,
+             max(levenshtein(p.n1, p.n2))::BIGINT AS max_lev
+      FROM pairs p JOIN assigned a ON p.n1 = a.p_name
+      GROUP BY 1
+    )
+    SELECT m.entity_id, m.n_members, m.total_support,
+           coalesce(s.n_pairs, 0)::BIGINT AS n_pairs, s.max_lev
+    FROM members m LEFT JOIN pstats s ON m.entity_id = s.entity_id
+    """,
+)
+def er_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION entity-resolution pipeline end-to-end under one
+    oracle — the `corpus_full_curation` pattern applied to ER: multi-
+    pass UNION blocking (phonetic + last-token composite-key explode,
+    ''-blocks guarded out, one self equi-join covers every pass — the
+    er_union_blocked_linkage candidate machinery) -> Levenshtein verify
+    in the join residual -> pair dedup -> transitive closure via
+    min-label connected components (string node ids stay native) ->
+    one report row per ENTITY: member count, support mass, verified
+    intra-entity pair count, and max intra-pair edit distance (a
+    diameter proxy — chains merge members farther apart than the edit
+    threshold, and max_lev shows how close a cluster sails to that).
+    Singleton names stay their own entity (left join + coalesce) with
+    n_pairs 0 and NULL max_lev. vs er_entity_clusters: that query
+    clusters the PHONETIC pass alone (completeness 0.07 on this
+    vocabulary per er_blocking_recall_audit); this one clusters the
+    union candidates (0.69) — the recall the audit says production
+    needs. Scale shape: the pair frame is lazily pinned (it feeds the
+    CC loop AND the pair-stats agg; unpinned, the blocking self-join
+    would run twice), CC pins its doubled edge set internally and its
+    label output is consumed by both the assignment join and the pair
+    stats — all joins against pinned no-stats frames carry the
+    shuffle_hash hint (static planner would pick SMJ, AQE never
+    revisits pinned segments). The DuckDB oracle computes the identical
+    fixpoint as a recursive-CTE closure over the same union-blocked
+    pair graph."""
+    part = t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count("*").alias("support"))
+    keyed = names.select(
+        "p_name",
+        "support",
+        _phonetic_key(F.col("p_name")).alias("pkey"),
+        F.coalesce(F.get(F.split("p_name", " "), 1), F.lit("")).alias("noun"),
+    )
+    blocks = (
+        keyed.select(
+            "p_name",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("p").alias("pass"), F.col("pkey").alias("bkey")
+                    ),
+                    F.struct(
+                        F.lit("t").alias("pass"), F.col("noun").alias("bkey")
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("p_name", "bb.pass", "bb.bkey")
+        # ''-block guard: unblockable names (no second token / letterless
+        # phonetic base) never band — the same garbage-hot-bucket
+        # invariant as er_union_blocked_linkage and the LSH operator
+        .filter(F.col("bkey") != "")
+    )
+    a = blocks.select(F.col("p_name").alias("name1"), "pass", "bkey")
+    b = blocks.select(
+        F.col("p_name").alias("name2"),
+        F.col("pass").alias("pass2"),
+        F.col("bkey").alias("bkey2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("pass") == F.col("pass2"))
+            & (F.col("bkey") == F.col("bkey2"))
+            & (F.col("name1") < F.col("name2")),
+        )
+        # declared above the dedup, pushed into the join residual by
+        # Catalyst (references only the would-be grouping keys): failed
+        # candidates die before the pair-dedup shuffle
+        .filter(F.levenshtein("name1", "name2") <= 4)
+        .select("name1", "name2")
+        .distinct()
+    ).localCheckpoint(eager=False)
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs, src="name1", dst="name2")
+    assigned = names.join(
+        cc.hint("shuffle_hash"), names.p_name == cc.id, "left"
+    ).select(
+        F.coalesce("cluster_id", "p_name").alias("entity_id"), "support"
+    )
+    members = assigned.groupBy("entity_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("support").cast("bigint").alias("total_support"),
+    )
+    pstats = (
+        pairs.join(cc.hint("shuffle_hash"), pairs.name1 == cc.id)
+        .groupBy(F.col("cluster_id").alias("pair_entity"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs_raw"),
+            F.max(F.levenshtein("name1", "name2"))
+            .cast("bigint")
+            .alias("max_lev"),
+        )
+    )
+    return members.join(
+        pstats, members.entity_id == pstats.pair_entity, "left"
+    ).select(
+        "entity_id",
+        "n_members",
+        "total_support",
+        F.coalesce("n_pairs_raw", F.lit(0)).cast("bigint").alias("n_pairs"),
+        "max_lev",
     )
 
 

@@ -72,10 +72,64 @@ def test_chunk_audio_window_math(spark):
     assert not any(r.media_id == 2 for r in rows)
 
 
-def test_chunk_audio_real_stub_raises(spark):
-    df = spark.createDataFrame([(1, bytearray(b"abc"))], ["media_id", "payload"])
-    with pytest.raises(Exception, match="torchaudio"):
-        MM.chunk_audio(df, fake=False).collect()
+def test_chunk_audio_real_wav_decode(spark):
+    """fake=False is a REAL decode now (round-9): stdlib `wave` parses
+    RIFF/WAVE PCM. A generated 16-bit mono 1 kHz WAV with known sample
+    values must chunk on the FILE's frame rate (not the fake-path arg)
+    with exact RMS; a stereo file mixes down by per-frame mean; a
+    non-WAV payload still raises."""
+    import io
+    import wave
+
+    def make_wav(samples, rate=1000, nch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            import struct
+
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return bytearray(buf.getvalue())
+
+    mono = make_wav([10] * 4 + [20] * 2)  # 6 samples @1kHz
+    stereo = make_wav([100, 200] * 3, nch=2)  # 3 frames, mean 150
+    df = spark.createDataFrame(
+        [(1, mono), (2, stereo)], ["media_id", "payload"]
+    )
+    rows = MM.chunk_audio(df, window_ms=4, fake=False).collect()
+    got = {
+        (r.media_id, r.chunk_index): (r.start_ms, r.n_samples, r.rms)
+        for r in rows
+    }
+    # 1 kHz file rate, 4 ms window -> 4 samples/chunk
+    assert got[(1, 0)] == (0, 4, 10.0)
+    assert got[(1, 1)][1] == 2
+    assert got[(1, 1)][2] == pytest.approx(20.0)
+    assert got[(2, 0)] == (0, 3, pytest.approx(150.0))
+
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not a wav"))], ["media_id", "payload"]
+    )
+    with pytest.raises(Exception, match="(?i)wave|riff|file does not"):
+        MM.chunk_audio(bad, fake=False).collect()
+
+
+def test_decode_wav_pcm_8bit_unsigned_centering():
+    """8-bit WAV PCM is UNSIGNED (silence = 128): the decoder must
+    center it so RMS math matches the signed 16-bit path."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128, 138, 118]))
+    rate, samples = MM.decode_wav_pcm(buf.getvalue())
+    assert rate == 8000
+    assert samples == [0, 10, -10]
 
 
 def test_sniff_format_magic_bytes(spark):

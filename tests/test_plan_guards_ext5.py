@@ -184,6 +184,112 @@ def test_er_union_linkage_doubly_blocked_pair_fixture(spark, tmp_path):
         )
 
 
+def test_er_union_linkage_empty_block_guard(spark, tmp_path):
+    """''-block guard (round-8 verdict #3): unblockable names must not
+    band. A single-token name has noun='' (no second token); a
+    letterless name additionally has pkey=''. Without the post-explode
+    `bkey != ''` filter, every such name lands in ONE shared '' block
+    whose pair expansion is quadratic — the same garbage-hot-bucket
+    class fixed for LSH in r8 — and this fixture would emit spurious
+    pairs ('widget'/'gadget' via the '' token block, lev=2; '123'/'456'
+    via BOTH '' blocks, lev=3). With the guard, zero pairs form, on
+    Spark AND on the mirrored oracle."""
+    import duckdb
+    import pandas as pd
+
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        er_union_blocked_linkage,
+    )
+
+    part = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4],
+            "p_name": ["widget", "gadget", "123", "456"],
+        }
+    )
+    spark.createDataFrame(part).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    assert er_union_blocked_linkage(spark, str(tmp_path)).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/part.parquet/*.parquet')"
+    )
+    want = con.execute(
+        registry()["er_union_blocked_linkage"].oracle
+    ).fetchdf()
+    assert len(want) == 0
+
+
+def test_er_resolution_pipeline_plan_and_fixture(spark, tmp_path):
+    """The end-to-end ER pipeline keeps the union-linkage scale shape
+    (composite-key EQUI join, lev verify as join residual, no cartesian
+    anywhere — including the CC loop and the entity/pair-stat joins),
+    and its transitive step does what pair queries can't: on a chain
+    'abcdefgh widget' ~ 'abcd widget' ~ 'a widget' (adjacent lev 4 and
+    3, ends lev 7 — ABOVE the threshold, so the ends never form a
+    pair) all three names land in ONE entity via transitivity, with
+    n_pairs counting only the 2 VERIFIED pairs and max_lev staying at
+    the threshold, checked against the DuckDB recursive-closure oracle
+    on the same fixture."""
+    import duckdb
+    import pandas as pd
+
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        er_resolution_pipeline,
+    )
+
+    # the blocking self-join lives in the pinned pairs segment (the CC
+    # loop truncates lineage), so the final plan can't show `bkey` —
+    # that shape is pinned by test_er_union_linkage_plan on the shared
+    # candidate machinery; here guard the visible assembly segment
+    plan = _plan(spark, "er_resolution_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    part = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4],
+            "p_name": [
+                "abcdefgh widget",
+                "abcd widget",
+                "a widget",
+                "blue gear",
+            ],
+        }
+    )
+    spark.createDataFrame(part).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    rows = {
+        r["entity_id"]: r
+        for r in er_resolution_pipeline(spark, str(tmp_path)).collect()
+    }
+    chain = rows["a widget"]  # lexicographic min of the 3-member chain
+    assert chain["n_members"] == 3
+    assert chain["n_pairs"] == 2  # adjacent pairs only; ends are lev 7
+    assert chain["max_lev"] == 4  # the abcdefgh~abcd pair, at threshold
+    single = rows["blue gear"]
+    assert (single["n_members"], single["n_pairs"]) == (1, 0)
+    assert single["max_lev"] is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/part.parquet/*.parquet')"
+    )
+    want = con.execute(
+        registry()["er_resolution_pipeline"].oracle
+    ).fetchdf()
+    assert len(want) == len(rows)
+    for _, w in want.iterrows():
+        r = rows[w["entity_id"]]
+        assert (r["n_members"], r["total_support"], r["n_pairs"]) == (
+            w["n_members"],
+            w["total_support"],
+            w["n_pairs"],
+        )
+
+
 def test_er_phonetic_key_single_pass_no_join(spark):
     """The block audit is ONE hash-agg on the in-row key: no join may
     appear in its plan at all."""

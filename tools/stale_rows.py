@@ -272,7 +272,14 @@ def _green(row: dict) -> bool:
     return False
 
 
-def main() -> None:
+def ledger() -> dict:
+    """Compute the freshness ledger for the working tree. Returns
+    {"current": {query: hash}, "evidence": {query: set-of-hashes},
+    "newest_round": {query: int}, "stale": [query...] (oldest-evidence
+    first), "never": [query...]}. Shared by the CLI below and by the
+    suite's arming test (round-8 verdict item 1): pytest asserts every
+    stale/never row is scheduled in the driver-sampled head, so
+    staleness can never silently accumulate between rounds."""
     current = closure_hashes(Snapshot(WORKTREE))
 
     # evidence: query -> set of snapshot hashes with a green driver row;
@@ -306,6 +313,19 @@ def main() -> None:
     # oldest newest-green-round first, then name, so `head -n` of the
     # STALE block IS the rotation queue
     stale.sort(key=lambda n: (newest_round[n], n))
+    return {
+        "current": current,
+        "evidence": evidence,
+        "newest_round": newest_round,
+        "stale": stale,
+        "never": never,
+    }
+
+
+def main() -> None:
+    led = ledger()
+    current, evidence = led["current"], led["evidence"]
+    stale, never, newest_round = led["stale"], led["never"], led["newest_round"]
 
     print(f"registry: {len(current)}")
     print(f"with driver evidence: {len(evidence)}")
