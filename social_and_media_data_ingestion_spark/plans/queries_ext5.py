@@ -1250,8 +1250,13 @@ def er_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_lev"),
         )
     )
+    # shuffle_hash: both sides are aggregates whose inputs are pinned
+    # no-stats frames, so the static planner would SMJ (two sorts) a
+    # join that is already co-partitioned by its grouping keys
     return members.join(
-        pstats, members.entity_id == pstats.pair_entity, "left"
+        pstats.hint("shuffle_hash"),
+        members.entity_id == pstats.pair_entity,
+        "left",
     ).select(
         "entity_id",
         "n_members",
