@@ -26,8 +26,8 @@ from __future__ import annotations
 PRIORITY_HEAD = [
     # ================= round-9 head =================
     # The rotation-FINISHING round (round-8 verdict item 1): the ledger
-    # (tools/stale_rows.py) reads 44 stale + 1 never on this tree, and
-    # all 45 fit in one 50-slot head — after CORRECTNESS_r09 lands the
+    # (tools/stale_rows.py) reads 49 stale + 1 never on this tree, and
+    # all 50 fill the 50-slot head exactly — after CORRECTNESS_r09 lands the
     # ledger reads ZERO and the suite's arming test
     # (tests/test_stale_ledger.py) keeps it that way. Composition, in
     # rotation-policy order:
@@ -47,6 +47,16 @@ PRIORITY_HEAD = [
     "dedup_minhash_calibration",
     "dedup_minhash_lsh_pairs",
     "er_union_blocked_linkage",
+    # -- changed in r9 (second batch): the whole ER family moved to the
+    #    threshold form of levenshtein (banded O(len*k) DP, -1 past the
+    #    bound) — same rows, same values, re-proof slots required
+    "er_blocked_name_linkage",
+    "er_blocking_recall_audit",
+    "er_entity_clusters",
+    "er_phonetic_blocked_pairs",
+    # -- changed in r9 (third batch): ANSI getItem crash on single-token
+    #    names, found by the hostile-names harness; F.get now
+    "part_name_parse",
     # -- stale queue, oldest evidence (r2) first
     "scalar_json_extract",
     "text_chunk_documents",

@@ -2104,9 +2104,12 @@ def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def part_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
+    # F.get, never [] — ANSI getItem CRASHES the whole job at the first
+    # single-token name (index 1 into a 1-element split; found by the
+    # hostile-names harness), while DuckDB's 1-based [2] returns NULL
     p = part.select(
-        F.split("p_name", " ")[0].alias("color"),
-        F.split("p_name", " ")[1].alias("noun"),
+        F.get(F.split("p_name", " "), 0).alias("color"),
+        F.get(F.split("p_name", " "), 1).alias("noun"),
         F.regexp_extract("p_brand", r"#(\d+)", 1).cast("long").alias("brand_num"),
         "p_retailprice",
     )

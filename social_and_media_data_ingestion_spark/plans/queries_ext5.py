@@ -610,8 +610,13 @@ def er_blocked_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("noun") == F.col("noun2")) & (F.col("name1") < F.col("name2")),
     )
-    lev = F.levenshtein("name1", "name2")
-    return pairs.filter(lev <= 3).select(
+    # threshold form: Spark's banded DP costs O(len*k) instead of
+    # O(len^2) and early-outs on a length gap > k — the verify step's
+    # cost on hostile-length names drops from quadratic to linear
+    # (returns -1 when the distance exceeds the bound; for kept rows
+    # the value IS the distance, so the output column is unchanged)
+    lev = F.levenshtein("name1", "name2", 3)
+    return pairs.filter(lev >= 0).select(
         "name1",
         "name2",
         "noun",
@@ -703,14 +708,16 @@ def er_phonetic_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pkey").alias("pkey2"),
         F.col("support").alias("support2"),
     )
-    lev = F.levenshtein("name1", "name2")
+    # threshold form: banded O(len*k) DP, -1 past the bound (value
+    # preserved for kept rows — see er_blocked_name_linkage)
+    lev = F.levenshtein("name1", "name2", 4)
     return (
         a.join(
             b,
             (F.col("pkey") == F.col("pkey2"))
             & (F.col("name1") < F.col("name2")),
         )
-        .filter(lev <= 4)
+        .filter(lev >= 0)
         .select(
             "name1",
             "name2",
@@ -831,7 +838,7 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b,
         (F.col("pkey") == F.col("pkey2")) & (F.col("name1") < F.col("name2")),
-    ).filter(F.levenshtein("name1", "name2") <= 4)
+    ).filter(F.levenshtein("name1", "name2", 4) >= 0)
     from social_and_media_data_ingestion_spark.operators.dedup import (
         connected_components,
     )
@@ -944,7 +951,9 @@ def er_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("s"),
-        (F.levenshtein("n1", "n2") <= 4).cast("int").alias("is_match"),
+        # threshold form matters MOST here: the audit is the one
+        # deliberate all-pairs instrument, so every pair pays the DP
+        (F.levenshtein("n1", "n2", 4) >= 0).cast("int").alias("is_match"),
     )
     caught = F.sum(F.col("s.cand") * F.col("is_match"))
     true_m = F.sum("is_match")
@@ -1086,8 +1095,10 @@ def er_union_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vp").cast("bigint").alias("via_phonetic"),
         F.max("vt").cast("bigint").alias("via_token"),
     )
-    lev = F.levenshtein("name1", "name2")
-    return cand.filter(lev <= 4).select(
+    # threshold form: banded O(len*k) DP, -1 past the bound (value
+    # preserved for kept rows — see er_blocked_name_linkage)
+    lev = F.levenshtein("name1", "name2", 4)
+    return cand.filter(lev >= 0).select(
         "name1",
         "name2",
         lev.cast("bigint").alias("lev"),
@@ -1222,7 +1233,7 @@ def er_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # declared above the dedup, pushed into the join residual by
         # Catalyst (references only the would-be grouping keys): failed
         # candidates die before the pair-dedup shuffle
-        .filter(F.levenshtein("name1", "name2") <= 4)
+        .filter(F.levenshtein("name1", "name2", 4) >= 0)
         .select("name1", "name2")
         .distinct()
     ).localCheckpoint(eager=False)
@@ -1245,7 +1256,7 @@ def er_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cluster_id").alias("pair_entity"))
         .agg(
             F.count("*").cast("bigint").alias("n_pairs_raw"),
-            F.max(F.levenshtein("name1", "name2"))
+            F.max(F.levenshtein("name1", "name2", 4))
             .cast("bigint")
             .alias("max_lev"),
         )

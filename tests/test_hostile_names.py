@@ -1,0 +1,258 @@
+"""Hostile-part-names harness (round 9): every part-only registry query
+runs against part tables of adversarial names — NULL, empty,
+whitespace-only, single-token, letterless, NUL-bytes, accented/emoji
+unicode, 2000-char monsters (a near-pair within the edit threshold and
+a far pair beyond it), and duplicates — Spark vs its DuckDB oracle,
+value-compared. The ER family is the target: phonetic keys, blocking
+explodes, and the (threshold-banded) Levenshtein verify all consume raw
+names, and none of the earlier harnesses ever fed them hostile CONTENT.
+
+Found and fixed: part_name_parse's ANSI getItem crash (split()[1] on a
+single-token name kills the whole job; F.get now, the standing idiom).
+
+Found and PINNED (an engine divergence, not a defect): **Spark
+levenshtein counts CODE POINTS, DuckDB counts BYTES**, so any pair
+whose diff includes a multi-byte character scores differently
+('naive widget' ~ 'naïve wïdget' is 2 in Spark, 4 in DuckDB — each
+i→ï substitution costs 1 code point but 2 bytes) and a pair can cross
+the <=4 threshold in one engine only ('widget' ~ '🎉 widget': 2 code
+points vs 5 bytes). The REPO CONTRACT is Spark's semantics — edit
+distance over characters, the linguistically meaningful unit; the
+DuckDB oracle is byte-faithful only on ASCII. Consequently the
+lev-consuming ER queries sweep the ASCII-hostile fixture (full value
+compare) while everything else sweeps the unicode fixture too, and
+`test_levenshtein_codepoint_vs_byte_divergence_pinned` keeps the
+divergence loud.
+
+The long names double as the threshold-form perf canary: banded
+O(len*k) DP makes a 2000-char verify ~8k cells (full DP: 4M) — revert
+the threshold argument and this file's runtime cliff will say so.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+
+from social_and_media_data_ingestion_spark.plans.queries import registry
+
+OTHER_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+LONG_A = "widget " + "a" * 1990  # 2 tokens, ~2k chars
+LONG_B = "widget " + "a" * 1987 + "bbb"  # lev(LONG_A, LONG_B) = 3: near-pair
+LONG_C = "widget " + "c" * 1990  # same token block, lev ~1990: far pair
+
+ASCII_HOSTILE = [
+    None,  # NULL name
+    "",  # empty
+    "   ",  # whitespace-only
+    "widget",  # single token (no second-token block key)
+    "gadget",  # single token, lev 2 from widget — must NOT pair via ''
+    "123 456",  # letterless tokens (phonetic base = '')
+    "bad\x00nul widget",  # embedded NUL byte
+    LONG_A,
+    LONG_B,
+    LONG_C,
+    "widget",  # duplicate row: support=2 for 'widget'
+]
+
+# multi-byte names: exercised by every NON-lev query; the lev family is
+# byte-vs-codepoint divergent here by engine design (see module doc)
+UNICODE_HOSTILE = ASCII_HOSTILE + [
+    "naïve wïdget",
+    "naive widget",
+    "🎉 widget",
+    "ŒUF wídget",
+]
+
+# the queries whose OUTPUT depends on levenshtein over name pairs — the
+# engines disagree off-ASCII by design (code points vs bytes)
+LEV_QUERIES = {
+    "er_blocked_name_linkage",
+    "er_phonetic_blocked_pairs",
+    "er_entity_clusters",
+    "er_blocking_recall_audit",
+    "er_union_blocked_linkage",
+    "er_resolution_pipeline",
+}
+
+
+def _write_part(spark, tmp, names):
+    n = len(names)
+    part = pd.DataFrame(
+        {
+            "p_partkey": range(1, n + 1),
+            "p_name": names,
+            "p_brand": [f"Brand#{i % 3}" for i in range(n)],
+            "p_type": ["STANDARD BRUSHED TIN"] * n,
+            "p_size": [(i % 7) + 1 for i in range(n)],
+            "p_retailprice": [900.0 + i for i in range(n)],
+        }
+    )
+    spark.createDataFrame(part).write.mode("overwrite").parquet(
+        str(tmp / "part.parquet")
+    )
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def ascii_part_dir(spark, tmp_path_factory):
+    return _write_part(
+        spark, tmp_path_factory.mktemp("hostile_ascii"), ASCII_HOSTILE
+    )
+
+
+@pytest.fixture(scope="module")
+def unicode_part_dir(spark, tmp_path_factory):
+    return _write_part(
+        spark, tmp_path_factory.mktemp("hostile_uni"), UNICODE_HOSTILE
+    )
+
+
+def _part_only_queries():
+    out = []
+    for name, qd in registry().items():
+        if qd.oracle is None:
+            continue
+        o = qd.oracle.lower()
+        if not re.search(r"\bpart\b", o):
+            continue
+        if any(re.search(rf"\b{t}\b", o) for t in OTHER_TABLES):
+            continue
+        out.append(name)
+    return out
+
+
+def _sweep(spark, con, names, sf_dir):
+    reg = registry()
+    bad = []
+    for name in names:
+        qd = reg[name]
+        try:
+            got = qd.spark(spark, sf_dir).toPandas()
+            want = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001 - collect, report all
+            bad.append(f"{name}: {type(e).__name__}: {str(e)[:160]}")
+            continue
+        gs = (
+            got[sorted(got.columns)]
+            .astype(str)
+            .sort_values(sorted(got.columns))
+            .reset_index(drop=True)
+        )
+        ws = (
+            want[sorted(want.columns)]
+            .astype(str)
+            .sort_values(sorted(want.columns))
+            .reset_index(drop=True)
+        )
+        if len(gs) != len(ws) or not gs.equals(ws):
+            bad.append(
+                f"{name}: value/rowcount divergence "
+                f"({len(gs)} vs {len(ws)} rows)"
+            )
+    return bad
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/part.parquet/*.parquet')"
+    )
+    return con
+
+
+def test_every_part_query_agrees_on_ascii_hostile_names(
+    spark, ascii_part_dir
+):
+    names = _part_only_queries()
+    assert len(names) >= 8  # the whole ER family plus part analytics
+    bad = _sweep(spark, _con(ascii_part_dir), names, ascii_part_dir)
+    assert not bad, "\n".join(bad)
+
+
+def test_non_lev_part_queries_agree_on_unicode_names(
+    spark, unicode_part_dir
+):
+    names = [n for n in _part_only_queries() if n not in LEV_QUERIES]
+    assert names  # phonetic-key/audit/parse queries must agree on unicode
+    bad = _sweep(spark, _con(unicode_part_dir), names, unicode_part_dir)
+    assert not bad, "\n".join(bad)
+
+
+def test_levenshtein_codepoint_vs_byte_divergence_pinned(
+    spark, unicode_part_dir
+):
+    """The engine divergence, kept loud: Spark scores the accented pair
+    at 2 (code points), DuckDB at 4 (bytes); the emoji pair is INSIDE
+    Spark's <=4 threshold (2) and OUTSIDE DuckDB's (5 bytes). If either
+    engine changes its unit, this pin fails and the harness partition
+    (ASCII for lev queries) should be revisited."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.levenshtein(
+                F.lit("naive widget"), F.lit("naïve wïdget")
+            ).alias("accent"),
+            F.levenshtein(F.lit("widget"), F.lit("🎉 widget")).alias(
+                "emoji"
+            ),
+        )
+        .first()
+    )
+    assert (row["accent"], row["emoji"]) == (2, 2)  # code points
+    con = duckdb.connect()
+    acc, emo = con.execute(
+        "SELECT levenshtein('naive widget', 'naïve wïdget'), "
+        "levenshtein('widget', '🎉 widget')"
+    ).fetchone()
+    assert (acc, emo) == (4, 5)  # bytes
+    # and the production path follows Spark's unit: the accented pair
+    # IS a candidate pair of the phonetic block on the unicode fixture
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        er_phonetic_blocked_pairs,
+    )
+
+    pairs = {
+        (r["name1"], r["name2"]): r["lev"]
+        for r in er_phonetic_blocked_pairs(
+            spark, unicode_part_dir
+        ).collect()
+    }
+    assert pairs[("naive widget", "naïve wïdget")] == 2
+
+
+def test_long_name_near_pair_survives_threshold_form(spark, ascii_part_dir):
+    """The 2000-char near-pair (lev 3) must still be FOUND by the
+    union-blocked linkage under the threshold levenshtein (the banded
+    DP returns the true distance inside the band), and the far pair
+    (same token block, lev ~1990) must be dropped by -1, never by a
+    crash or an overflow."""
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        er_union_blocked_linkage,
+    )
+
+    rows = {
+        (r["name1"], r["name2"]): r["lev"]
+        for r in er_union_blocked_linkage(spark, ascii_part_dir).collect()
+    }
+    near = tuple(sorted([LONG_A, LONG_B]))
+    assert rows.get(near) == 3
+    far = tuple(sorted([LONG_A, LONG_C]))
+    assert far not in rows
