@@ -197,7 +197,7 @@ def _preflight_quiet() -> float | None:
 _CANARY = "q6_forecast_revenue"
 
 
-def _preflight_canary(spark, reg, sf_dir, anchor) -> dict | None:
+def _preflight_canary(spark, reg, sf_dir, anchor) -> tuple[bool, dict]:
     """RELATIVE pre-flight gate (round-8 verdict What's-wrong #1): the
     absolute loadavg gate provably lets weather through — ambient load
     of 2-4 sails under the 4.0 threshold yet inflates every query a
@@ -205,10 +205,15 @@ def _preflight_canary(spark, reg, sf_dir, anchor) -> dict | None:
     condition that poisons the artifact instead: run one cheap anchored
     query and refuse when its best-of-3 lands >= 1.2x its committed
     anchor best (threshold via SPARK_GRAFT_BENCH_CANARY_MAX). Retries
-    with settle pauses like the load gate; returns the offending ratio
-    payload if the box never quiets. No-op when there is no comparable
-    anchor (different machine / missing canary) — the absolute gate and
-    the per-query spread detector still stand.
+    with settle pauses like the load gate; returns (False, ratio
+    payload) if the box never quiets. On a pass the measured ratio is
+    returned too and lands in BENCH_FULL.json as the run's CALIBRATION
+    number — a future reader can normalize this run against any other
+    without re-deriving a control-group split (day-scale machine-speed
+    variance measured at ~1.26x between two same-box quiet days). No-op
+    (True, {}) when there is no comparable anchor (different machine /
+    missing canary) — the absolute gate and the per-query spread
+    detector still stand.
 
     MUST run AFTER the global warm-up pass: the anchor bests were
     measured in a fully JIT-warmed JVM, and a fresh session's first
@@ -217,11 +222,11 @@ def _preflight_canary(spark, reg, sf_dir, anchor) -> dict | None:
     run. Post-warm-up, the canary sees the same JVM state the anchor's
     measured passes saw, so its ratio isolates AMBIENT load."""
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_PREFLIGHT") == "1":
-        return None
+        return True, {}
     if not anchor or _CANARY not in anchor or anchor[_CANARY] <= 0:
-        return None
+        return True, {}
     if not _anchor_machine_matches():
-        return None
+        return True, {}
     try:
         max_ratio = float(
             os.environ.get("SPARK_GRAFT_BENCH_CANARY_MAX", "1.2")
@@ -236,15 +241,16 @@ def _preflight_canary(spark, reg, sf_dir, anchor) -> dict | None:
             reg[_CANARY].spark(spark, sf_dir).count()
             rs.append(time.time() - t0)
         ratio = min(rs) / anchor[_CANARY]
+        info = {"canary": _CANARY, "canary_ratio": round(ratio, 3)}
         if ratio < max_ratio:
-            return None
+            return True, info
         print(
             f"# preflight canary: {_CANARY} best {min(rs):.3f}s = "
             f"{ratio:.2f}x anchor (attempt {attempt + 1}/6), settling 20s",
             file=sys.stderr,
         )
         time.sleep(20)
-    return {"canary": _CANARY, "canary_ratio": round(ratio, 3)}
+    return False, info
 
 
 def main() -> None:
@@ -281,8 +287,8 @@ def main() -> None:
 
     # canary AFTER warm-up (see _preflight_canary: pre-warm-up it would
     # refuse honest runs — a fresh JVM runs the canary 2-3.5x anchor)
-    bad_canary = _preflight_canary(spark, reg, sf_dir, anchor)
-    if bad_canary is not None:
+    canary_ok, canary_info = _preflight_canary(spark, reg, sf_dir, anchor)
+    if not canary_ok:
         print(
             json.dumps(
                 {
@@ -290,7 +296,7 @@ def main() -> None:
                     "error": "preflight_canary",
                     "unit": "sec",
                     "sf": sf,
-                    **bad_canary,
+                    **canary_info,
                 }
             )
         )
@@ -357,6 +363,7 @@ def main() -> None:
         "rel_spread": spread,
         "reruns": reruns,
         "sf": sf_val,
+        **canary_info,  # the run's calibration number (see _preflight_canary)
     }
     if anchor:
         full["vs_anchor"] = {
