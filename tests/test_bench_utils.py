@@ -46,3 +46,46 @@ def test_load_anchor_sf_mismatch_and_shape(tmp_path, monkeypatch):
     assert bench._load_anchor(0.01) == {}  # anchor only valid at its sf
     monkeypatch.setattr(bench, "ANCHOR_PATH", str(tmp_path / "missing.json"))
     assert bench._load_anchor(0.1) == {}
+
+
+def test_preflight_canary_noop_paths_return_pass_empty(monkeypatch):
+    """The canary gate must be a clean no-op — (True, {}) — whenever it
+    has nothing comparable to measure: skip env var, missing/empty
+    anchor, or an anchor from a different machine. A None or bare dict
+    here would crash main()'s tuple unpacking or poison BENCH_FULL."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SKIP_PREFLIGHT", "1")
+    assert bench._preflight_canary(None, None, None, {"x": 1.0}) == (True, {})
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_SKIP_PREFLIGHT")
+    assert bench._preflight_canary(None, None, None, {}) == (True, {})
+    assert bench._preflight_canary(
+        None, None, None, {"unrelated_query": 1.0}
+    ) == (True, {})
+    assert bench._preflight_canary(
+        None, None, None, {bench._CANARY: 0.0}
+    ) == (True, {})
+
+
+def test_preflight_canary_measures_against_anchor(tmp_path, monkeypatch):
+    """With a comparable anchor, the gate times the canary via the
+    registry callable and returns (passed, ratio payload) — the payload
+    lands in BENCH_FULL.json as the run's calibration number."""
+    import json as _json
+    import os
+
+    path = tmp_path / "BENCH_ANCHOR.json"
+    path.write_text(_json.dumps({"machine": {"cpus": os.cpu_count()}}))
+    monkeypatch.setattr(bench, "ANCHOR_PATH", str(path))
+
+    class FakeQuery:
+        def spark(self, spark, sf_dir):
+            class _DF:
+                def count(self):
+                    return 1
+
+            return _DF()
+
+    reg = {bench._CANARY: FakeQuery()}
+    # a huge anchor best => measured ratio ~0 => pass, ratio recorded
+    ok, info = bench._preflight_canary(None, reg, "x", {bench._CANARY: 1e9})
+    assert ok and info["canary"] == bench._CANARY
+    assert 0 <= info["canary_ratio"] < 0.001
