@@ -50,38 +50,79 @@ PAGE_SCHEMA = StructType(
 )
 
 
+def _get_with_retry(url: str, params: dict, retries: int = 3):
+    """One page fetch with bounded retry + exponential backoff on the
+    transient classes a paginated crawl WILL hit at production length —
+    429 rate limits, 5xx, connection drops. Anything else (4xx auth,
+    bad request) raises immediately: retrying a permanent error only
+    delays the real message. Mirrors the image sink's per-row retry
+    contract (`sinks/image_download.py`); without it a single 429 in a
+    10k-page chain kills the whole batch-planning step."""
+    import time
+
+    import requests
+
+    last_exc: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            resp = requests.get(url, params=params, timeout=30)
+            if resp.status_code == 429 or resp.status_code >= 500:
+                resp.raise_for_status()
+            resp.raise_for_status()
+            return resp
+        except requests.exceptions.HTTPError as e:
+            status = getattr(e.response, "status_code", None)
+            if status is not None and status != 429 and status < 500:
+                raise  # permanent client error: fail fast
+            last_exc = e
+        except requests.exceptions.RequestException as e:
+            last_exc = e  # connection/timeout: transient
+        if attempt < retries:
+            time.sleep(2**attempt)
+    raise last_exc  # type: ignore[misc]
+
+
 def _fetch_chain(options: dict) -> list[str]:
     """Walk the cursor chain, returning raw page payloads in order.
 
     Fixture mode: `pages_json` = JSON list of page dicts whose cursor
     chain is implicit in list order. Live mode: `url` + request params,
-    following meta.next_token until exhausted (or `max_pages`)."""
+    following meta.next_token until exhausted (or `max_pages`).
+
+    Cursor-cycle guard: an API that re-issues a next_token it already
+    served (same-token stutter or an A→B→A cycle — real behavior on
+    paginated APIs under concurrent writes) would otherwise spin the
+    loop to max_pages fetching DUPLICATE pages; the chain terminates at
+    the first repeated token instead, keeping every delivered page
+    unique by construction."""
     if "pages_json" in options:
         return [json.dumps(p) for p in json.loads(options["pages_json"])]
     url = options.get("url")
     if not url:
         raise ValueError("rest_cursor requires option 'pages_json' or 'url'")
-    import requests
-
     params = {
         k: options[k]
         for k in ("query", "start_time", "end_time", "max_results")
         if k in options
     }
     max_pages = int(options.get("max_pages", 1000))
+    retries = int(options.get("retries", 3))
     out: list[str] = []
     token = None
+    seen_tokens: set[str] = set()
     for _ in range(max_pages):
         p = dict(params)
         if token:
             p["next_token"] = token
-        resp = requests.get(url, params=p, timeout=30)
-        resp.raise_for_status()
+        resp = _get_with_retry(url, p, retries=retries)
         page = resp.json()
         out.append(json.dumps(page))
         token = (page.get("meta") or {}).get("next_token")
         if not token or not page.get("data"):
             break
+        if token in seen_tokens:
+            break  # cycle guard: never fetch a page twice
+        seen_tokens.add(token)
     return out
 
 
