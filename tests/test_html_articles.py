@@ -144,3 +144,41 @@ def test_parse_articles_udtf_terms(spark, tmp_path):
 def test_unknown_dialect(spark):
     with pytest.raises(ValueError, match="unknown dialect"):
         parse_articles(spark, "/tmp/nope/*.html", "unknown")
+
+
+def test_hostile_html_survival():
+    """A 100 TB archive scan WILL hit pathological files; the parser
+    must extract the valid article and never die on the garbage around
+    it: 50k-deep nesting (the DOM walkers are iterative, no recursion
+    limit), unclosed tags everywhere, mismatched closes, NUL bytes,
+    a 100 KB attribute value, stray ampersands and broken entities."""
+    deep = "<div>" * 50_000
+    hostile = (
+        "<html><body>"
+        + deep  # never closed
+        + "<p>trapped text</p>"
+        + "</span></b></table>"  # closes for tags never opened
+        + "\x00<pre class='docTitle'>"  # NUL + unclosed pre... then real doc:
+        + f"<div class=x{'y' * 100_000}>&nope;&amp broken</div>"
+        + FAZ_HTML
+        + "<div class='single-document'><pre class='docTitle'>Tail"  # EOF mid-tag
+    )
+    rows = parse_article_blocks(hostile, "faz", "hostile.html")
+    titles = [r["title"] for r in rows]
+    # the two intact FAZ articles parse; the truncated tail block still
+    # yields its title (lenient), nothing raises
+    assert "Erster Titel" in titles and "Zweiter Titel" in titles
+    assert all(isinstance(r["text"], str) for r in rows)
+
+
+def test_hostile_html_udtf_batch(spark, tmp_path):
+    """Same guarantee through the Spark mapInPandas surface: a batch
+    mixing a hostile file with a clean one produces the clean file's
+    rows plus whatever the hostile one salvages — never a task error."""
+    (tmp_path / "bad.html").write_text(
+        "<div>" * 10_000 + "\x00<b>junk", encoding="utf-8"
+    )
+    (tmp_path / "good.html").write_text(FAZ_HTML, encoding="utf-8")
+    df = parse_articles(spark, str(tmp_path / "*.html"), "faz")
+    titles = {r["title"] for r in df.collect()}
+    assert {"Erster Titel", "Zweiter Titel"} <= titles
