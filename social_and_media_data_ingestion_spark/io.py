@@ -23,6 +23,7 @@ def read_ndjson(
     spark: SparkSession,
     path: str | list[str],
     schema: T.StructType,
+    ignore_corrupt_files: bool = False,
 ) -> DataFrame:
     """NDJSON (optionally .zst/.gz — decompressed by Hadoop codec by
     extension) with corrupt-record capture. Parity with the reference's
@@ -32,8 +33,22 @@ def read_ndjson(
     Implementation: `text` scan + `from_json` rather than the json reader —
     the json reader's internal corrupt-record column cannot be referenced
     on its own (Spark restriction), which breaks bad-row accounting plans;
-    with from_json the corrupt column is an ordinary computed column."""
-    lines = spark.read.text(path)
+    with from_json the corrupt column is an ordinary computed column.
+
+    ``ignore_corrupt_files``: the PERMISSIVE corrupt-record column only
+    protects against bad LINES — a truncated or corrupt compressed
+    archive throws in the Hadoop codec itself and kills the whole scan
+    (one bad file in a 100 TB landing = a dead multi-hour job). True
+    sets the file-source ``ignoreCorruptFiles`` option: the scan keeps
+    every line decoded before the corruption point, skips the rest of
+    that file with a warning, and continues. Default False because
+    silently dropping data must be an explicit operator decision —
+    pair it with scan metrics (`with_scan_metrics`) so the loss is
+    visible in the run's numbers."""
+    reader = spark.read
+    if ignore_corrupt_files:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    lines = reader.text(path)
     parsed = lines.select(
         F.from_json(
             F.col("value"),

@@ -58,3 +58,37 @@ def test_read_csv_dim(spark, tmp_path):
     p.write_text("subr\nDataEng\nml\n", encoding="utf-8")
     dim = read_csv_dim(spark, str(p))
     assert {r.subr for r in dim.collect()} == {"DataEng", "ml"}
+
+
+def test_truncated_archive_default_fails_flag_skips(spark, tmp_path):
+    """Codec-level corruption is a different failure class from bad
+    LINES: the PERMISSIVE corrupt-record column can't catch a truncated
+    .gz (the Hadoop codec throws mid-task and kills the scan — one bad
+    file in a 100 TB landing = a dead job). Default stays fail-fast;
+    ignore_corrupt_files=True salvages the intact file(s), keeps the
+    bytes decoded before the corruption point, and finishes."""
+    import gzip
+    import json
+
+    import pytest
+
+    good_rows = [{"title": f"g{i}", "selftext": "s", "author": "u",
+                  "subreddit": "a", "created_utc": str(1600000000 + i),
+                  "permalink": f"/r/a/{i}"}
+                 for i in range(5)]
+    good = b"\n".join(json.dumps(r).encode() for r in good_rows)
+    (tmp_path / "good.json.gz").write_bytes(gzip.compress(good))
+    whole = gzip.compress(good * 20)
+    (tmp_path / "trunc.json.gz").write_bytes(whole[: len(whole) // 2])
+
+    with pytest.raises(Exception):
+        read_ndjson(spark, str(tmp_path / "*.json.gz"), REDDIT_SUBMISSION).count()
+
+    df = read_ndjson(
+        spark,
+        str(tmp_path / "*.json.gz"),
+        REDDIT_SUBMISSION,
+        ignore_corrupt_files=True,
+    )
+    titles = {r.title for r in df.select("title").collect()}
+    assert {f"g{i}" for i in range(5)} <= titles  # the intact file survives
