@@ -27,7 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 Fetcher = Callable[[str], bytes]
-"""fetch(url) -> content bytes; raise on failure."""
+"""fetch(url) -> content bytes; raise on failure. Raise
+PermanentFetchError for failures a retry cannot cure (4xx other than
+429) — the sink records them after ONE attempt instead of burning the
+full retry envelope. At archive scale dead links are the COMMON error
+(millions of 404s in a historical crawl), so retrying them triples the
+request volume and adds two backoff sleeps per dead row for nothing."""
+
+
+class PermanentFetchError(Exception):
+    """A fetch failure that retrying cannot cure (e.g. HTTP 404/403)."""
 
 RESULT_SCHEMA = T.StructType(
     [
@@ -45,6 +54,8 @@ def default_fetcher(url: str) -> bytes:
     import requests
 
     resp = requests.get(url, timeout=30)
+    if resp.status_code >= 400 and resp.status_code != 429 and resp.status_code < 500:
+        raise PermanentFetchError(f"HTTP {resp.status_code}: {url}")
     resp.raise_for_status()
     return resp.content
 
@@ -79,6 +90,9 @@ def download_images(
                         content = fetch(url)
                         err = None
                         break
+                    except PermanentFetchError as e:
+                        err = f"{type(e).__name__}: {e}"
+                        break  # no retry can cure a 404; record and move on
                     except Exception as e:  # noqa: BLE001 - error-split sink
                         err = f"{type(e).__name__}: {e}"
                         if attempt < max_retries and backoff_base_s > 0:

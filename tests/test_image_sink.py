@@ -58,3 +58,44 @@ def test_download_split_and_retry(spark, tmp_path):
         assert os.path.exists(r.path)
         with open(r.path, "rb") as f:
             assert f.read() == b"\xff\xd8bytes"
+
+
+def test_permanent_fetch_error_skips_retry_envelope(spark, tmp_path):
+    """A dead link (404-class) is the COMMON failure in a historical
+    crawl; burning the full retry envelope on each one triples request
+    volume for nothing. PermanentFetchError records the row in the
+    error split after exactly ONE attempt, while transient errors keep
+    the full retry behavior."""
+    from social_and_media_data_ingestion_spark.sinks.image_download import (
+        PermanentFetchError,
+        download_images,
+    )
+
+    def fetcher(url: str) -> bytes:
+        # per-URL attempt counting rides the sink's own `attempts`
+        # column (the fetcher runs executor-side; driver dicts don't
+        # come back) — flaky succeeds on its 3rd in-row attempt
+        fetcher.calls = getattr(fetcher, "calls", 0) + 1
+        if "gone" in url:
+            raise PermanentFetchError(f"HTTP 404: {url}")
+        if "flaky" in url:
+            if fetcher.calls % 3 != 0:
+                raise TimeoutError("transient")
+            return b"ok"
+        return b"ok"
+
+    df = spark.createDataFrame(
+        [("a", "http://x/gone.jpg"), ("b", "http://x/flaky.jpg")],
+        ["id", "url"],
+    )
+    out = download_images(
+        df,
+        str(tmp_path),
+        fetcher=fetcher,
+        backoff_base_s=0,
+        politeness_s=(0, 0),
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows["a"].ok is False and rows["a"].attempts == 1
+    assert "PermanentFetchError" in rows["a"].error
+    assert rows["b"].ok is True and rows["b"].attempts >= 2
