@@ -110,13 +110,23 @@ def ingest_cursor_paginated(
 
     Resume: starts from the last committed token. Re-running a completed
     ingest fetches from that token again only if the API still returns it
-    (exactly-once per token, better than the reference's re-append)."""
+    (exactly-once per token, better than the reference's re-append).
+
+    Cursor-cycle guard (same class as the rest_cursor data source): an
+    API that re-issues a token this run already fetched (same-token
+    stutter or an A→B→A cycle) would otherwise loop FOREVER under the
+    default max_pages=None, double-appending every page on each lap.
+    The loop commits a drained checkpoint (token None) and stops at
+    the first repeated token instead — every page is appended exactly
+    once, and a later resume does not re-enter the wedged cursor."""
     state = checkpoint.last()
     token = state["next_token"] if state else None
     if state and token is None:
         return  # previous run drained the cursor
     pages = 0
+    seen_tokens: set[str | None] = set()
     while max_pages is None or pages < max_pages:
+        seen_tokens.add(token)
         page = fetch(token)
         data = page.get("data") or []
         if not data:
@@ -128,6 +138,12 @@ def ingest_cursor_paginated(
         users.write.mode("append").parquet(f"{out_dir}/users")
         watermark = tweets.agg(F.max("time").cast("string")).collect()[0][0]
         token = (page.get("meta") or {}).get("next_token")
+        if token is not None and token in seen_tokens:
+            # wedged cursor: this page is appended, but following its
+            # pointer would re-fetch a page this run already delivered
+            checkpoint.commit(None, watermark, len(data))
+            yield tweets, users
+            return
         checkpoint.commit(token, watermark, len(data))
         yield tweets, users
         pages += 1

@@ -89,3 +89,34 @@ def test_cursor_ingest_and_resume(spark, tmp_path):
     # re-run after drain: no new fetches (exactly-once per cursor)
     list(ingest_cursor_paginated(spark, fetch, ckpt, out))
     assert calls == [None, "t1", "t2"]
+
+
+def test_cursor_stutter_terminates_exactly_once(spark, tmp_path):
+    """A wedged cursor (the API re-issues a token this run already
+    fetched) must not loop forever under the default max_pages=None
+    nor double-append: the run stops at the first repeated token,
+    every page lands exactly once, and the checkpoint records a
+    drained cursor so a resume does not re-enter the cycle."""
+    pages = {
+        None: make_page([1, 2], next_token="t1"),
+        "t1": make_page([3, 4], next_token="t1"),  # stutter: t1 -> t1
+    }
+    calls = []
+
+    def fetch(token):
+        calls.append(token)
+        return pages[token]
+
+    ckpt = CursorCheckpoint(str(tmp_path / "ckpt.jsonl"))
+    out = str(tmp_path / "out")
+    batches = list(ingest_cursor_paginated(spark, fetch, ckpt, out))
+    assert calls == [None, "t1"]  # the t1 page is fetched exactly once
+    assert len(batches) == 2  # both pages delivered
+    assert ckpt.last()["next_token"] is None  # recorded as drained
+    ids = sorted(
+        r.id for r in spark.read.parquet(f"{out}/tweets").collect()
+    )
+    assert ids == ["1", "2", "3", "4"]  # no duplicate appends
+    # resume after the wedge: nothing to do, no fetches
+    list(ingest_cursor_paginated(spark, fetch, ckpt, out))
+    assert calls == [None, "t1"]
