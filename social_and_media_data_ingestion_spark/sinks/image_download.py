@@ -54,7 +54,14 @@ def default_fetcher(url: str) -> bytes:
     import requests
 
     resp = requests.get(url, timeout=30)
-    if resp.status_code >= 400 and resp.status_code != 429 and resp.status_code < 500:
+    # Permanent = a retry cannot cure it. 4xx generally qualifies, but
+    # 408 (request timeout), 425 (too early), and 429 (rate limit) are
+    # transient server-side pushback — they fall through to the retried
+    # path with backoff like 5xx.
+    if (
+        400 <= resp.status_code < 500
+        and resp.status_code not in (408, 425, 429)
+    ):
         raise PermanentFetchError(f"HTTP {resp.status_code}: {url}")
     resp.raise_for_status()
     return resp.content

@@ -66,8 +66,6 @@ def _get_with_retry(url: str, params: dict, retries: int = 3):
     for attempt in range(retries + 1):
         try:
             resp = requests.get(url, params=params, timeout=30)
-            if resp.status_code == 429 or resp.status_code >= 500:
-                resp.raise_for_status()
             resp.raise_for_status()
             return resp
         except requests.exceptions.HTTPError as e:

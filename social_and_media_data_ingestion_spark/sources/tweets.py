@@ -86,14 +86,22 @@ class CursorCheckpoint:
                     last = json.loads(line)
         return last
 
-    def commit(self, token: str | None, watermark: str | None, n_rows: int) -> None:
+    def commit(
+        self,
+        token: str | None,
+        watermark: str | None,
+        n_rows: int,
+        reason: str | None = None,
+    ) -> None:
+        record = {"next_token": token, "watermark": watermark, "rows": n_rows}
+        if reason is not None:
+            # distinguishes a cycle-terminated cursor from a cleanly
+            # drained one — both commit next_token=None, but an operator
+            # resuming a "wedged_cursor" record knows the API was
+            # pathological, not exhausted
+            record["reason"] = reason
         with open(self.path, "a", encoding="utf-8") as f:
-            f.write(
-                json.dumps(
-                    {"next_token": token, "watermark": watermark, "rows": n_rows}
-                )
-                + "\n"
-            )
+            f.write(json.dumps(record) + "\n")
 
 
 def ingest_cursor_paginated(
@@ -141,7 +149,7 @@ def ingest_cursor_paginated(
         if token is not None and token in seen_tokens:
             # wedged cursor: this page is appended, but following its
             # pointer would re-fetch a page this run already delivered
-            checkpoint.commit(None, watermark, len(data))
+            checkpoint.commit(None, watermark, len(data), reason="wedged_cursor")
             yield tweets, users
             return
         checkpoint.commit(token, watermark, len(data))

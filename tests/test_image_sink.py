@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from social_and_media_data_ingestion_spark.operators.filters import is_image_url
@@ -99,3 +101,38 @@ def test_permanent_fetch_error_skips_retry_envelope(spark, tmp_path):
     assert rows["a"].ok is False and rows["a"].attempts == 1
     assert "PermanentFetchError" in rows["a"].error
     assert rows["b"].ok is True and rows["b"].attempts >= 2
+
+
+def test_default_fetcher_408_425_are_transient(monkeypatch):
+    """408 (request timeout) and 425 (too early) are server-side
+    pushback a retry CAN cure — they must not be classified
+    PermanentFetchError like 404/403, or a flaky CDN returning 408s
+    gets zero retries. They raise the ordinary HTTPError instead,
+    which download_images' retry envelope handles like 429/5xx."""
+    import requests
+
+    from social_and_media_data_ingestion_spark.sinks.image_download import (
+        PermanentFetchError,
+        default_fetcher,
+    )
+
+    class FakeResp:
+        def __init__(self, status):
+            self.status_code = status
+            self.content = b"ok"
+
+        def raise_for_status(self):
+            if self.status_code >= 400:
+                raise requests.exceptions.HTTPError(f"HTTP {self.status_code}")
+
+    def fake_get(url, timeout=None):
+        return FakeResp(int(url.rsplit("/", 1)[1]))
+
+    monkeypatch.setattr(requests, "get", fake_get)
+    for transient in (408, 425, 429):
+        with pytest.raises(requests.exceptions.HTTPError):
+            default_fetcher(f"http://x/{transient}")
+    for permanent in (400, 403, 404, 410):
+        with pytest.raises(PermanentFetchError):
+            default_fetcher(f"http://x/{permanent}")
+    assert default_fetcher("http://x/200") == b"ok"

@@ -112,7 +112,11 @@ def test_cursor_stutter_terminates_exactly_once(spark, tmp_path):
     batches = list(ingest_cursor_paginated(spark, fetch, ckpt, out))
     assert calls == [None, "t1"]  # the t1 page is fetched exactly once
     assert len(batches) == 2  # both pages delivered
-    assert ckpt.last()["next_token"] is None  # recorded as drained
+    last = ckpt.last()
+    assert last["next_token"] is None  # no resume re-enters the cycle
+    # ...but distinguishably from a CLEAN drain: the wedged termination
+    # is recorded so operators can tell the two outcomes apart
+    assert last["reason"] == "wedged_cursor"
     ids = sorted(
         r.id for r in spark.read.parquet(f"{out}/tweets").collect()
     )
