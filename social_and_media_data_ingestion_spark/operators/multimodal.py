@@ -298,6 +298,12 @@ def decode_wav_pcm(p: bytes) -> tuple[int, list[float]]:
         sw = w.getsampwidth()
         rate = w.getframerate()
         raw = w.readframes(w.getnframes())
+    if rate < 1:
+        # stdlib wave accepts a header declaring frame rate 0; letting
+        # it through turns into a ZeroDivisionError deep inside the
+        # chunking UDF — fail with the same error class as a corrupt
+        # container so callers route it like any other undecodable row
+        raise wave.Error(f"declared frame rate {rate} is not positive")
     if sw == 1:
         samples: list[float] = [v - 128 for v in raw]
     elif sw == 2:
@@ -350,6 +356,18 @@ def chunk_audio(
                 else:
                     rate, samples = decode_wav_pcm(bytes(p))
                     win = rate * window_ms // 1000
+                    if win < 1:
+                        # a (valid) frame rate below 1000/window_ms
+                        # yields zero samples per window — the ceil
+                        # division below would divide by zero; name
+                        # the hostile header instead of crashing deep
+                        # in the Arrow batch
+                        import wave
+
+                        raise wave.Error(
+                            f"frame rate {rate} too low for a "
+                            f"{window_ms} ms window (0 samples/window)"
+                        )
                 for ci in range((len(samples) + win - 1) // win):
                     seg = samples[ci * win : (ci + 1) * win]
                     ids.append(int(mid))

@@ -232,3 +232,41 @@ def test_sniff_routes_wav_to_real_decode(spark):
     wav_rows = sniffed.filter(F.col("detected_mime") == "audio/x-wav")
     chunks = MM.chunk_audio(wav_rows, window_ms=4, fake=False).collect()
     assert [(c.media_id, c.n_samples, c.rms) for c in chunks] == [(1, 4, 7.0)]
+
+
+def test_hostile_wav_header_rates_fail_loud(spark):
+    """stdlib wave happily parses a header declaring frame rate 0 (and
+    any absurdly low rate) — both previously surfaced as a bare
+    ZeroDivisionError inside the Arrow UDF. They must raise wave.Error
+    with a message naming the hostile header, the SAME error class as
+    any other undecodable container, so sniff-and-route callers treat
+    them uniformly."""
+    import io
+    import struct
+    import wave
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    def make_wav(samples, rate):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return bytearray(buf.getvalue())
+
+    # rate 0: the writer refuses it, so patch the canonical header's
+    # 4-byte sample-rate field (offset 24) in a valid file
+    zero_rate = make_wav([1, 2, 3, 4], rate=1000)
+    assert struct.unpack_from("<I", zero_rate, 24)[0] == 1000
+    struct.pack_into("<I", zero_rate, 24, 0)
+    with pytest.raises(wave.Error, match="not positive"):
+        MM.decode_wav_pcm(bytes(zero_rate))
+
+    # rate 3 with a 250 ms window: 3*250//1000 == 0 samples/window —
+    # a "valid" header the decode accepts but the chunker must refuse
+    low_rate = make_wav([1, 2, 3, 4], rate=3)
+    df = spark.createDataFrame([(1, low_rate)], ["media_id", "payload"])
+    with pytest.raises(Exception, match="too low"):
+        MM.chunk_audio(df, window_ms=250, fake=False).collect()
