@@ -873,8 +873,8 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              split_part(p_name, ' ', 2) AS noun
       FROM names
     ), ap AS (
-      SELECT (a.pkey = b.pkey)::INTEGER AS same_pk,
-             (a.noun = b.noun)::INTEGER AS same_noun,
+      SELECT (a.pkey = b.pkey AND a.pkey <> '')::INTEGER AS same_pk,
+             (a.noun = b.noun AND a.noun <> '')::INTEGER AS same_noun,
              (levenshtein(a.p_name, b.p_name) <= 4)::INTEGER AS is_match
       FROM keyed a JOIN keyed b ON a.p_name < b.p_name
     ), s AS (
@@ -932,8 +932,15 @@ def er_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pkey").alias("k2"),
         F.col("noun").alias("t2"),
     )
-    same_pk = (F.col("k1") == F.col("k2")).cast("int")
-    same_noun = (F.col("t1") == F.col("t2")).cast("int")
+    # ''-key guard, mirroring the production paths: er_union_blocked
+    # _linkage and er_resolution_pipeline DROP '' blocks (a name with no
+    # second token / no consonants is unblockable in that pass), so the
+    # audit must not count ''=='' as a candidate either — otherwise its
+    # reconciliation invariant (union n_caught == linkage row count)
+    # silently breaks on any vocabulary with two single-token or
+    # letterless names within the lev bound.
+    same_pk = ((F.col("k1") == F.col("k2")) & (F.col("k1") != "")).cast("int")
+    same_noun = ((F.col("t1") == F.col("t2")) & (F.col("t1") != "")).cast("int")
     ap = a.join(F.broadcast(b), F.col("n1") < F.col("n2")).select(
         F.explode(
             F.array(

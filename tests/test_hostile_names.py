@@ -256,3 +256,32 @@ def test_long_name_near_pair_survives_threshold_form(spark, ascii_part_dir):
     assert rows.get(near) == 3
     far = tuple(sorted([LONG_A, LONG_C]))
     assert far not in rows
+
+
+def test_audit_reconciles_with_linkage_on_unblockable_names(
+    spark, ascii_part_dir
+):
+    """The documented invariant — the recall audit's `union` n_caught
+    equals er_union_blocked_linkage's row count — must hold on a
+    vocabulary with two single-token names within the lev bound
+    ('widget'/'gadget', lev 2). The production paths drop '' blocks, so
+    the audit must not count ''=='' key pairs as candidates; before the
+    r10 guard the audit said caught while the linkage said dropped, and
+    the invariant silently broke on any such vocabulary (it held on
+    TPCH data only because generated names are always multi-token)."""
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        er_blocking_recall_audit,
+        er_union_blocked_linkage,
+    )
+
+    audit = {
+        r["strategy"]: r
+        for r in er_blocking_recall_audit(spark, ascii_part_dir).collect()
+    }
+    linkage = er_union_blocked_linkage(spark, ascii_part_dir).collect()
+    assert audit["union"]["n_caught"] == len(linkage)
+    # widget/gadget IS a true match in the audit's ground truth…
+    names = {(r["name1"], r["name2"]) for r in linkage}
+    assert audit["union"]["n_true_matches"] > audit["union"]["n_caught"]
+    # …but unblockable by every pass, so absent from the linkage
+    assert ("gadget", "widget") not in names
