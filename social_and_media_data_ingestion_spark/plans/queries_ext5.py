@@ -438,8 +438,15 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", _tokens("text").alias("toks")
     )
     train = docs.filter(F.expr("doc_id div 20") % 2 == 0)
-    test = docs.filter(F.expr("doc_id div 20") % 2 == 1).withColumnRenamed(
-        "source", "actual"
+    # Tokenize the TEST corpus exactly once too (round-9 verdict item 2:
+    # it was scanned+tokenized twice — the token explode for scoring and
+    # the size() grid each ran their own corpus pass). The pinned frame
+    # is exactly the three columns both consumers need; lazy pin, so a
+    # plan-only caller still executes no job at construction.
+    test = (
+        docs.filter(F.expr("doc_id div 20") % 2 == 1)
+        .withColumnRenamed("source", "actual")
+        .localCheckpoint(eager=False)
     )
     tr_tok = train.select("source", F.explode("toks").alias("token"))
     # Tokenize the TRAIN corpus exactly once: the (class, token) count
@@ -452,7 +459,7 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = (
         tr_tok.groupBy("source", "token")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = model.groupBy("source").agg(F.sum("cnt").alias("tot"))
     vocab = model.select("token").distinct().agg(F.count("*").alias("v"))
