@@ -687,7 +687,7 @@ def containment_pairs(
     on trusted-small corpora only."""
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
-        postings = _pruned_postings(sh, max_df).localCheckpoint(eager=True)
+        postings = _pruned_postings(sh, max_df).localCheckpoint(eager=False)
         sh = postings.select(F.explode("ids").alias("id"), "shingle")
         # i<j combinations generated inside ONE whole-stage-codegen
         # expression over the SORTED list (so id_a < id_b holds by

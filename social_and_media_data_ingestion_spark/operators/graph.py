@@ -162,9 +162,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     quadratic hub blowup, unlike the naive undirected wedge join.
     """
     # the canonical edge set feeds THREE consumers (degrees, wedge join,
-    # closing probe) across two actions — EAGERLY materialize it once so
-    # the caller's (possibly expensive) edge derivation runs exactly one
-    # time; a lazy checkpoint left the builder re-derivable per action
+    # closing probe) across two actions — pin it so the caller's
+    # (possibly expensive) edge derivation runs once. LAZY pin
+    # (round-10 adjudication): a lazy localCheckpoint persists at first
+    # materialization, so the second action still reads pinned blocks —
+    # the old eager=True bought nothing but a job at plan-construction
+    # time. The accepted trade: the first action's three consumers can
+    # benignly race-recompute a partition before it lands in the cache
+    # ("Block already exists" warnings), never a correctness issue on
+    # this deterministic distinct.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -172,7 +178,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("n"))
