@@ -720,3 +720,111 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
     )
+
+
+# =============================================================================
+# Q4 shape — order priority checking: date-windowed orders that have at
+# least ONE qualifying lineitem (EXISTS -> left-semi join), counted by
+# priority. The classic predicate (l_commitdate < l_receiptdate) needs
+# two lineitem dates this star schema doesn't carry; the adapted
+# qualifier — shipped 60+ days after the order date — keeps the exact
+# plan shape and ADDS a cross-table non-equi conjunct riding the semi
+# join as a residual (richer than the original's lineitem-local one).
+# =============================================================================
+@q(
+    "q4_priority_followup",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    # Inferred scan-pruning predicate Catalyst cannot derive on its own:
+    # any lineitem qualifying for SOME windowed order ships at least
+    # 60 days after the window opens, so the big side's parquet scan
+    # drops everything before 1997-08-30 BEFORE the semi-join shuffle
+    # (the window bound + the residual imply it; semantics unchanged).
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        >= F.lit("1997-07-01").cast("timestamp") + F.expr("INTERVAL 60 DAYS")
+    )
+    hits = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            >= orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return hits.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )
+
+
+# =============================================================================
+# Q14 shape — promotion effect: one month of lineitem joined to the part
+# dim (broadcast), promo share of revenue as a conditional-aggregate
+# ratio. Quantize-then-sum (SCALE.md §4): revenue per row is the
+# PURE-INTEGER product price_c·(100−disc_c), both sums exact, ONE
+# floor-quantize of the final percentage; try_divide because the
+# denominator CAN be zero at degenerate cardinality (DuckDB x/0 = NULL
+# where ANSI Spark `/` raises).
+# =============================================================================
+@q(
+    "q14_promo_revenue",
+    """
+    WITH q AS (
+      SELECT (p_type LIKE 'PROMO%') AS is_promo,
+             floor(l_extendedprice * 100 + 0.5)::BIGINT AS price_c,
+             floor(l_discount * 100 + 0.5)::BIGINT AS disc_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate <  TIMESTAMP '1997-10-01'
+    )
+    SELECT floor(
+             100.0 * sum(CASE WHEN is_promo THEN price_c * (100 - disc_c)
+                              ELSE 0 END)::DOUBLE
+             / sum(price_c * (100 - disc_c))::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS promo_revenue_pct
+    FROM q
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    j = li.select(
+        "l_partkey", price_c.alias("price_c"), disc_c.alias("disc_c")
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    # value·10⁴ per row (~1e9 worst case) → DECIMAL(38,0) accumulation,
+    # same width call as Q1's disc-price sum
+    rev = (F.col("price_c") * (100 - F.col("disc_c"))).cast("decimal(38,0)")
+    num = F.sum(F.when(F.col("is_promo"), rev).otherwise(F.lit(0))).cast(
+        "double"
+    )
+    den = F.sum(rev).cast("double")
+    return j.agg(
+        (
+            F.floor(F.try_divide(F.lit(100.0) * num, den) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("promo_revenue_pct")
+    )
