@@ -124,6 +124,158 @@ def sniff_format(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.withColumn("detected_mime", expr.otherwise(F.lit(UNKNOWN_MIME)))
 
 
+def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append (`dim_format`, `width`, `height`) parsed from the image
+    HEADER with native JVM expressions — zero Python, zero codec, zero
+    shuffle, exactly the sniff_format scaling story but one level
+    deeper than the magic bytes:
+
+    - PNG: the IHDR chunk is mandated first, so width/height are
+      big-endian int32 at fixed offsets 17/21 (1-based) — two
+      `conv(hex(substring(...)))` reads.
+    - BMP: BITMAPINFOHEADER carries LITTLE-endian SIGNED int32 at
+      offsets 19/23 — bytes are reassembled arithmetically (hex() is
+      big-endian) and a negative height (top-down row order) maps to
+      abs(), the convention every raster library applies.
+    - JPEG: dimensions live in the SOF segment at a VARIABLE offset
+      behind any number of APPn/DQT/COM segments, so a fixed-offset
+      read cannot work — the marker chain is walked with a bounded
+      `aggregate(sequence(1, 24), ...)` fold: each step either stops at
+      an SOF marker (C0-CF minus DHT/JPG/DAC; height then width as
+      big-endian uint16 at +5/+7), hops `2 + segment_length`, or
+      poisons the offset on a malformed/truncated chain. 24 hops cover
+      any sane header (EXIF+ICC+DQT+DHT stacks run ~10); a deeper
+      chain degrades to NULL dims, never a wrong read.
+
+    Unknown signatures, truncated headers, and NULL payloads all yield
+    NULL dims with NULL `dim_format` — the row survives, the failure is
+    visible (the decode contract shared with the fake decoder)."""
+    p = payload_col
+    d = F.col("_dims")
+
+    def _be(pos: str, n: int) -> str:
+        return f"cast(conv(hex(substring({p}, {pos}, {n})), 16, 10) as int)"
+
+    def _le32(pos: int) -> str:
+        b = [f"conv(hex(substring({p}, {pos + i}, 1)), 16, 10)" for i in range(4)]
+        raw = f"({b[0]} + {b[1]}*256 + {b[2]}*65536 + {b[3]}*16777216)"
+        return (
+            f"cast(CASE WHEN {raw} >= 2147483648 THEN {raw} - 4294967296 "
+            f"ELSE {raw} END as bigint)"
+        )
+
+    sof = "(192,193,194,195,197,198,199,201,202,203,205,206,207)"
+    jwalk = f"""aggregate(
+      sequence(1, 24),
+      named_struct('off', 3, 'w', cast(null as int), 'h', cast(null as int)),
+      (s, i) -> CASE
+        WHEN s.w IS NOT NULL OR s.off IS NULL THEN s
+        WHEN {_be('s.off', 1)} <> 255
+          THEN named_struct('off', cast(null as int), 'w', s.w, 'h', s.h)
+        WHEN {_be('s.off + 1', 1)} IN {sof}
+          THEN named_struct('off', s.off,
+                 'w', {_be('s.off + 7', 2)}, 'h', {_be('s.off + 5', 2)})
+        ELSE named_struct('off', s.off + 2 + {_be('s.off + 2', 2)},
+                          'w', s.w, 'h', s.h)
+      END,
+      s -> named_struct('w', s.w, 'h', s.h))"""
+    nulls = "named_struct('w', cast(null as int), 'h', cast(null as int))"
+    dims = (
+        f"CASE WHEN hex(substring({p}, 1, 8)) = '89504E470D0A1A0A' "
+        f"THEN named_struct('w', {_be('17', 4)}, 'h', {_be('21', 4)}) "
+        f"WHEN hex(substring({p}, 1, 3)) = 'FFD8FF' THEN {jwalk} "
+        f"WHEN hex(substring({p}, 1, 2)) = '424D' "
+        f"THEN named_struct('w', cast({_le32(19)} as int), "
+        f"'h', cast(abs({_le32(23)}) as int)) "
+        f"ELSE {nulls} END"
+    )
+    fmt = (
+        F.when(F.hex(F.substring(F.col(p), 1, 8)) == "89504E470D0A1A0A", "png")
+        .when(F.hex(F.substring(F.col(p), 1, 3)) == "FFD8FF", "jpeg")
+        .when(F.hex(F.substring(F.col(p), 1, 2)) == "424D", "bmp")
+    )
+    return (
+        df.withColumn("_dims", F.expr(dims))
+        .withColumn("dim_format", F.when(d["w"].isNotNull(), fmt))
+        .withColumn("width", d["w"])
+        .withColumn("height", d["h"])
+        .drop("_dims")
+    )
+
+
+def decode_ppm(p: bytes) -> tuple[int, int, int, list[int]]:
+    """(width, height, channels, flat samples) from binary PPM (P6,
+    RGB) / PGM (P5, grayscale) bytes — a REAL pixel decode with ZERO
+    third-party dependencies, the image sibling of `decode_wav_pcm`.
+    Netpbm headers are whitespace/comment-delimited ASCII tokens; only
+    maxval <= 255 (1 byte/sample) is supported — 2-byte-maxval files
+    need a real codec library. Raises ValueError on any malformation
+    so callers route hostile rows like undecodable WAVs."""
+    if p[:2] not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload: {p[:2]!r}")
+    nch = 3 if p[:2] == b"P6" else 1
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(p) and p[i : i + 1].isspace():
+            i += 1
+        if i < len(p) and p[i : i + 1] == b"#":  # comment to end of line
+            while i < len(p) and p[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(p) and not p[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(int(p[i:j]))
+        i = j
+    w, h, maxval = toks
+    if w < 1 or h < 1 or not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PPM geometry {w}x{h} maxval={maxval}")
+    i += 1  # exactly ONE whitespace byte separates header from raster
+    need = w * h * nch
+    raster = p[i : i + need]
+    if len(raster) < need:
+        raise ValueError(f"truncated PPM raster: {len(raster)} < {need}")
+    return w, h, nch, list(raster)
+
+
+def decode_bmp(p: bytes) -> tuple[int, int, int, list[int]]:
+    """(width, height, channels, flat BGR->RGB samples in top-down row
+    order) from an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB).
+    Pure stdlib `struct` parsing: rows are 4-byte aligned and stored
+    bottom-up unless height is negative (top-down); both normalize to
+    top-down RGB here. Anything else (palettes, compression, other bit
+    depths) raises ValueError — a real codec library's job."""
+    import struct as _struct
+
+    if p[:2] != b"BM" or len(p) < 54:
+        raise ValueError("not a BMP payload")
+    (data_off,) = _struct.unpack_from("<I", p, 10)
+    hdr_size, w, h_raw = _struct.unpack_from("<Iii", p, 14)
+    planes, bpp, compression = _struct.unpack_from("<HHI", p, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported "
+            f"(header {hdr_size}, {bpp} bpp, compression {compression})"
+        )
+    if w < 1 or h_raw == 0:
+        raise ValueError(f"bad BMP geometry {w}x{h_raw}")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(p) < data_off + stride * h:
+        raise ValueError("truncated BMP raster")
+    samples: list[int] = []
+    rows = range(h) if h_raw < 0 else range(h - 1, -1, -1)
+    for r in rows:
+        base = data_off + r * stride
+        for c in range(w):
+            b, g, rr = p[base + 3 * c : base + 3 * c + 3]
+            samples.extend((rr, g, b))
+    return w, h, 3, samples
+
+
 def _fake_dims(n: int) -> tuple[int, int, int]:
     """Deterministic pseudo-dimensions from payload length — pure
     arithmetic, reproducible in any engine (used by the oracle too)."""
@@ -149,15 +301,32 @@ def decode_images(
     stay row-aligned by construction, never re-keyed."""
     keep = list(passthrough)
 
+    def _real_dims(p: bytes) -> tuple[int | None, int | None, int | None]:
+        # round-10 real path, following the WAV precedent: the formats
+        # stdlib can genuinely decode (BMP, PPM/PGM) decode for real;
+        # anything else still needs Pillow. Malformed BMP/PPM payloads
+        # yield NULL dims (the row survives, the failure is visible) —
+        # they are DATA, not bugs, at crawl scale.
+        try:
+            if p[:2] == b"BM":
+                w, h, c, _ = decode_bmp(p)
+                return w, h, c
+            if p[:2] in (b"P6", b"P5"):
+                w, h, c, _ = decode_ppm(p)
+                return w, h, c
+        except ValueError:
+            return None, None, None
+        raise NotImplementedError(_STUB_MSG.format(what="image", lib="Pillow"))
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(_STUB_MSG.format(what="image", lib="Pillow"))
             # a NULL payload decodes to NULL dims (the row survives,
             # the failure is visible) — a lake WILL contain them, and
             # bytes(None) would kill the whole batch (r7 null harness)
             dims = [
-                (None, None, None) if p is None else _fake_dims(len(bytes(p)))
+                (None, None, None)
+                if p is None
+                else (_fake_dims(len(bytes(p))) if fake else _real_dims(bytes(p)))
                 for p in pdf[payload_col]
             ]
             out = {"media_id": pdf[id_col].astype("int64")}

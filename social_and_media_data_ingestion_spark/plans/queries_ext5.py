@@ -3469,3 +3469,90 @@ def events_stickiness_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau_sum") / F.col("n_days").cast("double") / F.col("wau"), 6
         ).alias("stickiness"),
     )
+
+
+# =============================================================================
+# Multimodal — native header-dimension sniff (r10): payloads are
+# synthesized with GENUINE PNG/JPEG/BMP headers whose dimensions derive
+# from doc_id (JPEG's SOF sits at a doc_id-dependent variable offset
+# behind APP0 padding; odd-id BMPs store top-down with a negative
+# height), then parsed BLIND on the Spark side by sniff_image_dims —
+# pure JVM expressions, a bounded aggregate() marker walk for JPEG.
+# The oracle never parses: it recomputes the dimensions from the
+# construction arithmetic, so agreement proves the byte-level walk
+# recovers exactly what was encoded. Corrupt classes (garbage magic,
+# truncated JPEG) and NULL ids must yield NULL dims in both engines.
+# =============================================================================
+@q(
+    "multimodal_image_dim_sniff",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id IS NULL OR doc_id % 7 IN (0, 3) THEN NULL
+                WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                ELSE 'bmp' END AS dim_format,
+           (CASE WHEN doc_id IS NULL OR doc_id % 7 IN (0, 3) THEN NULL
+                 ELSE doc_id % 640 + 1 END)::INTEGER AS width,
+           (CASE WHEN doc_id IS NULL OR doc_id % 7 IN (0, 3) THEN NULL
+                 ELSE doc_id % 480 + 1 END)::INTEGER AS height
+    FROM documents
+    """,
+)
+def multimodal_image_dim_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators import multimodal as MM
+
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (did % 640 + 1).cast("bigint")
+    h = (did % 480 + 1).cast("bigint")
+    pad = (did % 13).cast("int")
+
+    def be(col, nbytes):  # big-endian fixed-width binary from an int
+        return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+
+    def le4(col):  # little-endian int32: byte-reverse the BE hex
+        hx = F.lpad(F.hex(col), 8, "0")
+        return F.unhex(
+            F.concat(
+                hx.substr(7, 2), hx.substr(5, 2), hx.substr(3, 2), hx.substr(1, 2)
+            )
+        )
+
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"),
+        be(w, 4),
+        be(h, 4),
+        F.lit(b"\x08\x06\x00\x00\x00"),
+    )
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8\xff\xe0"),
+        be(pad + 7, 2),  # APP0 length: 2 (len) + 5 (JFIF\0) + pad
+        F.lit(b"JFIF\x00"),
+        F.lit(bytes(16)).substr(F.lit(1), pad),  # variable-length pad
+        F.lit(b"\xff\xdb" + struct.pack(">H", 5) + b"\x01\x02\x03"),
+        F.lit(b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"),
+        be(h, 2),
+        be(w, 2),
+        F.lit(b"\x03"),
+    )
+    # odd ids store top-down: height field = two's-complement negative
+    h_enc = F.when(did % 2 == 1, F.lit(4294967296).cast("bigint") - h).otherwise(h)
+    bmp = F.concat(
+        F.lit(b"BM" + struct.pack("<IHHI", 70, 0, 0, 54) + struct.pack("<I", 40)),
+        le4(w),
+        le4(h_enc),
+        F.lit(struct.pack("<HHIIiiII", 1, 24, 0, 16, 2835, 2835, 0, 0)),
+    )
+    payload = (
+        F.when(did % 7 == 0, F.lit(b"\x00\x01"))  # garbage magic
+        .when(did % 7 == 3, F.lit(b"\xff\xd8\xff\xe0\x00"))  # truncated JPEG
+        .when(did % 3 == 0, png)
+        .when(did % 3 == 1, jpeg)
+        .otherwise(bmp)
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    return MM.sniff_image_dims(media).select(
+        "doc_id", "dim_format", "width", "height"
+    )

@@ -270,3 +270,177 @@ def test_hostile_wav_header_rates_fail_loud(spark):
     df = spark.createDataFrame([(1, low_rate)], ["media_id", "payload"])
     with pytest.raises(Exception, match="too low"):
         MM.chunk_audio(df, window_ms=250, fake=False).collect()
+
+
+def _png_bytes(w, h):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _jpeg_bytes(w, h, pad=0, sof=b"\xc0"):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 7 + pad) + b"JFIF\x00" + b"\x00" * pad
+    dqt = b"\xff\xdb" + struct.pack(">H", 5) + b"\x01\x02\x03"
+    sofseg = b"\xff" + sof + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+    return b"\xff\xd8" + app0 + dqt + sofseg + b"\xff\xd9"
+
+
+def _bmp_bytes(w, h, pixels=None):
+    """Uncompressed 24-bit BMP; pixels = top-down rows of (r,g,b),
+    defaults to zeros. Negative h writes top-down row order."""
+    import struct
+
+    stride = (w * 3 + 3) // 4 * 4
+    ah = abs(h)
+    raster = bytearray(stride * ah)
+    if pixels:
+        for ri in range(ah):
+            # storage row ri holds logical (top-down) row ri when
+            # top-down (h < 0), else the mirrored row (bottom-up)
+            row = pixels[ri] if h < 0 else pixels[ah - 1 - ri]
+            for ci, (r, g, b) in enumerate(row):
+                raster[ri * stride + 3 * ci : ri * stride + 3 * ci + 3] = bytes(
+                    (b, g, r)
+                )
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<Iii HHIIiiII".replace(" ", ""), 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + info + bytes(raster)
+
+
+def test_decode_bmp_pixels_and_orientation():
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    px = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)], [(10, 11, 12), (13, 14, 15), (16, 17, 18)]]
+    flat = [v for row in px for t in row for v in t]
+    # bottom-up storage (h > 0) and top-down (h < 0) both normalize
+    # to the SAME top-down RGB sample stream
+    for h in (2, -2):
+        w, hh, c, samples = MM.decode_bmp(_bmp_bytes(3, h, px))
+        assert (w, hh, c) == (3, 2, 3)
+        assert samples == flat
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_bmp(_bmp_bytes(3, 2, px)[:-4])
+    bad_bpp = bytearray(_bmp_bytes(1, 1))
+    bad_bpp[28] = 8  # palette BMP: stdlib refuses, a codec's job
+    with pytest.raises(ValueError, match="24-bit"):
+        MM.decode_bmp(bytes(bad_bpp))
+
+
+def test_decode_ppm_variants():
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    p6 = b"P6 # comment\n2 2\n255\n" + bytes(range(12))
+    assert MM.decode_ppm(p6) == (2, 2, 3, list(range(12)))
+    p5 = b"P5\n3 1 255 " + bytes([9, 8, 7])
+    assert MM.decode_ppm(p5) == (3, 1, 1, [9, 8, 7])
+    with pytest.raises(ValueError, match="maxval|geometry"):
+        MM.decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_ppm(b"P6\n4 4\n255\n" + bytes(3))
+
+
+def test_decode_images_real_path_routes_by_magic(spark):
+    """fake=False is a REAL decode for the stdlib-decodable formats
+    (BMP, PPM) — dims from actual header+raster parsing; malformed
+    payloads yield NULL dims (data, not bugs); formats needing a codec
+    still raise the Pillow stub."""
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    rows = [
+        (1, bytearray(_bmp_bytes(5, 4))),
+        (2, bytearray(b"P6\n2 3\n255\n" + bytes(18))),
+        (3, bytearray(_bmp_bytes(5, 4)[:20])),  # truncated -> NULL dims
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.width, r.height, r.channels)
+        for r in MM.decode_images(df, fake=False).collect()
+    }
+    assert got[1] == (5, 4, 3)
+    assert got[2] == (2, 3, 3)
+    assert got[3] == (None, None, None)
+    assert got[4] == (None, None, None)
+    jpg = spark.createDataFrame(
+        [(9, bytearray(_jpeg_bytes(4, 4)))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="Pillow"):
+        MM.decode_images(jpg, fake=False).collect()
+
+
+def test_sniff_image_dims_native(spark):
+    """The native header sniff: PNG fixed-offset, JPEG variable-offset
+    marker walk (APPn padding shifts SOF; SOF2 progressive counts), BMP
+    little-endian signed int32 (top-down negative height -> abs). Every
+    corrupt class degrades to NULL dims, never a wrong read or error."""
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    rows = [
+        (1, bytearray(_png_bytes(640, 480))),
+        (2, bytearray(_jpeg_bytes(123, 456, pad=7))),
+        (3, bytearray(_jpeg_bytes(65500, 1, sof=b"\xc2"))),
+        (4, bytearray(_bmp_bytes(31, 17))),
+        (5, bytearray(_bmp_bytes(31, -17))),
+        (6, bytearray(b"\x00\x01garbage")),
+        (7, bytearray(_jpeg_bytes(9, 9)[:5])),
+        (8, bytearray(_png_bytes(1, 1)[:10])),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.dim_format, r.width, r.height)
+        for r in MM.sniff_image_dims(df).collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("jpeg", 123, 456)
+    assert got[3] == ("jpeg", 65500, 1)
+    assert got[4] == ("bmp", 31, 17)
+    assert got[5] == ("bmp", 31, 17)
+    for k in (6, 7, 8, 9):
+        assert got[k] == (None, None, None)
+
+
+def test_dim_sniff_query_hostile_ids_vs_oracle(spark, tmp_path):
+    """multimodal_image_dim_sniff vs its DuckDB oracle on a hostile id
+    fixture the generated corpus never produces: NULL doc_id (payload
+    synthesis yields NULL -> NULL dims in BOTH engines, no CASE
+    fallthrough) and a 10-digit id (the % arithmetic and the hex/lpad
+    encoding stay in range)."""
+    import duckdb
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        multimodal_image_dim_sniff,
+    )
+
+    rows = [(i, "s", "x") for i in (0, 1, 2, 3, 6, 7, 14, 21, 9999999999)]
+    rows.append((None, "s", "x"))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        multimodal_image_dim_sniff(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(registry()["multimodal_image_dim_sniff"].oracle)
+        .fetchdf()
+        .sort_values("doc_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(want.astype(str))
