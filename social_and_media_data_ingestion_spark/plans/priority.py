@@ -24,6 +24,82 @@ from __future__ import annotations
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
+    # ================= round-10 head =================
+    # The first head composed on a CLEAN ledger (r9 ended 0 stale /
+    # 0 never), so the rotation policy's third tier finally activates:
+    # after the changed/new rows, slots re-prove the rows with the
+    # OLDEST driver evidence (r3) instead of draining a stale queue.
+    # Composition, in rotation-policy order:
+    #   1. the round's growth queries (never sampled): the native
+    #      JPEG/PNG/BMP header-dimension sniff (bounded aggregate()
+    #      marker walk, blind-parse vs construction-arithmetic oracle)
+    #      and the two spec-faithful TPC-H rewrites (windowed Q4 with
+    #      an interval residual on the semi join; exact-arithmetic Q14);
+    #   2. every query whose closure changed in r10 — the hostile-WAV
+    #      frame-rate guard (audio chunks), the ''-key candidate gate
+    #      (recall audit), the single-tokenize + lazy-pin Naive Bayes
+    #      plan diet, the two eager->lazy pin conversions (shingle
+    #      postings, triangle edges), and the decode_images real-path
+    #      routing (image profile rides its closure);
+    #   3. fill to 50 with the oldest-evidence fresh rows (all 32 r3
+    #      rows + the first 9 r4 rows, ledger order).
+    "multimodal_image_dim_sniff",
+    "q4_priority_followup",
+    "q14_promo_revenue",
+    # -- changed in r10
+    "multimodal_audio_chunks",
+    "er_blocking_recall_audit",
+    "ml_naive_bayes_source",
+    "dedup_shingle_containment",
+    "graph_triangle_suppliers",
+    "multimodal_image_profile",
+    # -- oldest evidence (r3) re-proof
+    "agg_entropy_by_source",
+    "agg_grouping_sets",
+    "agg_hll_distinct_audit",
+    "agg_linear_regression",
+    "agg_median_mad",
+    "bpe_pair_counts",
+    "events_anomaly_zscore",
+    "events_cumulative_distinct_users",
+    "events_gap_filled_daily",
+    "events_hopping_window",
+    "events_session_window_streaming",
+    "events_sessionize",
+    "events_time_weighted_avg",
+    "events_transition_matrix",
+    "events_weekly_retention",
+    "flagship_submission_extract",
+    "orders_market_basket",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "sample_temperature_by_source",
+    "stream_static_enrich_counts",
+    "stream_stream_join_events",
+    "stream_windowed_counts",
+    "text_tfidf_topterms",
+    "text_zipf_fit",
+    "window_activity_streaks",
+    "window_share_of_total",
+    # -- oldest evidence (r4) re-proof
+    "agg_countmin_audit",
+    "events_autocorrelation",
+    "events_coactivity_histogram",
+    "events_markov_stationary",
+    "events_resample_gapfill",
+    "events_seasonal_anomaly",
+    "events_trigram_paths",
+    "graph_adamic_adar_suppliers",
+    "graph_bfs_reachability",
+]
+
+
+_ROUND9_HEAD = [
     # ================= round-9 head =================
     # The rotation-FINISHING round (round-8 verdict item 1): the ledger
     # (tools/stale_rows.py) reads 49 stale + 1 never on this tree, and
