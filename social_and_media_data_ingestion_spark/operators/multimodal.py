@@ -276,6 +276,78 @@ def decode_bmp(p: bytes) -> tuple[int, int, int, list[int]]:
     return w, h, 3, samples
 
 
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """payload -> per-image channel means over REAL decoded pixels
+    (width, height, mean_r/g/b) — the image analog of chunk_audio's
+    real path: Arrow-batched mapInPandas over the stdlib decoders
+    (`decode_bmp`, `decode_ppm`), no codec library. Grayscale (PGM)
+    reports its single channel as all three means. Strictly 1-in/1-out
+    row-aligned (the decode_images passthrough precedent — never
+    re-keyed on a possibly-duplicate id); NULL, undecodable, or
+    truncated payloads yield a NULL-stats row, so corrupt media is
+    visible data, not a job failure."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                # a NULL id must survive as a NULL-id row (null harness
+                # contract), so never int() it blind
+                mid = None if pd.isna(mid) else int(mid)
+                row = (mid, None, None, None, None, None)
+                if p is not None:
+                    b = bytes(p)
+                    try:
+                        if b[:2] == b"BM":
+                            w, h, _, s = decode_bmp(b)
+                            n = w * h
+                            means = [
+                                sum(s[c::3]) / n for c in range(3)
+                            ]  # RGB interleaved
+                            row = (mid, w, h, *means)
+                        elif b[:2] in (b"P6", b"P5"):
+                            w, h, nch, s = decode_ppm(b)
+                            n = w * h
+                            if nch == 3:
+                                means = [sum(s[c::3]) / n for c in range(3)]
+                            else:
+                                m = sum(s) / n
+                                means = [m, m, m]
+                            row = (mid, w, h, *means)
+                    except ValueError:
+                        pass  # corrupt raster/header -> NULL-stats row
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            ).astype(
+                {
+                    "media_id": "Int64",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "mean_r": "float64",
+                    "mean_g": "float64",
+                    "mean_b": "float64",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+
+
 def _fake_dims(n: int) -> tuple[int, int, int]:
     """Deterministic pseudo-dimensions from payload length — pure
     arithmetic, reproducible in any engine (used by the oracle too)."""

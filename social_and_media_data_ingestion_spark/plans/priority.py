@@ -44,6 +44,7 @@ PRIORITY_HEAD = [
     #   3. fill to 50 with the oldest-evidence fresh rows (all 32 r3
     #      rows + the first 9 r4 rows, ledger order).
     "multimodal_image_dim_sniff",
+    "multimodal_image_pixel_stats",
     "q4_priority_followup",
     "q14_promo_revenue",
     # -- changed in r10
@@ -95,7 +96,6 @@ PRIORITY_HEAD = [
     "events_seasonal_anomaly",
     "events_trigram_paths",
     "graph_adamic_adar_suppliers",
-    "graph_bfs_reachability",
 ]
 
 

@@ -3556,3 +3556,75 @@ def multimodal_image_dim_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sniff_image_dims(media).select(
         "doc_id", "dim_format", "width", "height"
     )
+
+
+# =============================================================================
+# Multimodal — REAL pixel decode through the Python path (r10): the dim
+# sniff above proves the native header walk; this proves the stdlib
+# RASTER decode. Payloads are genuine uncompressed 24-bit BMPs built
+# natively (doc_id-derived geometry exercising every stride-padding
+# class, raster = a known arithmetic byte sequence in bottom-up storage
+# order), decoded FOR REAL by decode_bmp inside image_pixel_stats
+# (mapInPandas). Because the raster is arithmetic, the per-channel
+# means have CLOSED FORMS — the oracle computes those, so agreement
+# proves the byte-level decode (BGR order, stride skip, row flip)
+# against an engine that never parses a byte. Every doc_id % 5 == 0
+# payload truncates after the header: a NULL-stats row, not a failure.
+# =============================================================================
+@q(
+    "multimodal_image_pixel_stats",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             doc_id % 4 + 1 AS w,
+             doc_id % 3 + 1 AS h,
+             ((doc_id % 4 + 1) * 3 + 3) // 4 * 4 AS stride
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w, h,
+             CASE WHEN doc_id IS NULL OR doc_id % 5 = 0 THEN NULL
+                  ELSE stride * (h - 1) / 2.0 + 3 * (w - 1) / 2.0 END AS mb
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           (CASE WHEN mb IS NULL THEN NULL ELSE w END)::INTEGER AS width,
+           (CASE WHEN mb IS NULL THEN NULL ELSE h END)::INTEGER AS height,
+           mb + 2 AS mean_r,
+           mb + 1 AS mean_g,
+           mb AS mean_b
+    FROM s
+    """,
+)
+def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators import multimodal as MM
+
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (did % 4 + 1).cast("bigint")
+    h = (did % 3 + 1).cast("bigint")
+    stride = (F.floor((w * 3 + 3) / 4) * 4).cast("bigint")
+
+    def le4(col):
+        hx = F.lpad(F.hex(col), 8, "0")
+        return F.unhex(
+            F.concat(
+                hx.substr(7, 2), hx.substr(5, 2), hx.substr(3, 2), hx.substr(1, 2)
+            )
+        )
+
+    header = F.concat(
+        F.lit(b"BM" + struct.pack("<IHHI", 0, 0, 0, 54) + struct.pack("<I", 40)),
+        le4(w),
+        le4(h),
+        F.lit(struct.pack("<HHIIiiII", 1, 24, 0, 0, 2835, 2835, 0, 0)),
+    )
+    # raster: the first stride*h bytes of 0,1,2,...,63 (max 36 needed) —
+    # storage byte i has VALUE i, which is what gives the closed forms
+    raster = F.lit(bytes(range(64))).substr(
+        F.lit(1), (stride * h).cast("int")
+    )
+    payload = F.when(did % 5 == 0, header).otherwise(F.concat(header, raster))
+    media = docs.select(did.alias("media_id"), payload.alias("payload"))
+    return MM.image_pixel_stats(media)

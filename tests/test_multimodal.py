@@ -444,3 +444,65 @@ def test_dim_sniff_query_hostile_ids_vs_oracle(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.astype(str).equals(want.astype(str))
+
+
+def test_image_pixel_stats_operator(spark):
+    """Real raster decode end-to-end: BMP channel means reflect BGR
+    ordering + stride padding + bottom-up storage; PGM grayscale
+    reports its channel three times; truncated and NULL payloads and
+    NULL ids survive as NULL-stats rows."""
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    px = [[(10, 20, 30), (40, 50, 60)]]  # 2x1 RGB
+    rows = [
+        (1, bytearray(_bmp_bytes(2, 1, px))),
+        (2, bytearray(b"P5\n2 2\n255\n" + bytes([0, 10, 20, 30]))),
+        (3, bytearray(_bmp_bytes(2, 2)[:30])),  # truncated
+        (4, None),
+        (None, bytearray(b"P5\n1 1\n255\n\x07")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b)
+        for r in MM.image_pixel_stats(df).collect()
+    }
+    assert got[1] == (2, 1, 25.0, 35.0, 45.0)
+    assert got[2] == (2, 2, 15.0, 15.0, 15.0)
+    assert got[3] == (None, None, None, None, None)
+    assert got[4] == (None, None, None, None, None)
+    assert got[None] == (1, 1, 7.0, 7.0, 7.0)
+
+
+def test_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
+    """multimodal_image_pixel_stats vs its closed-form oracle on NULL
+    and 10-digit doc_ids (same hostile-id contract as the dim sniff)."""
+    import duckdb
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        multimodal_image_pixel_stats,
+    )
+
+    rows = [(i, "s", "x") for i in (0, 1, 2, 3, 5, 7, 11, 9999999999)]
+    rows.append((None, "s", "x"))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        multimodal_image_pixel_stats(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("media_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(registry()["multimodal_image_pixel_stats"].oracle)
+        .fetchdf()
+        .sort_values("media_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(want.astype(str))
