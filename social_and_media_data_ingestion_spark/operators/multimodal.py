@@ -154,7 +154,11 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     d = F.col("_dims")
 
     def _be(pos: str, n: int) -> str:
-        return f"cast(conv(hex(substring({p}, {pos}, {n})), 16, 10) as int)"
+        # try_cast, not cast: a garbage header can declare a dimension
+        # past int32 (e.g. PNG width FFFFFFFF) and ANSI cast would kill
+        # the job — absurd dims degrade to NULL like any other corrupt
+        # header (found by the hypothesis fuzz over arbitrary payloads)
+        return f"try_cast(conv(hex(substring({p}, {pos}, {n})), 16, 10) as int)"
 
     def _le32(pos: int) -> str:
         b = [f"conv(hex(substring({p}, {pos + i}, 1)), 16, 10)" for i in range(4)]
@@ -185,8 +189,8 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         f"THEN named_struct('w', {_be('17', 4)}, 'h', {_be('21', 4)}) "
         f"WHEN hex(substring({p}, 1, 3)) = 'FFD8FF' THEN {jwalk} "
         f"WHEN hex(substring({p}, 1, 2)) = '424D' "
-        f"THEN named_struct('w', cast({_le32(19)} as int), "
-        f"'h', cast(abs({_le32(23)}) as int)) "
+        f"THEN named_struct('w', try_cast({_le32(19)} as int), "
+        f"'h', try_cast(abs({_le32(23)}) as int)) "
         f"ELSE {nulls} END"
     )
     fmt = (

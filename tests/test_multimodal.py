@@ -506,3 +506,63 @@ def test_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.astype(str).equals(want.astype(str))
+
+
+def test_sniff_image_dims_never_errors_property(spark):
+    """Property (hypothesis): sniff_image_dims on ARBITRARY bytes —
+    including bytes that start with a real magic and degenerate into
+    garbage — never raises and never emits a negative dimension. A
+    sniff runs before any validation at lake scale, so crash-freedom
+    on hostile input is its core contract (one batch assembles all
+    examples into a single Spark job to keep the property cheap)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    magics = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"BM", b"P6"]
+    cases = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        magic=st.sampled_from(magics),
+        tail=st.binary(min_size=0, max_size=80),
+    )
+    def collect(magic, tail):
+        cases.append(magic + tail)
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(cases)],
+        "media_id long, payload binary",
+    )
+    rows = MM.sniff_image_dims(df).collect()  # must not raise
+    assert len(rows) == len(cases)
+    for r in rows:
+        assert r.width is None or r.width >= 0
+        assert r.height is None or r.height >= 0
+
+
+def test_sniff_image_dims_deep_marker_chain_degrades_to_null(spark):
+    """A JPEG whose SOF hides behind MORE than the walk's 24 bounded
+    hops must degrade to NULL dims (documented), never a wrong read —
+    and one at exactly the bound still parses."""
+    import struct
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    def jpeg_chain(n_segments, w=77, h=55):
+        segs = b"".join(
+            b"\xff\xe1" + struct.pack(">H", 4) + b"\x00\x00"
+            for _ in range(n_segments)
+        )
+        sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w)
+        return b"\xff\xd8" + segs + sof
+
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg_chain(23))), (2, bytearray(jpeg_chain(40)))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: (r.width, r.height) for r in MM.sniff_image_dims(df).collect()}
+    assert got[1] == (77, 55)  # SOF on the 24th hop: still inside the bound
+    assert got[2] == (None, None)  # beyond the bound: NULL, not garbage
