@@ -45,6 +45,7 @@ PRIORITY_HEAD = [
     #      rows + the first 9 r4 rows, ledger order).
     "multimodal_image_dim_sniff",
     "multimodal_image_pixel_stats",
+    "emb_nonfinite_audit",
     "q4_priority_followup",
     "q14_promo_revenue",
     # -- changed in r10
@@ -95,7 +96,6 @@ PRIORITY_HEAD = [
     "events_resample_gapfill",
     "events_seasonal_anomaly",
     "events_trigram_paths",
-    "graph_adamic_adar_suppliers",
 ]
 
 

@@ -3628,3 +3628,76 @@ def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.when(did % 5 == 0, header).otherwise(F.concat(header, raster))
     media = docs.select(did.alias("media_id"), payload.alias("payload"))
     return MM.image_pixel_stats(media)
+
+
+# =============================================================================
+# Embedding ingestion gate — non-finite components (r10): the vector
+# analog of events_nonfinite_audit, closing the finite-inputs contract
+# for the 25-query vector family. The r10 probe (NaN/Inf components
+# injected into otherwise-valid vectors) showed 18/25 vector queries
+# agree cross-engine even on non-finite input, but 7 legitimately
+# violate the contract (quantize/int8 paths: Spark floor(NaN) wraps to
+# LONG_MAX garbage where DuckDB refuses the cast; variance overflows;
+# PQ/MRR ranking under NaN ordering) — so non-finite vectors must be
+# caught at INGESTION, by this audit, not papered over with a per-query
+# filter every plan would pay for at 100 TB. Per-label counts over the
+# RAW table: vectors containing any NaN / any Inf, clean vectors, and
+# total offending components. All native higher-order functions — one
+# scan, partial-aggregated map-side.
+# =============================================================================
+@q(
+    "emb_nonfinite_audit",
+    """
+    WITH e AS (
+      SELECT label,
+             embedding IS NULL AS is_null_vec,
+             coalesce(len(list_filter(embedding, x -> isnan(x))), 0)
+               AS nan_comps,
+             coalesce(len(list_filter(embedding, x -> isinf(x))), 0)
+               AS inf_comps
+      FROM embeddings
+    )
+    SELECT label,
+           count(*)::BIGINT AS n_vectors,
+           count(*) FILTER (WHERE is_null_vec)::BIGINT AS n_null_vec,
+           count(*) FILTER (WHERE nan_comps > 0)::BIGINT AS n_with_nan,
+           count(*) FILTER (WHERE inf_comps > 0)::BIGINT AS n_with_inf,
+           count(*) FILTER (WHERE NOT is_null_vec AND nan_comps = 0
+                              AND inf_comps = 0)::BIGINT AS n_clean,
+           sum(nan_comps)::BIGINT AS nan_components,
+           sum(inf_comps)::BIGINT AS inf_components
+    FROM e GROUP BY 1
+    """,
+)
+def emb_nonfinite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    inf = F.lit(float("inf"))
+    nan_comps = F.coalesce(
+        F.size(F.filter("embedding", lambda x: F.isnan(x))), F.lit(0)
+    )
+    inf_comps = F.coalesce(
+        F.size(F.filter("embedding", lambda x: (x == inf) | (x == -inf))),
+        F.lit(0),
+    )
+    is_null_vec = F.col("embedding").isNull()
+    classified = e.select(
+        "label",
+        is_null_vec.alias("is_null_vec"),
+        nan_comps.alias("nan_comps"),
+        inf_comps.alias("inf_comps"),
+    )
+    return classified.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.count_if(F.col("is_null_vec")).cast("bigint").alias("n_null_vec"),
+        F.count_if(F.col("nan_comps") > 0).cast("bigint").alias("n_with_nan"),
+        F.count_if(F.col("inf_comps") > 0).cast("bigint").alias("n_with_inf"),
+        F.count_if(
+            ~F.col("is_null_vec")
+            & (F.col("nan_comps") == 0)
+            & (F.col("inf_comps") == 0)
+        )
+        .cast("bigint")
+        .alias("n_clean"),
+        F.sum("nan_comps").cast("bigint").alias("nan_components"),
+        F.sum("inf_comps").cast("bigint").alias("inf_components"),
+    )

@@ -820,3 +820,117 @@ def test_duplicate_doc_ids_detected_curable_and_row_aligned(spark, tmp_path):
     gs = got[key].astype(str).sort_values(key).reset_index(drop=True)
     ws = want[key].astype(str).sort_values(key).reset_index(drop=True)
     assert gs.equals(ws)
+
+
+# the 7 vector queries that legitimately violate the finite-inputs
+# contract (SCALE.md §8) — each fails or diverges on NON-FINITE
+# components by engine design, which is exactly why emb_nonfinite_audit
+# exists as the ingestion gate:
+#   emb_dim_variance      DuckDB VARSAMP overflows on inf
+#   emb_pca_top_component driver-side power iteration: NaN -> int fails
+#   emb_quantize_int8     Spark floor(NaN·scale) wraps to LONG garbage
+#                         where DuckDB refuses the cast (r7 precedent)
+#   sim_int8_topk         same quantize path
+#   emb_pq_topk/recall    NaN distances re-rank per engine NaN ordering
+#   sim_retrieval_mrr     NaN cosine re-ranks the hit list per engine
+NONFINITE_EXEMPT = {
+    "emb_dim_variance",
+    "emb_pca_top_component",
+    "emb_pq_recall",
+    "emb_pq_topk",
+    "emb_quantize_int8",
+    "sim_int8_topk",
+    "sim_retrieval_mrr",
+}
+
+
+@pytest.fixture(scope="module")
+def nonfinite_embeddings_dir(spark, tmp_path_factory):
+    import numpy as np
+
+    tmp = tmp_path_factory.mktemp("nonfinemb")
+    rng = np.random.RandomState(11)
+    nan, inf = float("nan"), float("inf")
+    rows = []
+    for vid in range(40):
+        emb = [float(round(x, 3)) for x in rng.randn(16)]
+        if vid % 7 == 0:
+            emb[3] = nan  # one poisoned component
+        elif vid % 7 == 1:
+            emb[0] = inf
+        elif vid % 7 == 2:
+            emb[5] = -inf
+        elif vid % 7 == 3:
+            emb = [nan] * 16  # fully poisoned vector
+        rows.append((vid, emb, None if vid % 5 == 0 else vid % 4))
+    # RAW rows, never pandas: pandas createDataFrame silently turns NaN
+    # into NULL and the fixture stops testing anything (r7 gotcha)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+    return str(tmp)
+
+
+def test_vector_queries_on_nonfinite_components(
+    spark, nonfinite_embeddings_dir
+):
+    """NaN/±Inf COMPONENTS inside otherwise-valid vectors (the
+    valid-vector contract screens NULL/empty/zero-norm but NOT
+    non-finite). Every vector query outside the documented exempt set
+    must agree with its oracle; emb_nonfinite_audit — the ingestion
+    gate those exemptions rely on — must flag every poisoned-vector
+    class in BOTH engines."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{nonfinite_embeddings_dir}/embeddings.parquet/*.parquet')"
+    )
+    reg = registry()
+    names = [
+        n for n in _embeddings_only_queries() if n not in NONFINITE_EXEMPT
+    ]
+    assert "emb_nonfinite_audit" in names
+    bad = []
+    for name in names:
+        qd = reg[name]
+        try:
+            got = qd.spark(spark, nonfinite_embeddings_dir).toPandas()
+            want = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+            continue
+        gs = (
+            got[sorted(got.columns)]
+            .astype(str)
+            .sort_values(sorted(got.columns))
+            .reset_index(drop=True)
+        )
+        ws = (
+            want[sorted(want.columns)]
+            .astype(str)
+            .sort_values(sorted(want.columns))
+            .reset_index(drop=True)
+        )
+        if len(gs) != len(ws) or not gs.equals(ws):
+            bad.append(f"{name}: value/rowcount divergence")
+    assert not bad, "\n".join(bad)
+    # the audit actually SEES the poison: 40 vectors; vid%7 in {0,3}
+    # carry NaN (one component / all 16), vid%7 in {1,2} carry ±inf —
+    # counts recomputed from the construction below
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        emb_nonfinite_audit,
+    )
+
+    tot = (
+        emb_nonfinite_audit(spark, nonfinite_embeddings_dir)
+        .groupBy()
+        .sum("n_vectors", "n_with_nan", "n_with_inf", "nan_components")
+        .first()
+    )
+    assert tot[0] == 40
+    n_nan_vecs = sum(1 for v in range(40) if v % 7 in (0, 3))
+    n_inf_vecs = sum(1 for v in range(40) if v % 7 in (1, 2))
+    nan_comps = sum(16 if v % 7 == 3 else 1 for v in range(40) if v % 7 in (0, 3))
+    assert tot[1] == n_nan_vecs
+    assert tot[2] == n_inf_vecs
+    assert tot[3] == nan_comps
