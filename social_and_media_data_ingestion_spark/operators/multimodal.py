@@ -137,6 +137,8 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
       offsets 19/23 — bytes are reassembled arithmetically (hex() is
       big-endian) and a negative height (top-down row order) maps to
       abs(), the convention every raster library applies.
+    - GIF: the logical-screen descriptor directly follows the 6-byte
+      signature — width/height as little-endian uint16 at offsets 7/9.
     - JPEG: dimensions live in the SOF segment at a VARIABLE offset
       behind any number of APPn/DQT/COM segments, so a fixed-offset
       read cannot work — the marker chain is walked with a bounded
@@ -183,19 +185,39 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                           'w', s.w, 'h', s.h)
       END,
       s -> named_struct('w', s.w, 'h', s.h))"""
+    def _le16(pos: int) -> str:
+        return (
+            f"try_cast(conv(hex(substring({p}, {pos + 1}, 1)), 16, 10) * 256 "
+            f"+ conv(hex(substring({p}, {pos}, 1)), 16, 10) as int)"
+        )
+
     nulls = "named_struct('w', cast(null as int), 'h', cast(null as int))"
     dims = (
         f"CASE WHEN hex(substring({p}, 1, 8)) = '89504E470D0A1A0A' "
         f"THEN named_struct('w', {_be('17', 4)}, 'h', {_be('21', 4)}) "
         f"WHEN hex(substring({p}, 1, 3)) = 'FFD8FF' THEN {jwalk} "
+        f"WHEN hex(substring({p}, 1, 6)) IN ('474946383761', '474946383961') "
+        f"THEN named_struct('w', {_le16(7)}, 'h', {_le16(9)}) "
+        # BMP dims are SIGNED: only height may legally be negative
+        # (top-down storage, abs() below); a non-positive width or a
+        # zero height is a malformed header -> NULL, never a negative
+        # dimension leaking out (hypothesis fuzz, r10)
         f"WHEN hex(substring({p}, 1, 2)) = '424D' "
-        f"THEN named_struct('w', try_cast({_le32(19)} as int), "
-        f"'h', try_cast(abs({_le32(23)}) as int)) "
+        f"THEN named_struct("
+        f"'w', try_cast(CASE WHEN {_le32(19)} >= 1 THEN {_le32(19)} END as int), "
+        f"'h', try_cast(CASE WHEN abs({_le32(23)}) >= 1 "
+        f"THEN abs({_le32(23)}) END as int)) "
         f"ELSE {nulls} END"
     )
     fmt = (
         F.when(F.hex(F.substring(F.col(p), 1, 8)) == "89504E470D0A1A0A", "png")
         .when(F.hex(F.substring(F.col(p), 1, 3)) == "FFD8FF", "jpeg")
+        .when(
+            F.hex(F.substring(F.col(p), 1, 6)).isin(
+                "474946383761", "474946383961"
+            ),
+            "gif",
+        )
         .when(F.hex(F.substring(F.col(p), 1, 2)) == "424D", "bmp")
     )
     return (

@@ -3488,8 +3488,9 @@ def events_stickiness_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CASE WHEN doc_id IS NULL OR doc_id % 7 IN (0, 3) THEN NULL
-                WHEN doc_id % 3 = 0 THEN 'png'
-                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                WHEN doc_id % 4 = 0 THEN 'png'
+                WHEN doc_id % 4 = 1 THEN 'jpeg'
+                WHEN doc_id % 4 = 2 THEN 'gif'
                 ELSE 'bmp' END AS dim_format,
            (CASE WHEN doc_id IS NULL OR doc_id % 7 IN (0, 3) THEN NULL
                  ELSE doc_id % 640 + 1 END)::INTEGER AS width,
@@ -3537,8 +3538,16 @@ def multimodal_image_dim_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         be(w, 2),
         F.lit(b"\x03"),
     )
-    # odd ids store top-down: height field = two's-complement negative
-    h_enc = F.when(did % 2 == 1, F.lit(4294967296).cast("bigint") - h).otherwise(h)
+    def le2(col):  # little-endian uint16 (GIF logical screen descriptor)
+        hx = F.lpad(F.hex(col), 4, "0")
+        return F.unhex(F.concat(hx.substr(3, 2), hx.substr(1, 2)))
+
+    gif = F.concat(
+        F.lit(b"GIF89a"), le2(w), le2(h), F.lit(b"\x00\x00\x00")
+    )
+    # half the BMP class stores top-down: height field = two's-complement
+    # negative (the other half keeps bottom-up, so BOTH row orders parse)
+    h_enc = F.when(did % 8 == 3, F.lit(4294967296).cast("bigint") - h).otherwise(h)
     bmp = F.concat(
         F.lit(b"BM" + struct.pack("<IHHI", 70, 0, 0, 54) + struct.pack("<I", 40)),
         le4(w),
@@ -3548,8 +3557,9 @@ def multimodal_image_dim_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = (
         F.when(did % 7 == 0, F.lit(b"\x00\x01"))  # garbage magic
         .when(did % 7 == 3, F.lit(b"\xff\xd8\xff\xe0\x00"))  # truncated JPEG
-        .when(did % 3 == 0, png)
-        .when(did % 3 == 1, jpeg)
+        .when(did % 4 == 0, png)
+        .when(did % 4 == 1, jpeg)
+        .when(did % 4 == 2, gif)
         .otherwise(bmp)
     )
     media = docs.select("doc_id", payload.alias("payload"))

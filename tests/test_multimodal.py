@@ -393,6 +393,8 @@ def test_sniff_image_dims_native(spark):
         (7, bytearray(_jpeg_bytes(9, 9)[:5])),
         (8, bytearray(_png_bytes(1, 1)[:10])),
         (9, None),
+        (10, bytearray(b"GIF89a" + (300).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00\x00\x00")),
+        (11, bytearray(b"GIF87a\x05")),  # truncated descriptor
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {
@@ -404,7 +406,8 @@ def test_sniff_image_dims_native(spark):
     assert got[3] == ("jpeg", 65500, 1)
     assert got[4] == ("bmp", 31, 17)
     assert got[5] == ("bmp", 31, 17)
-    for k in (6, 7, 8, 9):
+    assert got[10] == ("gif", 300, 200)
+    for k in (6, 7, 8, 9, 11):
         assert got[k] == (None, None, None)
 
 
