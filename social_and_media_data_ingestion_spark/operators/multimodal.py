@@ -118,6 +118,11 @@ def sniff_format(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         (_prefix(4) == _RIFF_HEX)
         & (F.hex(F.substring(p, 9, 4)) == _WAVE_HEX),
         F.lit(_WAV_MIME),
+    ).when(
+        # RIFF container again, WEBP form type (r10)
+        (_prefix(4) == _RIFF_HEX)
+        & (F.hex(F.substring(p, 9, 4)) == "57454250"),
+        F.lit("image/webp"),
     )
     for sig, mime in MAGIC_MIMES:
         expr = expr.when(_prefix(len(sig) // 2) == sig, F.lit(mime))
@@ -139,6 +144,11 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
       abs(), the convention every raster library applies.
     - GIF: the logical-screen descriptor directly follows the 6-byte
       signature — width/height as little-endian uint16 at offsets 7/9.
+    - WebP: RIFF..WEBP, then the first chunk's fourcc picks one of
+      three fixed layouts — VP8X extended (24-bit LE canvas−1), VP8
+      lossy (14-bit dims in LE uint16s behind the 9D012A start code),
+      VP8L lossless (14+14 bits packed in one LE uint32 after the 2F
+      signature).
     - JPEG: dimensions live in the SOF segment at a VARIABLE offset
       behind any number of APPn/DQT/COM segments, so a fixed-offset
       read cannot work — the marker chain is walked with a bounded
@@ -191,6 +201,36 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             f"+ conv(hex(substring({p}, {pos}, 1)), 16, 10) as int)"
         )
 
+    def _leu(pos: int, n: int) -> str:  # little-endian UNSIGNED n-byte int
+        terms = " + ".join(
+            f"conv(hex(substring({p}, {pos + i}, 1)), 16, 10) * {256 ** i}"
+            for i in range(n)
+        )
+        return f"cast({terms} as bigint)"
+
+    # WebP (r10): RIFF..WEBP, then ONE of three first-chunk layouts —
+    # VP8X (extended): 24-bit LE canvas-minus-one at payload +4/+7;
+    # VP8 (lossy): after the 9D012A start code, 14-bit dims in LE
+    # uint16s; VP8L (lossless): 14+14 bits packed into a LE uint32
+    # after the 2F signature. All fixed offsets once the fourcc is
+    # known — no walk needed. Dims gated >= 1 (a garbage 0 is NULL).
+    def _ok(expr_: str) -> str:
+        return f"try_cast(CASE WHEN {expr_} >= 1 THEN {expr_} END as int)"
+
+    webp = f"""CASE hex(substring({p}, 13, 4))
+      WHEN '56503858' THEN named_struct(
+        'w', {_ok(f"{_leu(25, 3)} + 1")}, 'h', {_ok(f"{_leu(28, 3)} + 1")})
+      WHEN '56503820' THEN CASE WHEN hex(substring({p}, 24, 3)) = '9D012A'
+        THEN named_struct('w', {_ok(f"{_leu(27, 2)} % 16384")},
+                          'h', {_ok(f"{_leu(29, 2)} % 16384")})
+        ELSE named_struct('w', cast(null as int), 'h', cast(null as int)) END
+      WHEN '5650384C' THEN CASE WHEN hex(substring({p}, 21, 1)) = '2F'
+        THEN named_struct('w', {_ok(f"{_leu(22, 4)} % 16384 + 1")},
+                          'h', {_ok(f"({_leu(22, 4)} div 16384) % 16384 + 1")})
+        ELSE named_struct('w', cast(null as int), 'h', cast(null as int)) END
+      ELSE named_struct('w', cast(null as int), 'h', cast(null as int))
+    END"""
+
     nulls = "named_struct('w', cast(null as int), 'h', cast(null as int))"
     dims = (
         f"CASE WHEN hex(substring({p}, 1, 8)) = '89504E470D0A1A0A' "
@@ -198,6 +238,8 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         f"WHEN hex(substring({p}, 1, 3)) = 'FFD8FF' THEN {jwalk} "
         f"WHEN hex(substring({p}, 1, 6)) IN ('474946383761', '474946383961') "
         f"THEN named_struct('w', {_le16(7)}, 'h', {_le16(9)}) "
+        f"WHEN hex(substring({p}, 1, 4)) = '52494646' "
+        f"AND hex(substring({p}, 9, 4)) = '57454250' THEN {webp} "
         # BMP dims are SIGNED: only height may legally be negative
         # (top-down storage, abs() below); a non-positive width or a
         # zero height is a malformed header -> NULL, never a negative
@@ -217,6 +259,11 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 "474946383761", "474946383961"
             ),
             "gif",
+        )
+        .when(
+            (F.hex(F.substring(F.col(p), 1, 4)) == "52494646")
+            & (F.hex(F.substring(F.col(p), 9, 4)) == "57454250"),
+            "webp",
         )
         .when(F.hex(F.substring(F.col(p), 1, 2)) == "424D", "bmp")
     )

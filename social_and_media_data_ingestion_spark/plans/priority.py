@@ -55,6 +55,7 @@ PRIORITY_HEAD = [
     "dedup_shingle_containment",
     "graph_triangle_suppliers",
     "multimodal_image_profile",
+    "multimodal_format_sniff",
     # -- oldest evidence (r3) re-proof
     "agg_entropy_by_source",
     "agg_grouping_sets",
@@ -95,7 +96,6 @@ PRIORITY_HEAD = [
     "events_markov_stationary",
     "events_resample_gapfill",
     "events_seasonal_anomaly",
-    "events_trigram_paths",
 ]
 
 

@@ -3488,9 +3488,10 @@ def events_stickiness_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CASE WHEN doc_id IS NULL OR doc_id % 7 IN (0, 3) THEN NULL
-                WHEN doc_id % 4 = 0 THEN 'png'
-                WHEN doc_id % 4 = 1 THEN 'jpeg'
-                WHEN doc_id % 4 = 2 THEN 'gif'
+                WHEN doc_id % 5 = 0 THEN 'png'
+                WHEN doc_id % 5 = 1 THEN 'jpeg'
+                WHEN doc_id % 5 = 2 THEN 'gif'
+                WHEN doc_id % 5 = 3 THEN 'webp'
                 ELSE 'bmp' END AS dim_format,
            (CASE WHEN doc_id IS NULL OR doc_id % 7 IN (0, 3) THEN NULL
                  ELSE doc_id % 640 + 1 END)::INTEGER AS width,
@@ -3545,6 +3546,32 @@ def multimodal_image_dim_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     gif = F.concat(
         F.lit(b"GIF89a"), le2(w), le2(h), F.lit(b"\x00\x00\x00")
     )
+
+    def le3(col):  # little-endian 24-bit (VP8X canvas fields)
+        hx = F.lpad(F.hex(col), 6, "0")
+        return F.unhex(F.concat(hx.substr(5, 2), hx.substr(3, 2), hx.substr(1, 2)))
+
+    # the webp class rotates through ALL THREE first-chunk layouts so
+    # the scale run exercises each parse path, not just one
+    wp_hdr = b"RIFF" + struct.pack("<I", 0) + b"WEBP"
+    vp8x = F.concat(
+        F.lit(wp_hdr + b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"),
+        le3(w - 1),
+        le3(h - 1),
+    )
+    vp8 = F.concat(
+        F.lit(wp_hdr + b"VP8 " + struct.pack("<I", 10) + b"\x00\x00\x00\x9d\x01\x2a"),
+        le2(w),
+        le2(h),
+    )
+    vp8l = F.concat(
+        F.lit(wp_hdr + b"VP8L" + struct.pack("<I", 5) + b"\x2f"),
+        le4((w - 1) + (h - 1) * 16384),
+    )
+    variant = F.expr("doc_id div 5") % 3
+    webp = (
+        F.when(variant == 0, vp8x).when(variant == 1, vp8).otherwise(vp8l)
+    )
     # half the BMP class stores top-down: height field = two's-complement
     # negative (the other half keeps bottom-up, so BOTH row orders parse)
     h_enc = F.when(did % 8 == 3, F.lit(4294967296).cast("bigint") - h).otherwise(h)
@@ -3557,9 +3584,10 @@ def multimodal_image_dim_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = (
         F.when(did % 7 == 0, F.lit(b"\x00\x01"))  # garbage magic
         .when(did % 7 == 3, F.lit(b"\xff\xd8\xff\xe0\x00"))  # truncated JPEG
-        .when(did % 4 == 0, png)
-        .when(did % 4 == 1, jpeg)
-        .when(did % 4 == 2, gif)
+        .when(did % 5 == 0, png)
+        .when(did % 5 == 1, jpeg)
+        .when(did % 5 == 2, gif)
+        .when(did % 5 == 3, webp)
         .otherwise(bmp)
     )
     media = docs.select("doc_id", payload.alias("payload"))

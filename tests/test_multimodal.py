@@ -523,7 +523,15 @@ def test_sniff_image_dims_never_errors_property(spark):
 
     import social_and_media_data_ingestion_spark.operators.multimodal as MM
 
-    magics = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"BM", b"P6"]
+    magics = [
+        b"",
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8\xff",
+        b"BM",
+        b"P6",
+        b"GIF89a",
+        b"RIFF\x00\x00\x00\x00WEBP",
+    ]
     cases = []
 
     @settings(max_examples=120, deadline=None)
@@ -569,3 +577,55 @@ def test_sniff_image_dims_deep_marker_chain_degrades_to_null(spark):
     got = {r.media_id: (r.width, r.height) for r in MM.sniff_image_dims(df).collect()}
     assert got[1] == (77, 55)  # SOF on the 24th hop: still inside the bound
     assert got[2] == (None, None)  # beyond the bound: NULL, not garbage
+
+
+def _webp_bytes(w, h, variant="vp8x"):
+    """Minimal WebP headers for all three first-chunk layouts."""
+    import struct
+
+    if variant == "vp8x":
+        payload = b"\x00\x00\x00\x00" + (w - 1).to_bytes(3, "little") + (
+            h - 1
+        ).to_bytes(3, "little")
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    elif variant == "vp8":
+        payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    else:  # vp8l
+        bits = (w - 1) | ((h - 1) << 14)
+        payload = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_sniff_image_dims_webp_variants(spark):
+    """All three WebP first-chunk layouts parse natively; a lossy chunk
+    with a wrong start code and a RIFF that is a WAV (not WEBP) both
+    yield NULLs, never a misread."""
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    bad_vp8 = bytearray(_webp_bytes(10, 10, "vp8"))
+    bad_vp8[23] = 0x00  # corrupt the 9D012A start code
+    rows = [
+        (1, bytearray(_webp_bytes(640, 480, "vp8x"))),
+        (2, bytearray(_webp_bytes(123, 456, "vp8"))),
+        (3, bytearray(_webp_bytes(16383, 1, "vp8l"))),
+        (4, bad_vp8),
+        (5, bytearray(b"RIFF" + bytes(4) + b"WAVEfmt ")),
+        (6, bytearray(_webp_bytes(1, 1, "vp8x")[:16])),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.dim_format, r.width, r.height)
+        for r in MM.sniff_image_dims(df).collect()
+    }
+    assert got[1] == ("webp", 640, 480)
+    assert got[2] == ("webp", 123, 456)
+    assert got[3] == ("webp", 16383, 1)
+    for k in (4, 5, 6):
+        assert got[k] == (None, None, None)
+    # and the mime sniff now tells WEBP from WAV inside the same RIFF
+    mimes = {
+        r.media_id: r.detected_mime for r in MM.sniff_format(df).collect()
+    }
+    assert mimes[1] == "image/webp" and mimes[5] == "audio/x-wav"
