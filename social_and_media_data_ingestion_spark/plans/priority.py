@@ -56,6 +56,7 @@ PRIORITY_HEAD = [
     "graph_triangle_suppliers",
     "multimodal_image_profile",
     "multimodal_format_sniff",
+    "dq_constraint_report",
     # -- oldest evidence (r3) re-proof
     "agg_entropy_by_source",
     "agg_grouping_sets",
@@ -95,7 +96,6 @@ PRIORITY_HEAD = [
     "events_coactivity_histogram",
     "events_markov_stationary",
     "events_resample_gapfill",
-    "events_seasonal_anomaly",
 ]
 
 
