@@ -1888,21 +1888,27 @@ def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN '\x00\x01'::BLOB
-                  WHEN doc_id % 4 = 0 THEN '\xFF\xD8\xFF'::BLOB
-                  WHEN doc_id % 4 = 1 THEN '\x89PNG'::BLOB
-                  WHEN doc_id % 4 = 2 THEN 'GIF89a'::BLOB
+                  WHEN doc_id % 5 = 0 THEN '\xFF\xD8\xFF'::BLOB
+                  WHEN doc_id % 5 = 1 THEN '\x89PNG'::BLOB
+                  WHEN doc_id % 5 = 2 THEN 'GIF89a'::BLOB
+                  WHEN doc_id % 5 = 3 THEN 'RIFF'::BLOB
+                       || '\x00\x00\x00\x00'::BLOB || 'WAVE'::BLOB
                   ELSE 'RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB
-                       || 'WAVE'::BLOB END
+                       || 'WEBP'::BLOB END
              || encode(text) AS payload,
-             CASE doc_id % 4 WHEN 0 THEN 'image/jpeg'
+             CASE doc_id % 5 WHEN 0 THEN 'image/jpeg'
                   WHEN 1 THEN 'image/png' WHEN 2 THEN 'image/gif'
-                  ELSE 'audio/x-wav' END AS declared_mime
+                  WHEN 3 THEN 'audio/x-wav'
+                  ELSE 'image/webp' END AS declared_mime
       FROM documents
     ), d AS (
       SELECT declared_mime, octet_length(payload)::BIGINT AS n_bytes,
              CASE WHEN left(hex(payload), 8) = '52494646'
                        AND substr(hex(payload), 17, 8) = '57415645'
                   THEN 'audio/x-wav'
+                  WHEN left(hex(payload), 8) = '52494646'
+                       AND substr(hex(payload), 17, 8) = '57454250'
+                  THEN 'image/webp'
                   WHEN left(hex(payload), 6) = 'FFD8FF' THEN 'image/jpeg'
                   WHEN left(hex(payload), 8) = '89504E47' THEN 'image/png'
                   WHEN left(hex(payload), 12)
@@ -1923,16 +1929,21 @@ def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     did = F.col("doc_id")
     prefix = (
         F.when(did % 7 == 0, F.lit(bytes([0x00, 0x01])))
-        .when(did % 4 == 0, F.lit(bytes([0xFF, 0xD8, 0xFF])))
-        .when(did % 4 == 1, F.lit(bytes([0x89]) + b"PNG"))
-        .when(did % 4 == 2, F.lit(b"GIF89a"))
-        .otherwise(F.lit(b"RIFF" + bytes(4) + b"WAVE"))
+        .when(did % 5 == 0, F.lit(bytes([0xFF, 0xD8, 0xFF])))
+        .when(did % 5 == 1, F.lit(bytes([0x89]) + b"PNG"))
+        .when(did % 5 == 2, F.lit(b"GIF89a"))
+        .when(did % 5 == 3, F.lit(b"RIFF" + bytes(4) + b"WAVE"))
+        # r10: the WEBP form type rides the SAME RIFF container as WAV —
+        # the detection must split them on the form-type bytes, which
+        # this class proves against the oracle at every SF
+        .otherwise(F.lit(b"RIFF" + bytes(4) + b"WEBP"))
     )
     declared = (
-        F.when(did % 4 == 0, "image/jpeg")
-        .when(did % 4 == 1, "image/png")
-        .when(did % 4 == 2, "image/gif")
-        .otherwise("audio/x-wav")
+        F.when(did % 5 == 0, "image/jpeg")
+        .when(did % 5 == 1, "image/png")
+        .when(did % 5 == 2, "image/gif")
+        .when(did % 5 == 3, "audio/x-wav")
+        .otherwise("image/webp")
     )
     media = docs.select(
         F.concat(prefix, F.encode("text", "utf-8")).alias("payload"),

@@ -3621,15 +3621,18 @@ def multimodal_image_dim_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT doc_id, w, h,
              CASE WHEN doc_id IS NULL OR doc_id % 5 = 0 THEN NULL
-                  ELSE stride * (h - 1) / 2.0 + 3 * (w - 1) / 2.0 END AS mb
+                  WHEN doc_id % 2 = 0
+                    THEN stride * (h - 1) / 2.0 + 3 * (w - 1) / 2.0
+                  ELSE 3.0 * (w * h - 1) / 2.0 END AS base,
+             CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS rofs
       FROM m
     )
     SELECT doc_id AS media_id,
-           (CASE WHEN mb IS NULL THEN NULL ELSE w END)::INTEGER AS width,
-           (CASE WHEN mb IS NULL THEN NULL ELSE h END)::INTEGER AS height,
-           mb + 2 AS mean_r,
-           mb + 1 AS mean_g,
-           mb AS mean_b
+           (CASE WHEN base IS NULL THEN NULL ELSE w END)::INTEGER AS width,
+           (CASE WHEN base IS NULL THEN NULL ELSE h END)::INTEGER AS height,
+           base + rofs AS mean_r,
+           base + 1 AS mean_g,
+           base + (2 - rofs) AS mean_b
     FROM s
     """,
 )
@@ -3658,12 +3661,27 @@ def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         le4(h),
         F.lit(struct.pack("<HHIIiiII", 1, 24, 0, 0, 2835, 2835, 0, 0)),
     )
-    # raster: the first stride*h bytes of 0,1,2,...,63 (max 36 needed) —
+    # raster: the first N bytes of 0,1,2,...,63 (max 36 needed) —
     # storage byte i has VALUE i, which is what gives the closed forms
-    raster = F.lit(bytes(range(64))).substr(
-        F.lit(1), (stride * h).cast("int")
+    pool = F.lit(bytes(range(64)))
+    bmp = F.concat(header, pool.substr(F.lit(1), (stride * h).cast("int")))
+    # PPM class (r10 second half): exercises decode_ppm at scale — an
+    # ASCII header built natively, raster RGB-interleaved with NO
+    # stride padding (the closed form differs from BMP's in both the
+    # stride term and the channel offsets: PPM stores RGB, BMP BGR)
+    ppm = F.concat(
+        F.lit(b"P6\n"),
+        F.encode(w.cast("string"), "utf-8"),
+        F.lit(b" "),
+        F.encode(h.cast("string"), "utf-8"),
+        F.lit(b"\n255\n"),
+        pool.substr(F.lit(1), (w * h * 3).cast("int")),
     )
-    payload = F.when(did % 5 == 0, header).otherwise(F.concat(header, raster))
+    payload = (
+        F.when(did % 5 == 0, header)  # truncated: header, no raster
+        .when(did % 2 == 0, bmp)
+        .otherwise(ppm)
+    )
     media = docs.select(did.alias("media_id"), payload.alias("payload"))
     return MM.image_pixel_stats(media)
 
