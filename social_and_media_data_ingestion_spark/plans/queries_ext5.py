@@ -463,8 +463,12 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = model.groupBy("source").agg(F.sum("cnt").alias("tot"))
     vocab = model.select("token").distinct().agg(F.count("*").alias("v"))
-    ndocs = train.agg(F.count("*").alias("n"))
     priors = train.groupBy("source").agg(F.count("*").alias("nd"))
+    # the train rowcount is the SUM of the per-class priors — derived
+    # from the |classes|-row frame instead of its own (column-pruned,
+    # but at 100 TB still full) pass over the train corpus (r10; scans
+    # 4 -> 3 in PLANS.md)
+    ndocs = priors.agg(F.sum("nd").alias("n"))
     def _lpi(ratio):
         # floor(ln(p) * 1e6 + 0.5) as BIGINT — ONE quantization of each
         # log-probability; all downstream arithmetic is exact integers
