@@ -463,11 +463,18 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = model.groupBy("source").agg(F.sum("cnt").alias("tot"))
     vocab = model.select("token").distinct().agg(F.count("*").alias("v"))
-    priors = train.groupBy("source").agg(F.count("*").alias("nd"))
     # the train rowcount is the SUM of the per-class priors — derived
     # from the |classes|-row frame instead of its own (column-pruned,
-    # but at 100 TB still full) pass over the train corpus (r10; scans
-    # 4 -> 3 in PLANS.md)
+    # but at 100 TB still full) pass over the train corpus. The priors
+    # frame must be PINNED for the saving to be real: unpinned, the
+    # ndocs aggregate re-derives priors' whole lineage and re-scans
+    # train anyway (caught by the PLANS.md scan count going 4 -> 5
+    # exchanges instead of 4 -> 3 scans on the first attempt).
+    priors = (
+        train.groupBy("source")
+        .agg(F.count("*").alias("nd"))
+        .localCheckpoint(eager=False)
+    )
     ndocs = priors.agg(F.sum("nd").alias("n"))
     def _lpi(ratio):
         # floor(ln(p) * 1e6 + 0.5) as BIGINT — ONE quantization of each
@@ -475,7 +482,9 @@ def ml_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.floor(F.log(ratio) * 1000000 + F.lit(0.5)).cast("long")
 
     classes = (
-        totals.join(priors, "source")
+        # broadcast hint: the pinned priors frame has no stats, so the
+        # static planner would SMJ this |classes|-row join (r7 gotcha)
+        totals.join(F.broadcast(priors), "source")
         .crossJoin(F.broadcast(vocab))
         .crossJoin(F.broadcast(ndocs))
         .select(
