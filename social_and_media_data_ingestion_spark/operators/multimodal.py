@@ -181,6 +181,12 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         )
 
     sof = "(192,193,194,195,197,198,199,201,202,203,205,206,207)"
+    # the byte after 0xFF may itself be 0xFF: the JPEG spec permits any
+    # number of 0xFF fill bytes before a marker id, so a fill byte
+    # advances one position and costs one hop instead of being read as
+    # a marker with a bogus length (round-11 advice fix — real encoders
+    # do emit padding; a pathological run of >20 fill bytes degrades to
+    # NULL dims, never a wrong read)
     jwalk = f"""aggregate(
       sequence(1, 24),
       named_struct('off', 3, 'w', cast(null as int), 'h', cast(null as int)),
@@ -188,6 +194,8 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         WHEN s.w IS NOT NULL OR s.off IS NULL THEN s
         WHEN {_be('s.off', 1)} <> 255
           THEN named_struct('off', cast(null as int), 'w', s.w, 'h', s.h)
+        WHEN {_be('s.off + 1', 1)} = 255
+          THEN named_struct('off', s.off + 1, 'w', s.w, 'h', s.h)
         WHEN {_be('s.off + 1', 1)} IN {sof}
           THEN named_struct('off', s.off,
                  'w', {_be('s.off + 7', 2)}, 'h', {_be('s.off + 5', 2)})
@@ -267,11 +275,17 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         )
         .when(F.hex(F.substring(F.col(p), 1, 2)) == "424D", "bmp")
     )
+    # both dims must parse AND both must be >= 1, uniformly across
+    # formats — a header truncated between the width and height fields
+    # (or a declared zero dimension in formats whose branch lacks an
+    # inline gate, e.g. PNG/GIF/JPEG) yields NULL width AND height AND
+    # dim_format, honoring the docstring contract (round-11 advice fix)
+    ok = d["w"].isNotNull() & d["h"].isNotNull() & (d["w"] >= 1) & (d["h"] >= 1)
     return (
         df.withColumn("_dims", F.expr(dims))
-        .withColumn("dim_format", F.when(d["w"].isNotNull(), fmt))
-        .withColumn("width", d["w"])
-        .withColumn("height", d["h"])
+        .withColumn("dim_format", F.when(ok, fmt))
+        .withColumn("width", F.when(ok, d["w"]))
+        .withColumn("height", F.when(ok, d["h"]))
         .drop("_dims")
     )
 
@@ -357,7 +371,20 @@ PIXEL_STATS_SCHEMA = T.StructType(
         T.StructField("mean_r", T.DoubleType()),
         T.StructField("mean_g", T.DoubleType()),
         T.StructField("mean_b", T.DoubleType()),
+        T.StructField("status", T.StringType()),
     ]
+)
+
+# magics the stats UDF recognizes but cannot decode without a codec
+# library — these report status='needs_codec', NOT a silent NULL-stats
+# row, so a corpus of valid JPEGs is distinguishable from 100% corrupt
+# media (round-11 advice fix)
+_NEEDS_CODEC_MAGICS: tuple[tuple[bytes, int], ...] = (
+    (b"\x89PNG\r\n\x1a\x0a", 0),
+    (b"\xff\xd8\xff", 0),
+    (b"GIF87a", 0),
+    (b"GIF89a", 0),
+    (b"WEBP", 8),  # RIFF....WEBP
 )
 
 
@@ -372,7 +399,13 @@ def image_pixel_stats(
     row-aligned (the decode_images passthrough precedent — never
     re-keyed on a possibly-duplicate id); NULL, undecodable, or
     truncated payloads yield a NULL-stats row, so corrupt media is
-    visible data, not a job failure."""
+    visible data, not a job failure. The `status` column says WHY the
+    stats are NULL: 'ok' (decoded), 'needs_codec' (a recognized format
+    — PNG/JPEG/GIF/WebP — that stdlib cannot decode; see
+    decode_images' Pillow stub), 'corrupt' (a BMP/PPM magic whose
+    header or raster fails to parse), 'unknown_format' (unrecognized
+    magic), 'null_payload'. Without it a corpus of valid JPEGs would
+    be indistinguishable from 100% corrupt media."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -381,7 +414,7 @@ def image_pixel_stats(
                 # a NULL id must survive as a NULL-id row (null harness
                 # contract), so never int() it blind
                 mid = None if pd.isna(mid) else int(mid)
-                row = (mid, None, None, None, None, None)
+                row = (mid, None, None, None, None, None, "null_payload")
                 if p is not None:
                     b = bytes(p)
                     try:
@@ -391,7 +424,7 @@ def image_pixel_stats(
                             means = [
                                 sum(s[c::3]) / n for c in range(3)
                             ]  # RGB interleaved
-                            row = (mid, w, h, *means)
+                            row = (mid, w, h, *means, "ok")
                         elif b[:2] in (b"P6", b"P5"):
                             w, h, nch, s = decode_ppm(b)
                             n = w * h
@@ -400,13 +433,25 @@ def image_pixel_stats(
                             else:
                                 m = sum(s) / n
                                 means = [m, m, m]
-                            row = (mid, w, h, *means)
+                            row = (mid, w, h, *means, "ok")
+                        elif any(
+                            b[o : o + len(m)] == m
+                            for m, o in _NEEDS_CODEC_MAGICS
+                        ):
+                            row = (mid, None, None, None, None, None, "needs_codec")
+                        else:
+                            row = (mid, None, None, None, None, None,
+                                   "unknown_format")
                     except ValueError:
-                        pass  # corrupt raster/header -> NULL-stats row
+                        # corrupt raster/header -> NULL-stats row
+                        row = (mid, None, None, None, None, None, "corrupt")
                 out.append(row)
             yield pd.DataFrame(
                 out,
-                columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+                columns=[
+                    "media_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "status",
+                ],
             ).astype(
                 {
                     "media_id": "Int64",
@@ -415,6 +460,7 @@ def image_pixel_stats(
                     "mean_r": "float64",
                     "mean_g": "float64",
                     "mean_b": "float64",
+                    "status": "object",
                 }
             )
 

@@ -42,7 +42,7 @@ PRIORITY_HEAD = [
     #      postings, triangle edges), and the decode_images real-path
     #      routing (image profile rides its closure);
     #   3. fill to 50 with the oldest-evidence fresh rows (all 32 r3
-    #      rows + the first 9 r4 rows, ledger order).
+    #      rows + the first 5 r4 rows, ledger order).
     "multimodal_image_dim_sniff",
     "multimodal_image_pixel_stats",
     "emb_nonfinite_audit",

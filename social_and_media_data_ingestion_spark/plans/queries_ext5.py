@@ -3645,7 +3645,10 @@ def multimodal_image_dim_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CASE WHEN base IS NULL THEN NULL ELSE h END)::INTEGER AS height,
            base + rofs AS mean_r,
            base + 1 AS mean_g,
-           base + (2 - rofs) AS mean_b
+           base + (2 - rofs) AS mean_b,
+           CASE WHEN doc_id IS NULL THEN 'null_payload'
+                WHEN doc_id % 5 = 0 THEN 'corrupt'
+                ELSE 'ok' END AS status
     FROM s
     """,
 )

@@ -463,17 +463,26 @@ def test_image_pixel_stats_operator(spark):
         (3, bytearray(_bmp_bytes(2, 2)[:30])),  # truncated
         (4, None),
         (None, bytearray(b"P5\n1 1\n255\n\x07")),
+        # recognized formats that need a real codec must report
+        # status='needs_codec', NOT blend into the corrupt class
+        (5, bytearray(_png_bytes(4, 4))),
+        (6, bytearray(_jpeg_bytes(8, 8))),
+        (7, bytearray(_webp_bytes(3, 3, "vp8l"))),
+        (8, bytearray(b"\x00\x01not an image")),
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {
-        r.media_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b)
+        r.media_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.status)
         for r in MM.image_pixel_stats(df).collect()
     }
-    assert got[1] == (2, 1, 25.0, 35.0, 45.0)
-    assert got[2] == (2, 2, 15.0, 15.0, 15.0)
-    assert got[3] == (None, None, None, None, None)
-    assert got[4] == (None, None, None, None, None)
-    assert got[None] == (1, 1, 7.0, 7.0, 7.0)
+    assert got[1] == (2, 1, 25.0, 35.0, 45.0, "ok")
+    assert got[2] == (2, 2, 15.0, 15.0, 15.0, "ok")
+    assert got[3] == (None, None, None, None, None, "corrupt")
+    assert got[4] == (None, None, None, None, None, "null_payload")
+    assert got[None] == (1, 1, 7.0, 7.0, 7.0, "ok")
+    for k in (5, 6, 7):
+        assert got[k] == (None, None, None, None, None, "needs_codec")
+    assert got[8] == (None, None, None, None, None, "unknown_format")
 
 
 def test_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
@@ -577,6 +586,47 @@ def test_sniff_image_dims_deep_marker_chain_degrades_to_null(spark):
     got = {r.media_id: (r.width, r.height) for r in MM.sniff_image_dims(df).collect()}
     assert got[1] == (77, 55)  # SOF on the 24th hop: still inside the bound
     assert got[2] == (None, None)  # beyond the bound: NULL, not garbage
+
+
+def test_sniff_image_dims_fill_bytes_and_partial_headers(spark):
+    """Round-11 advice fixes: (a) repeated 0xFF fill bytes before a
+    marker id are legal JPEG padding — the walk must skip them, not
+    read the fill byte as a marker with a bogus length; (b) a header
+    truncated BETWEEN the width and height fields (e.g. a 9-byte GIF
+    whose width parses but height doesn't) must NULL both dims AND
+    dim_format; (c) a declared zero dimension is NULL uniformly across
+    formats (PNG/GIF included, not just WebP/BMP)."""
+    import struct
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    def jpeg_fill(n_fill, w=321, h=123):
+        sof = (
+            b"\xff" * n_fill
+            + b"\xff\xc0"
+            + struct.pack(">H", 17)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+        )
+        return b"\xff\xd8" + sof
+
+    rows = [
+        (1, bytearray(jpeg_fill(1))),
+        (2, bytearray(jpeg_fill(5))),
+        (3, bytearray(jpeg_fill(40))),  # pathological: degrade to NULL
+        (4, bytearray(b"GIF89a" + (300).to_bytes(2, "little") + b"\x01")),
+        (5, bytearray(_png_bytes(0, 480))),
+        (6, bytearray(b"GIF89a" + (0).to_bytes(2, "little") + (5).to_bytes(2, "little") + b"\x00")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.dim_format, r.width, r.height)
+        for r in MM.sniff_image_dims(df).collect()
+    }
+    assert got[1] == ("jpeg", 321, 123)
+    assert got[2] == ("jpeg", 321, 123)
+    for k in (3, 4, 5, 6):
+        assert got[k] == (None, None, None)
 
 
 def _webp_bytes(w, h, variant="vp8x"):
