@@ -118,6 +118,15 @@ HEADLINE = [
     # -> entity report) — benched because it composes the two heaviest
     # ER stages and a pin regression would double the blocking join
     "er_resolution_pipeline",
+    # round-10 growth, anchored from birth at the round-11 re-pin: the
+    # two spec-faithful TPC-H shapes (q4's inferred scan-prune bound,
+    # q14's quantize-then-sum) and the native-binary image paths (pure
+    # JVM header-dim sniff incl. the bounded JPEG marker walk; stdlib
+    # BMP/PPM pixel decode through the mapInPandas stats UDF)
+    "q4_priority_followup",
+    "q14_promo_revenue",
+    "multimodal_image_dim_sniff",
+    "multimodal_image_pixel_stats",
 ]
 
 

@@ -328,6 +328,106 @@ def decode_ppm(p: bytes) -> tuple[int, int, int, list[int]]:
     return w, h, nch, list(raster)
 
 
+def decode_png(p: bytes) -> tuple[int, int, int, list[int]]:
+    """(width, height, channels, flat top-down samples) from an 8-bit
+    non-interlaced PNG (grayscale, RGB, or RGBA) — a REAL pixel decode
+    with ZERO third-party dependencies: IDAT is a zlib stream of
+    per-scanline-filtered rows, `zlib` is stdlib, and filters 0-4
+    (None/Sub/Up/Average/Paeth) are ~30 lines. The remaining PNG
+    surface (bit depths != 8, palettes, interlacing) raises ValueError
+    — a real codec library's job.
+
+    Deliberately LENIENT where strictness buys nothing at crawl scale:
+    chunk CRC32s and the zlib adler32 are not verified (the stream is
+    inflated raw via `decompressobj(wbits=-15)` after the 2-byte zlib
+    header), so a bit-rotted-but-parseable file still yields pixels.
+    Deliberately STRICT where a hostile header could hurt a worker: a
+    declared geometry past 2^24 pixels raises before any allocation
+    (the IDAT stream is also inflated with max_length, so a zip-bomb
+    IDAT cannot expand past the declared raster)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if p[:8] != b"\x89PNG\r\n\x1a\n" or len(p) < 33:
+        raise ValueError("not a PNG payload")
+    (ihdr_len,) = _struct.unpack_from(">I", p, 8)
+    if p[12:16] != b"IHDR" or ihdr_len != 13:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = _struct.unpack_from(
+        ">IIBBBBB", p, 16
+    )
+    if w < 1 or h < 1 or w * h > 1 << 24:
+        raise ValueError(f"bad PNG geometry {w}x{h}")
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype not in (
+        0,
+        2,
+        6,
+    ):
+        raise ValueError(
+            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
+            f"(depth {depth}, color type {ctype}, interlace {interlace})"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    idat = bytearray()
+    off = 33  # first chunk after IHDR(13) + its CRC
+    while off + 8 <= len(p):
+        (ln,) = _struct.unpack_from(">I", p, off)
+        tag = p[off + 4 : off + 8]
+        if tag == b"IEND":
+            break
+        if tag == b"IDAT":
+            seg = p[off + 8 : off + 8 + ln]
+            if len(seg) < ln:
+                raise ValueError("truncated IDAT chunk")
+            idat += seg
+        off += 12 + ln
+    if len(idat) < 3:
+        raise ValueError("no IDAT data")
+    if idat[0] & 0x0F != 8:
+        raise ValueError("bad zlib header in IDAT")
+    stride = w * nch
+    need = (stride + 1) * h
+    try:
+        raw = _zlib.decompressobj(wbits=-15).decompress(bytes(idat[2:]), need)
+    except _zlib.error as exc:
+        raise ValueError(f"bad IDAT stream: {exc}") from None
+    if len(raw) < need:
+        raise ValueError(f"truncated PNG raster: {len(raw)} < {need}")
+    out = bytearray(stride * h)
+    zero = bytes(stride)
+    for r in range(h):
+        base = r * (stride + 1)
+        ft = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        prev = bytes(out[(r - 1) * stride : r * stride]) if r else zero
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: left neighbour, bpp bytes back
+            for i in range(nch, stride):
+                row[i] = (row[i] + row[i - nch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average: floor((left + up) / 2)
+            for i in range(stride):
+                a = row[i - nch] if i >= nch else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth predictor
+            for i in range(stride):
+                a = row[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                pa = abs(b - c)
+                pb = abs(a - c)
+                pc = abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft} on row {r}")
+        out[r * stride : (r + 1) * stride] = row
+    return w, h, nch, list(out)
+
+
 def decode_bmp(p: bytes) -> tuple[int, int, int, list[int]]:
     """(width, height, channels, flat BGR->RGB samples in top-down row
     order) from an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB).
@@ -378,14 +478,23 @@ PIXEL_STATS_SCHEMA = T.StructType(
 # magics the stats UDF recognizes but cannot decode without a codec
 # library — these report status='needs_codec', NOT a silent NULL-stats
 # row, so a corpus of valid JPEGs is distinguishable from 100% corrupt
-# media (round-11 advice fix)
+# media (round-11 advice fix). PNG is NOT here: IDAT is zlib + stdlib
+# filters, decoded for real by decode_png (round 11).
 _NEEDS_CODEC_MAGICS: tuple[tuple[bytes, int], ...] = (
-    (b"\x89PNG\r\n\x1a\x0a", 0),
     (b"\xff\xd8\xff", 0),
     (b"GIF87a", 0),
     (b"GIF89a", 0),
     (b"WEBP", 8),  # RIFF....WEBP
 )
+
+
+def _channel_means(s: list[int], n: int, nch: int) -> list[float]:
+    """Per-channel means from a flat interleaved sample list: grayscale
+    reports its single channel three times; RGBA means ignore alpha."""
+    if nch == 1:
+        m = sum(s) / n
+        return [m, m, m]
+    return [sum(s[c::nch]) / n for c in range(3)]
 
 
 def image_pixel_stats(
@@ -419,21 +528,14 @@ def image_pixel_stats(
                     b = bytes(p)
                     try:
                         if b[:2] == b"BM":
-                            w, h, _, s = decode_bmp(b)
-                            n = w * h
-                            means = [
-                                sum(s[c::3]) / n for c in range(3)
-                            ]  # RGB interleaved
-                            row = (mid, w, h, *means, "ok")
+                            w, h, nch, s = decode_bmp(b)
+                            row = (mid, w, h, *_channel_means(s, w * h, nch), "ok")
                         elif b[:2] in (b"P6", b"P5"):
                             w, h, nch, s = decode_ppm(b)
-                            n = w * h
-                            if nch == 3:
-                                means = [sum(s[c::3]) / n for c in range(3)]
-                            else:
-                                m = sum(s) / n
-                                means = [m, m, m]
-                            row = (mid, w, h, *means, "ok")
+                            row = (mid, w, h, *_channel_means(s, w * h, nch), "ok")
+                        elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                            w, h, nch, s = decode_png(b)
+                            row = (mid, w, h, *_channel_means(s, w * h, nch), "ok")
                         elif any(
                             b[o : o + len(m)] == m
                             for m, o in _NEEDS_CODEC_MAGICS
@@ -493,17 +595,21 @@ def decode_images(
     keep = list(passthrough)
 
     def _real_dims(p: bytes) -> tuple[int | None, int | None, int | None]:
-        # round-10 real path, following the WAV precedent: the formats
-        # stdlib can genuinely decode (BMP, PPM/PGM) decode for real;
-        # anything else still needs Pillow. Malformed BMP/PPM payloads
-        # yield NULL dims (the row survives, the failure is visible) —
-        # they are DATA, not bugs, at crawl scale.
+        # round-10/11 real path, following the WAV precedent: the
+        # formats stdlib can genuinely decode (BMP, PPM/PGM; PNG via
+        # zlib since round 11) decode for real; anything else still
+        # needs Pillow. Malformed payloads yield NULL dims (the row
+        # survives, the failure is visible) — they are DATA, not bugs,
+        # at crawl scale.
         try:
             if p[:2] == b"BM":
                 w, h, c, _ = decode_bmp(p)
                 return w, h, c
             if p[:2] in (b"P6", b"P5"):
                 w, h, c, _ = decode_ppm(p)
+                return w, h, c
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h, c, _ = decode_png(p)
                 return w, h, c
         except ValueError:
             return None, None, None

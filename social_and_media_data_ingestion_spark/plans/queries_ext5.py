@@ -3703,6 +3703,149 @@ def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Multimodal — REAL PNG pixel decode (r11): decode_png inflates IDAT
+# with stdlib zlib and inverts filters 0-4; this query proves that
+# path AT SCALE the same way the BMP/PPM query proves decode_bmp.
+# Payloads are spec-shaped PNGs synthesized NATIVELY in Spark SQL: the
+# IDAT zlib stream uses a STORED (uncompressed) deflate block, whose
+# framing (78 01 | 01 | LEN | ~LEN | raw scanlines) is exact bytes a
+# SQL expression can emit — no deflate needed, while decode_png runs
+# the very same inflate it runs on real files (chunk CRCs and adler32
+# are zeros; the decoder is deliberately lenient about both). Rows
+# rotate through three filter encodings — None, Up (consecutive
+# arithmetic rows differ by a CONSTANT stride, so the encoded row is
+# one repeated byte), Sub (within-row deltas are the constant 1 after
+# the first pixel) — and all three decode to the SAME arithmetic
+# raster (byte i = i), so the per-channel means have one closed form
+# the oracle computes without parsing a byte: agreement proves the
+# stored-block inflate AND the Up/Sub defilter arithmetic. doc_id%7==3
+# rows carry a JPEG magic (status='needs_codec'), doc_id%5==0 rows a
+# stored block that declares more scanline bytes than it ships
+# (status='corrupt'), NULL ids a NULL payload.
+# =============================================================================
+@q(
+    "multimodal_png_pixel_stats",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             doc_id % 4 + 1 AS w,
+             doc_id % 3 + 1 AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w, h,
+             CASE WHEN doc_id IS NULL OR doc_id % 7 = 3 OR doc_id % 5 = 0
+                  THEN NULL
+                  ELSE 3.0 * (w * h - 1) / 2.0 END AS base
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           (CASE WHEN base IS NULL THEN NULL ELSE w END)::INTEGER AS width,
+           (CASE WHEN base IS NULL THEN NULL ELSE h END)::INTEGER AS height,
+           base AS mean_r,
+           base + 1 AS mean_g,
+           base + 2 AS mean_b,
+           CASE WHEN doc_id IS NULL THEN 'null_payload'
+                WHEN doc_id % 7 = 3 THEN 'needs_codec'
+                WHEN doc_id % 5 = 0 THEN 'corrupt'
+                ELSE 'ok' END AS status
+    FROM s
+    """,
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators import multimodal as MM
+
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (did % 4 + 1).cast("int")
+    h = (did % 3 + 1).cast("int")
+
+    def be32(col):
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    def le16(col):
+        hx = F.lpad(F.hex(col), 4, "0")
+        return F.unhex(F.concat(hx.substr(3, 2), hx.substr(1, 2)))
+
+    base = (
+        docs.select("doc_id")
+        .withColumn("_w", w)
+        .withColumn("_h", h)
+        .withColumn("_stride", w * 3)
+        # filter class decorrelated from _h (which is doc_id % 3):
+        # 0 = all rows filter None, 1 = Up after row 0, 2 = Sub
+        .withColumn("_fc", (F.expr("doc_id div 7") % 3).cast("int"))
+        .withColumn("_pool", F.lit(bytes(range(64))))
+    )
+    # per-row scanline encodings (decoded raster byte i has VALUE i):
+    #  None: 00 | pool[r*stride .. +stride)
+    #  Up  : 02 | the constant byte `stride` repeated (row deltas)
+    #  Sub : 01 | 3 raw first-pixel bytes | 03 repeated (in-row deltas)
+    scanlines = F.expr(
+        """aggregate(
+      sequence(0, _h - 1), cast(X'' as binary),
+      (acc, r) -> concat(acc, CASE
+        WHEN _fc = 2 THEN concat(X'01',
+          unhex(lpad(hex(r * _stride), 2, '0')),
+          unhex(lpad(hex(r * _stride + 1), 2, '0')),
+          unhex(lpad(hex(r * _stride + 2), 2, '0')),
+          unhex(repeat('03', _stride - 3)))
+        WHEN _fc = 1 AND r > 0 THEN concat(X'02',
+          unhex(repeat(lpad(hex(_stride), 2, '0'), _stride)))
+        ELSE concat(X'00', substring(_pool, r * _stride + 1, _stride))
+      END))"""
+    )
+    n_stored = (F.col("_stride") + 1) * F.col("_h")
+    # zlib header + ONE final stored deflate block + 4 adler bytes the
+    # decoder deliberately does not verify
+    zstream = F.concat(
+        F.lit(b"\x78\x01\x01"),
+        le16(n_stored),
+        le16(F.lit(65535) - n_stored),
+        F.col("_scan"),
+        F.lit(b"\x00\x00\x00\x00"),
+    )
+    # same framing but the stored block declares n_stored bytes and
+    # ships none -> inflate yields a short raster -> status='corrupt'
+    ztrunc = F.concat(
+        F.lit(b"\x78\x01\x01"), le16(n_stored), le16(F.lit(65535) - n_stored)
+    )
+
+    def chunk(tag: bytes, payload):
+        return F.concat(
+            be32(F.length(payload)),
+            F.lit(tag),
+            payload,
+            F.lit(b"\x00\x00\x00\x00"),  # CRC unverified by design
+        )
+
+    ihdr_payload = F.concat(
+        be32(F.col("_w").cast("bigint")),
+        be32(F.col("_h").cast("bigint")),
+        F.lit(b"\x08\x02\x00\x00\x00"),  # 8-bit, RGB, non-interlaced
+    )
+    sig = F.lit(b"\x89PNG\r\n\x1a\n")
+    iend = F.lit(struct.pack(">I", 0) + b"IEND" + b"\x00\x00\x00\x00")
+    png = F.concat(
+        sig, chunk(b"IHDR", ihdr_payload), chunk(b"IDAT", zstream), iend
+    )
+    png_trunc = F.concat(
+        sig, chunk(b"IHDR", ihdr_payload), chunk(b"IDAT", ztrunc), iend
+    )
+    jpeg = F.lit(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00")
+    payload = (
+        F.when(did % 7 == 3, jpeg)
+        .when(did % 5 == 0, png_trunc)
+        .otherwise(png)
+    )
+    media = base.withColumn("_scan", scanlines).select(
+        did.alias("media_id"), payload.alias("payload")
+    )
+    return MM.image_pixel_stats(media)
+
+
+# =============================================================================
 # Embedding ingestion gate — non-finite components (r10): the vector
 # analog of events_nonfinite_audit, closing the finite-inputs contract
 # for the 25-query vector family. The r10 probe (NaN/Inf components

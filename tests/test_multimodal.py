@@ -284,6 +284,62 @@ def _png_bytes(w, h):
     )
 
 
+def _png_full(w, h, samples, ctype=2, filters=None, split_idat=False):
+    """A complete, spec-valid PNG (real zlib IDAT, real CRCs) built
+    with stdlib only: `samples` is the flat top-down raster, `filters`
+    the per-row filter type (default all 0) — rows are ENCODED with
+    that filter so decode_png must invert it."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * nch
+    filters = filters or [0] * h
+    raw = bytearray()
+    for r in range(h):
+        row = list(samples[r * stride : (r + 1) * stride])
+        prev = samples[(r - 1) * stride : r * stride] if r else [0] * stride
+        ft = filters[r]
+        enc = list(row)
+        for i in range(stride):
+            a = row[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ft == 1:
+                enc[i] = (row[i] - a) & 0xFF
+            elif ft == 2:
+                enc[i] = (row[i] - b) & 0xFF
+            elif ft == 3:
+                enc[i] = (row[i] - (a + b) // 2) & 0xFF
+            elif ft == 4:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (row[i] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    z = zlib.compress(bytes(raw))
+    if split_idat:
+        mid = len(z) // 2
+        idat = chunk(b"IDAT", z[:mid]) + chunk(b"IDAT", z[mid:])
+    else:
+        idat = chunk(b"IDAT", z)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + idat
+        + chunk(b"IEND", b"")
+    )
+
+
 def _jpeg_bytes(w, h, pad=0, sof=b"\xc0"):
     import struct
 
@@ -464,11 +520,14 @@ def test_image_pixel_stats_operator(spark):
         (4, None),
         (None, bytearray(b"P5\n1 1\n255\n\x07")),
         # recognized formats that need a real codec must report
-        # status='needs_codec', NOT blend into the corrupt class
-        (5, bytearray(_png_bytes(4, 4))),
+        # status='needs_codec', NOT blend into the corrupt class; a
+        # PNG with no IDAT is decodable-format-but-corrupt (PNG is a
+        # REAL stdlib decode since round 11)
+        (5, bytearray(_png_bytes(4, 4))),  # IHDR only, no IDAT
         (6, bytearray(_jpeg_bytes(8, 8))),
         (7, bytearray(_webp_bytes(3, 3, "vp8l"))),
         (8, bytearray(b"\x00\x01not an image")),
+        (9, bytearray(_png_full(2, 2, [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]))),
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {
@@ -480,9 +539,119 @@ def test_image_pixel_stats_operator(spark):
     assert got[3] == (None, None, None, None, None, "corrupt")
     assert got[4] == (None, None, None, None, None, "null_payload")
     assert got[None] == (1, 1, 7.0, 7.0, 7.0, "ok")
-    for k in (5, 6, 7):
+    assert got[5] == (None, None, None, None, None, "corrupt")
+    for k in (6, 7):
         assert got[k] == (None, None, None, None, None, "needs_codec")
     assert got[8] == (None, None, None, None, None, "unknown_format")
+    assert got[9] == (2, 2, 5.5, 6.5, 7.5, "ok")
+
+
+def test_decode_png_all_filters_and_color_types():
+    """decode_png (round 11, stdlib zlib): every filter type 0-4 must
+    invert exactly — rows are ENCODED with the filter under test, so a
+    wrong Sub/Up/Average/Paeth reconstruction corrupts the samples and
+    fails the roundtrip. Gray (ct 0), RGB (ct 2), RGBA (ct 6), and an
+    IDAT split across two chunks all roundtrip."""
+    import random
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    rng = random.Random(11)
+    for ctype, nch in ((0, 1), (2, 3), (6, 4)):
+        for ft in range(5):
+            w, h = 5, 4
+            samples = [rng.randrange(256) for _ in range(w * h * nch)]
+            png = _png_full(w, h, samples, ctype=ctype, filters=[ft] * h)
+            assert MM.decode_png(png) == (w, h, nch, samples), (ctype, ft)
+    # mixed filters per row + multi-chunk IDAT
+    w, h = 7, 6
+    samples = [rng.randrange(256) for _ in range(w * h * 3)]
+    png = _png_full(w, h, samples, filters=[0, 1, 2, 3, 4, 2], split_idat=True)
+    assert MM.decode_png(png) == (w, h, 3, samples)
+
+
+def test_decode_png_hostile_payloads():
+    """Hostile PNGs raise ValueError (never crash, never garbage):
+    truncated IDAT, bad filter byte, unsupported shapes (16-bit,
+    palette, interlaced), zip-bomb geometry declared in IHDR, and a
+    zero dimension."""
+    import struct
+    import zlib
+
+    import pytest
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    good = _png_full(3, 3, list(range(27)))
+
+    def mutated_ihdr(**kw):
+        w, h, depth, ctype, comp, filt, inter = struct.unpack_from(
+            ">IIBBBBB", good, 16
+        )
+        d = dict(w=w, h=h, depth=depth, ctype=ctype, comp=comp, filt=filt,
+                 inter=inter)
+        d.update(kw)
+        ihdr = struct.pack(">IIBBBBB", d["w"], d["h"], d["depth"], d["ctype"],
+                           d["comp"], d["filt"], d["inter"])
+        return good[:16] + ihdr + good[29:]
+
+    cases = [
+        good[: len(good) - 20],  # truncated inside IDAT
+        mutated_ihdr(depth=16),
+        mutated_ihdr(ctype=3),  # palette
+        mutated_ihdr(inter=1),  # Adam7
+        mutated_ihdr(w=0),
+        mutated_ihdr(w=1 << 23, h=1 << 23),  # bomb geometry: reject pre-alloc
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 10,  # no IHDR
+    ]
+    for p in cases:
+        with pytest.raises(ValueError):
+            MM.decode_png(bytes(p))
+    # bad filter byte: re-compress a raster whose first row claims
+    # filter 9 — must be a clean ValueError, not an IndexError
+    raw = bytes([9]) + bytes(9)
+    bad = _png_full(3, 1, list(range(9)))
+    z = zlib.compress(raw)
+    idat = struct.pack(">I", len(z)) + b"IDAT" + z + struct.pack(
+        ">I", zlib.crc32(b"IDAT" + z)
+    )
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+        ">I", zlib.crc32(b"IEND")
+    )
+    with pytest.raises(ValueError):
+        MM.decode_png(bad[:33] + idat + iend)
+
+
+def test_decode_png_fuzz_never_crashes():
+    """Property (hypothesis): decode_png on arbitrary mutations of a
+    valid PNG — flipped bytes, truncations, appended garbage — either
+    returns a well-formed tuple or raises ValueError, never any other
+    exception (the corrupt-media-is-data contract of the stats UDF)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    base = _png_full(4, 3, list(range(36)))
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(base) - 1),
+        val=st.integers(min_value=0, max_value=255),
+        cut=st.integers(min_value=8, max_value=len(base)),
+        tail=st.binary(max_size=16),
+    )
+    def prop(pos, val, cut, tail):
+        p = bytearray(base)
+        p[pos] = val
+        p = bytes(p[:cut]) + tail
+        try:
+            w, h, nch, s = MM.decode_png(p)
+            assert w >= 1 and h >= 1 and len(s) == w * h * nch
+        except ValueError:
+            pass
+
+    prop()
 
 
 def test_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
@@ -513,6 +682,45 @@ def test_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
     )
     want = (
         con.execute(registry()["multimodal_image_pixel_stats"].oracle)
+        .fetchdf()
+        .sort_values("media_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(want.astype(str))
+
+
+def test_png_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
+    """multimodal_png_pixel_stats vs its closed-form oracle on NULL
+    and 10-digit doc_ids, plus ids hitting every (filter-class,
+    corrupt, needs_codec) branch: 0 (corrupt), 3 (needs_codec), 7/14
+    (Up/Sub filter classes), 10 (%5 and... %7 precedence), 21 (Sub +
+    needs_codec precedence)."""
+    import duckdb
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        multimodal_png_pixel_stats,
+    )
+
+    ids = (0, 1, 2, 3, 5, 7, 10, 14, 17, 21, 23, 9999999999)
+    rows = [(i, "s", "x") for i in ids]
+    rows.append((None, "s", "x"))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        multimodal_png_pixel_stats(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("media_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(registry()["multimodal_png_pixel_stats"].oracle)
         .fetchdf()
         .sort_values("media_id", na_position="last")
         .reset_index(drop=True)
