@@ -24,6 +24,81 @@ from __future__ import annotations
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
+    # ================= round-11 head =================
+    # Composition, in rotation-policy order:
+    #   1. the round's one growth query (never sampled): the REAL
+    #      stdlib-zlib PNG pixel decode, proved at scale by natively
+    #      synthesized stored-deflate-block PNGs with a 3-way filter-
+    #      encoding rotation against a closed-form raster oracle;
+    #   2. every query whose closure changed in r11 — the image
+    #      sniff/stats advice fixes (JPEG fill-byte skip + uniform
+    #      both-fields dims gate ride the dim-sniff closure; the
+    #      status column rides pixel_stats; decode_images' PNG routing
+    #      rides image_profile) and the scan-sharing sweep (tfidf
+    #      postings pin, the tagged-gram one-pass PMI, the weighted
+    #      postings bigram logprob, the pinned chi2 contingency and
+    #      PSI cells, the daily-aggregate-derived gap-fill spine, the
+    #      pinned retention user-week frame, the zero-shuffle in-row
+    #      repetition signals);
+    #   3. fill to 50 with the oldest-evidence fresh rows (the 22
+    #      remaining r4 rows + the first 16 r5 rows, ledger order).
+    "multimodal_png_pixel_stats",
+    # -- changed in r11
+    "multimodal_image_dim_sniff",
+    "multimodal_image_pixel_stats",
+    "multimodal_image_profile",
+    "text_tfidf_topterms",
+    "text_pmi_bigrams",
+    "text_bigram_logprob",
+    "text_repetition_signals",
+    "events_chi2_type_weekday",
+    "ml_drift_psi",
+    "events_gap_filled_daily",
+    "events_retention_matrix",
+    # -- oldest evidence (r4) re-proof
+    "text_inverted_index",
+    "j9_asof_view_purchase",
+    "orders_repurchase_survival",
+    "orders_benford_audit",
+    "lake_merge_upsert",
+    "stream_asof_enrich_purchases",
+    "sample_weighted_reservoir",
+    "text_bm25_scores",
+    "graph_adamic_adar_suppliers",
+    "stats_winsorized_prices",
+    "text_rrf_fusion",
+    "join_bloom_filter_audit",
+    "events_seasonal_anomaly",
+    "stats_theil_sen_trend",
+    "text_feature_hashing",
+    "graph_kcore_suppliers",
+    "part_price_skyline",
+    "events_trigram_paths",
+    "sample_rendezvous_shards",
+    "graph_bfs_reachability",
+    "orders_forecast_backtest",
+    "scalar_url_components",
+    # -- oldest evidence (r5) re-proof
+    "q4_order_priority",
+    "q14_promo_share",
+    "j7_full_outer_counts",
+    "j8_cross_join_grid",
+    "skew_salted_type_counts",
+    "sample_hash_mod",
+    "doc_pack_contexts",
+    "sample_stratified_hash",
+    "corpus_profile",
+    "window_time_range_moving_avg",
+    "events_time_bucket_rollup",
+    "supplier_concentration_hhi",
+    "text_type_token_ratio",
+    "stream_stateful_running_totals",
+    "stream_dedup_watermark",
+    "j10_asof_tolerance_1h",
+]
+
+
+_ROUND10_HEAD = [
     # ================= round-10 head =================
     # The first head composed on a CLEAN ledger (r9 ended 0 stale /
     # 0 never), so the rotation policy's third tier finally activates:

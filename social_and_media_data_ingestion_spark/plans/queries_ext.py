@@ -1146,16 +1146,20 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count("*").cast("long").alias("n_events"))
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    # ONE events scan (round-11 scan sharing): the calendar bounds and
+    # the type set both derive from the pinned daily aggregate (tiny:
+    # |days|×|types| rows) instead of re-scanning the corpus — the day
+    # span and the observed types are exactly those of the daily cells
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .localCheckpoint(eager=False)
     )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     days = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     spine = days.crossJoin(types)
     return (
         spine.join(F.broadcast(daily), ["day", "event_type"], "left")
@@ -1426,8 +1430,25 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
     tok = docs.select("doc_id", "source", F.explode(toks).alias("term"))
-    tf = tok.groupBy("source", "term").agg(F.count("*").cast("long").alias("tf"))
-    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    # ONE tokenize pass and ONE corpus-scale shuffle (round-11 scan
+    # sharing): the token stream aggregates once to term-document
+    # postings (each doc has exactly one source, so (source, term,
+    # doc_id) distinct ⇔ (term, doc_id) distinct), lazily pinned — the
+    # dedup-shingle-postings precedent — and BOTH tf and df derive from
+    # the postings-scale frame. The old spelling re-tokenized and
+    # re-shuffled the full token stream once per aggregate (3 scans at
+    # 100 TB, two of them of the biggest intermediate in the query).
+    g = (
+        tok.groupBy("source", "term", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tf = g.groupBy("source", "term").agg(F.sum("cnt").cast("long").alias("tf"))
+    dfq = g.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # count(*) over parquet is answered from row-group footers — this
+    # "extra scan" reads zero data bytes at any corpus size, unlike
+    # deriving n_docs from the token stream (which would also miss
+    # token-less documents)
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
         tf.join(dfq, "term")

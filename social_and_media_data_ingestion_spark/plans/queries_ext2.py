@@ -487,21 +487,43 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE CAST(array() AS ARRAY<STRING>) END))"
     )
     bg = docs.select("doc_id", F.explode(F.expr(bigram_arr)).alias("bigram"))
-    bc = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    # ONE corpus pass and ONE corpus-scale shuffle (round-11 scan
+    # sharing): the bigram stream aggregates once to (doc_id, bigram)
+    # postings, lazily pinned; the bigram count table derives from the
+    # postings and the per-doc score re-joins the SAME postings with
+    # instance multiplicity as a weight. The old spelling scanned and
+    # re-tokenized documents for the count table, for the totals, and
+    # for the scoring join (3 full corpus reads at 100 TB); the
+    # weighted mean sum(cnt*lp)/sum(cnt) is exactly the old
+    # per-instance avg(lp).
+    gb = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bc = gb.groupBy("bigram").agg(F.sum("cnt").alias("c_bg"))
     fc = (
         bc.withColumn("tok1", F.split("bigram", " ")[0])
         .groupBy("tok1")
         .agg(F.sum("c_bg").alias("c_first"))
     )
+    # shuffle_hash: the pinned postings scan as an ExistingRDD with no
+    # stats — the static planner would otherwise pick SMJ (the
+    # er_resolution_pipeline precedent)
     scored = (
-        bg.join(bc, "bigram")
+        gb.join(bc.hint("shuffle_hash"), "bigram")
         .withColumn("tok1", F.split("bigram", " ")[0])
-        .join(fc, "tok1")
-        .select("doc_id", F.log(F.col("c_bg") / F.col("c_first")).alias("lp"))
+        .join(fc.hint("shuffle_hash"), "tok1")
+        .select(
+            "doc_id", "cnt", F.log(F.col("c_bg") / F.col("c_first")).alias("lp")
+        )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        (F.floor(F.avg("lp") * 10000 + F.lit(0.5)) / 10000).alias("avg_logprob"),
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        (
+            F.floor(F.sum(F.col("cnt") * F.col("lp")) / F.sum("cnt") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("avg_logprob"),
     )
 
 

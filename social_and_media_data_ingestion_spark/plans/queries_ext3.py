@@ -657,28 +657,53 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(F.expr(_SPARK_TOKS).alias("toks"))
-    uni = (
-        docs.select(F.explode("toks").alias("w"))
-        .groupBy("w")
+    # ONE tokenize pass, ONE corpus-scale shuffle (round-11 scan
+    # sharing): each row emits its unigrams AND bigrams as one tagged
+    # gram stream, aggregated once to a vocabulary-scale (kind, gram)
+    # count table that is lazily pinned; unigram counts, bigram counts,
+    # and both corpus totals all derive from the pinned frame. The old
+    # spelling tokenized and scanned documents once per count table and
+    # once more for the totals (3 full corpus reads at 100 TB). Shuffle
+    # bytes are unchanged — the tagged stream is exactly
+    # |tokens| + |bigrams| rows, the same volume the two separate
+    # aggregations shuffled.
+    grams = F.expr(
+        """concat(
+      transform(toks, w -> named_struct('kind', 'u', 'g', w)),
+      CASE WHEN size(toks) >= 2 THEN
+        transform(sequence(1, size(toks) - 1),
+          i -> named_struct('kind', 'b', 'g',
+               concat(element_at(toks, i), ' ', element_at(toks, i + 1))))
+      ELSE CAST(array() AS ARRAY<STRUCT<kind: STRING, g: STRING>>) END)"""
+    )
+    gc = (
+        docs.select(F.explode(grams).alias("kg"))
+        .select(F.col("kg.kind").alias("kind"), F.col("kg.g").alias("g"))
+        .groupBy("kind", "g")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    bi = (
-        docs.filter(F.size("toks") >= 2)
-        .select(F.explode(F.expr(_SPARK_BIGRAMS)).alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").alias("c"))
+    bi = gc.filter(F.col("kind") == "b").select(F.col("g").alias("b"), "c")
+    tot = gc.agg(
+        F.sum(F.when(F.col("kind") == "u", F.col("c"))).alias("nw"),
+        F.sum(F.when(F.col("kind") == "b", F.col("c"))).alias("nb"),
     )
-    tot = uni.agg(F.sum("c").alias("nw")).crossJoin(
-        bi.agg(F.sum("c").alias("nb"))
+    ua = gc.filter(F.col("kind") == "u").select(
+        F.col("g").alias("wa"), F.col("c").alias("ca")
     )
-    ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
-    ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    ub = gc.filter(F.col("kind") == "u").select(
+        F.col("g").alias("wb"), F.col("c").alias("cb")
+    )
+    # shuffle_hash, not SMJ: the pinned frame scans as an ExistingRDD
+    # with no stats, so the static planner would sort-merge (the
+    # er_resolution_pipeline precedent); vocabulary-scale sides hash
+    # safely at any corpus size
     pmi = (
         bi.filter(F.col("c") >= 5)
         .withColumn("wa", F.split("b", " ")[0])
         .withColumn("wb", F.split("b", " ")[1])
-        .join(ua, "wa")
-        .join(ub, "wb")
+        .join(ua.hint("shuffle_hash"), "wa")
+        .join(ub.hint("shuffle_hash"), "wb")
         .crossJoin(F.broadcast(tot))
         .select(
             F.col("b").alias("bigram"),
@@ -1112,26 +1137,34 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.expr(_SPARK_TOKS).alias("toks")
     )
     base = docs.filter(F.size("toks") >= 3)
-    wstat = (
-        base.select("doc_id", F.explode("toks").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac")
-        )
-    )
-    bstat = (
-        base.select("doc_id", F.explode(F.expr(_SPARK_BIGRAMS)).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
-        )
-    )
-    tstat = base.select(
-        "doc_id",
+
+    # every signal is PER-DOCUMENT, so none of them needs a shuffle:
+    # the max count of any gram equals the LONGEST RUN in the sorted
+    # gram array — an O(n log n) in-row fold. The old spelling exploded
+    # the corpus twice into (doc, gram) aggregations and joined three
+    # per-doc frames back together: 4 documents scans and 2
+    # corpus-scale shuffles for what is one scan + a |sources| hash-agg
+    # at 100 TB (round-11 scan sharing).
+    def run_max(arr_sql: str) -> str:
+        return f"""aggregate(
+          array_sort({arr_sql}),
+          named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+          (s, x) -> named_struct(
+            'prev', x,
+            'run', IF(s.prev IS NOT NULL AND x = s.prev, s.run + 1L, 1L),
+            'best', greatest(s.best,
+                    IF(s.prev IS NOT NULL AND x = s.prev, s.run + 1L, 1L))),
+          s -> s.best)"""
+
+    per_doc = base.select(
+        "source",
+        (
+            F.expr(run_max("toks")).cast("double") / F.size("toks")
+        ).alias("top_word_frac"),
+        F.expr(
+            f"CAST({run_max(_SPARK_BIGRAMS)} AS DOUBLE)"
+            f" / size({_SPARK_BIGRAMS})"
+        ).alias("top_bigram_frac"),
         (
             F.lit(1.0)
             - F.size(F.array_distinct(F.expr(_SPARK_TRIGRAMS))).cast("double")
@@ -1142,12 +1175,6 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r6(col):
         return F.floor(F.avg(col) * 1_000_000 + F.lit(0.5)) / 1_000_000
 
-    per_doc = (
-        base.select("doc_id", "source")
-        .join(wstat, "doc_id")
-        .join(bstat, "doc_id")
-        .join(tstat, "doc_id")
-    )
     return per_doc.groupBy("source").agg(
         r6("top_word_frac").alias("avg_top_word_frac"),
         r6("top_bigram_frac").alias("avg_top_bigram_frac"),

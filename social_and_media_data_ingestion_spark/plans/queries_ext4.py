@@ -1208,10 +1208,16 @@ def orders_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the contingency table is the ONLY corpus-scale work in the query
+    # — pin it (lazily; it's |types|×7 rows) so the two margins, the
+    # grand total, the cell join, AND the two dof .count() actions all
+    # read the pinned aggregate instead of re-scanning events once
+    # each (4 full-table reads at 100 TB before round 11)
     obs = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.dayofweek("ts").cast("bigint").alias("dow"))
         .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=False)
     )
     rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))

@@ -1702,8 +1702,15 @@ def ml_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bin"),
     )
-    cells = binned.groupBy("event_type", "half", "bin").agg(
-        F.count("*").alias("c")
+    # pin the cell table (lazily; |types|×2×10 rows): it feeds THREE
+    # consumers (the grid's distinct types + both half slices) and
+    # unpinned each re-ran the bin pass — with the bounds pass that was
+    # 5 full events reads at 100 TB; now it's the inherent two (global
+    # min/max, then bin+count)
+    cells = (
+        binned.groupBy("event_type", "half", "bin")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     et = cells.select("event_type").distinct()
     bins = F.broadcast(
@@ -3400,18 +3407,30 @@ def orders_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    uw = ev.select(
-        "user_id",
-        F.floor(
-            F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date")) / 7
+    # pin the distinct (user, week) frame (lazily): it feeds both the
+    # cohort derivation and the cell join, and unpinned each consumer
+    # re-scanned events (3 full reads at 100 TB). The pin is the
+    # already-shuffled distinct output — bounded by |users|×|weeks|,
+    # the same frame the shuffle materializes anyway (round 11).
+    uw = (
+        ev.select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date")) / 7
+            )
+            .cast("long")
+            .alias("week"),
         )
-        .cast("long")
-        .alias("week"),
-    ).distinct()
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     firsts = uw.groupBy("user_id").agg(F.min("week").alias("cohort"))
     sizes = firsts.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    # shuffle_hash: both sides now scan the pinned ExistingRDD with no
+    # stats, and the static planner would otherwise sort-merge (the
+    # er_resolution_pipeline precedent)
     cells = (
-        uw.join(firsts, "user_id")
+        uw.join(firsts.hint("shuffle_hash"), "user_id")
         .groupBy(
             "cohort", (F.col("week") - F.col("cohort")).alias("week_offset")
         )
