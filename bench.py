@@ -127,6 +127,10 @@ HEADLINE = [
     "q14_promo_revenue",
     "multimodal_image_dim_sniff",
     "multimodal_image_pixel_stats",
+    # round-11 growth, anchored from birth: the stdlib-zlib PNG pixel
+    # decode (stored-block IDAT inflate + Up/Sub defilter through the
+    # mapInPandas stats UDF)
+    "multimodal_png_pixel_stats",
 ]
 
 
