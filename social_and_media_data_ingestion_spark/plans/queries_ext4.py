@@ -103,19 +103,30 @@ def _bm25_oracle_sql(terms: list[str], tag: str) -> str:
     """
 
 
-def _bm25_df(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
-    """(doc_id, n_tokens, bm25_r) — the Spark twin of _bm25_oracle_sql."""
+def _bm25_multi_df(
+    spark: SparkSession, sf_dir: str, sets: dict[str, list[str]]
+) -> DataFrame:
+    """(doc_id, n_tokens, bm25_<name>..., match_<name>...) — BM25 of
+    every document against SEVERAL query term sets in ONE stats pass
+    and ONE scoring pass (round-11 scan sharing): the corpus-stat
+    aggregate computes df for the union vocabulary, and each set's
+    score sums its contribs in the set's own fixed term order, so every
+    per-set score is float-identical to a standalone `_bm25_df` run.
+    Rows match when ANY set matches; per-set scores are NULL on
+    non-matching rows so a caller can slice one ranking out without
+    re-reading the corpus."""
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id", _tokens("text").alias("toks"))
         .withColumn("dl", F.size("toks").cast("double"))
     )
+    vocab = list(dict.fromkeys(w for ts in sets.values() for w in ts))
     stats = docs.agg(
         F.count("*").cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
         *[
             F.count_if(F.array_contains("toks", w)).cast("double").alias(f"df_{w}")
-            for w in terms
+            for w in vocab
         ],
     )
 
@@ -132,20 +143,32 @@ def _bm25_df(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
             0.0
         )
 
-    score = None
-    for w in terms:  # fixed order => identical float association
-        score = contrib(w) if score is None else score + contrib(w)
-    any_tf = None
-    for w in terms:
-        any_tf = tf(w) if any_tf is None else any_tf + tf(w)
+    def ordered_sum(parts):
+        out = None
+        for p in parts:  # fixed order => identical float association
+            out = p if out is None else out + p
+        return out
+
+    cols, any_match = [], None
+    for name, terms in sets.items():
+        score = ordered_sum(contrib(w) for w in terms)
+        matched = ordered_sum(tf(w) for w in terms) > 0
+        cols.append(F.when(matched, _r(score, 6)).alias(f"bm25_{name}"))
+        cols.append(matched.alias(f"match_{name}"))
+        any_match = matched if any_match is None else any_match | matched
     return (
         docs.crossJoin(F.broadcast(stats))
-        .filter(any_tf > 0)
+        .filter(any_match)
         .select(
-            "doc_id",
-            F.col("dl").cast("bigint").alias("n_tokens"),
-            _r(score, 6).alias("bm25_r"),
+            "doc_id", F.col("dl").cast("bigint").alias("n_tokens"), *cols
         )
+    )
+
+
+def _bm25_df(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """(doc_id, n_tokens, bm25_r) — the Spark twin of _bm25_oracle_sql."""
+    return _bm25_multi_df(spark, sf_dir, {"r": terms}).select(
+        "doc_id", "n_tokens", F.col("bm25_r")
     )
 
 
@@ -813,15 +836,25 @@ _RRF_TERMS_B = ["merge", "batch"]
     """,
 )
 def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def ranked(terms, out):
-        w = Window.orderBy(F.desc("bm25_r"), F.asc("doc_id"))
+    # ONE stats pass + ONE scoring pass for BOTH rankings (round-11
+    # scan sharing via _bm25_multi_df; was 2 standalone BM25 runs = 4
+    # corpus reads). The scored frame is lazily pinned — match-bounded,
+    # far smaller than the corpus — and each ranking slices its
+    # matching rows out of the pin; per-set float association is
+    # unchanged, so the ranks are exactly the standalone ranks.
+    scored = _bm25_multi_df(
+        spark, sf_dir, {"a": _RRF_TERMS_A, "b": _RRF_TERMS_B}
+    ).localCheckpoint(eager=False)
+
+    def ranked(name, out):
+        w = Window.orderBy(F.desc(f"bm25_{name}"), F.asc("doc_id"))
         return (
-            _bm25_df(spark, sf_dir, terms)
+            scored.filter(F.col(f"match_{name}"))
             .select("doc_id", F.row_number().over(w).alias(out))
         )
 
-    ra = ranked(_RRF_TERMS_A, "rank_a")
-    rb = ranked(_RRF_TERMS_B, "rank_b")
+    ra = ranked("a", "rank_a")
+    rb = ranked("b", "rank_b")
     # outer-merge via union + hash-agg (max of the at-most-one non-null
     # rank per side): one exchange on doc_id, no sort-merge join
     merged = (
