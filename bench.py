@@ -393,6 +393,24 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(full), file=sys.stderr)
+    if write_anchor and anchor and _anchor_machine_matches():
+        # A re-pin is only valid from a UNIFORMLY quiet run (SCALE.md
+        # §11 corollary: the Aug-14 anchor pinned under decaying load
+        # manufactured position-correlated "drift"). Gate on the run's
+        # own calibration evidence instead of trusting the operator:
+        # canary within ±5% of the OLD anchor and zero suspect reruns.
+        # Both r11 re-pin attempts failed exactly this way (canary
+        # 1.135 / 1.176 on a loadavg-0.04 box — ambient weather the
+        # preflight's 1.2x ceiling admits but a fixed point must not).
+        cr = canary_info.get("canary_ratio")
+        if reruns or cr is None or not (0.95 <= cr <= 1.05):
+            print(
+                f"# anchor NOT written: run not uniformly quiet "
+                f"(canary_ratio={cr}, reruns={sorted(reruns)}) — "
+                f"re-run in a quieter window",
+                file=sys.stderr,
+            )
+            write_anchor = False
     if write_anchor:
         # Pin THIS run's bests as the fixed comparison anchor (run it on
         # a quiet machine): round-over-round deltas then read against a
