@@ -41,7 +41,9 @@ PRIORITY_HEAD = [
     #      pinned retention user-week frame, the zero-shuffle in-row
     #      repetition signals);
     #   3. fill to 50 with the oldest-evidence fresh rows (the 22
-    #      remaining r4 rows + the first 16 r5 rows, ledger order).
+    #      remaining r4 rows + the first 14 r5 rows, ledger order —
+    #      two r5 slots ceded to the late cohort-ltv / stickiness
+    #      scan-sharing closures).
     "multimodal_png_pixel_stats",
     # -- changed in r11
     "multimodal_image_dim_sniff",
@@ -55,6 +57,10 @@ PRIORITY_HEAD = [
     "ml_drift_psi",
     "events_gap_filled_daily",
     "events_retention_matrix",
+    "orders_cohort_ltv",
+    "events_stickiness_weekly",
+    # (text_bm25_scores and text_rrf_fusion also changed in r11 — they
+    # already sit in the r4 re-proof fill below)
     # -- oldest evidence (r4) re-proof
     "text_inverted_index",
     "j9_asof_view_purchase",
@@ -93,8 +99,6 @@ PRIORITY_HEAD = [
     "supplier_concentration_hhi",
     "text_type_token_ratio",
     "stream_stateful_running_totals",
-    "stream_dedup_watermark",
-    "j10_asof_tolerance_1h",
 ]
 
 

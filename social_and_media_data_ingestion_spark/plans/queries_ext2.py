@@ -2235,10 +2235,18 @@ def customer_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
-    fo = orders.groupBy("o_custkey").agg(F.min(mi).alias("cohort_mi"))
+    # cohort month = min(order month) OVER the customer partition: the
+    # same one customer-keyed shuffle the old agg+self-join spelling
+    # paid, but ONE orders scan instead of two (round-11 scan sharing —
+    # the aggregate was only ever joined straight back to its source)
+    wc = Window.partitionBy("o_custkey")
     rev = (
-        orders.join(fo, "o_custkey")
-        .groupBy("cohort_mi", (mi - F.col("cohort_mi")).alias("months_since"))
+        orders.select(
+            mi.alias("mi"),
+            F.min(mi).over(wc).alias("cohort_mi"),
+            "o_totalprice",
+        )
+        .groupBy("cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("months_since"))
         .agg(F.sum("o_totalprice").alias("rev"))
     )
     w = (

@@ -3482,11 +3482,19 @@ def events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_stickiness_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     day = F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
-    d = ev.select(
-        day.alias("day"),
-        F.floor(day / 7).cast("long").alias("week"),
-        "user_id",
-    ).distinct()
+    # pin the distinct (day, week, user) frame (lazily): DAU and WAU
+    # both consume it, and unpinned each re-scanned events (round-11
+    # scan sharing; the pin is the distinct's own shuffle output,
+    # bounded by |users|×|days|)
+    d = (
+        ev.select(
+            day.alias("day"),
+            F.floor(day / 7).cast("long").alias("week"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     dau = d.groupBy("week", "day").agg(F.count("*").alias("dau"))
     wau = d.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
     avg_dau = dau.groupBy("week").agg(
