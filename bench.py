@@ -129,8 +129,10 @@ HEADLINE = [
     "multimodal_image_pixel_stats",
     # round-11 growth, anchored from birth: the stdlib-zlib PNG pixel
     # decode (stored-block IDAT inflate + Up/Sub defilter through the
-    # mapInPandas stats UDF)
+    # mapInPandas stats UDF) and the pure-Python-LZW GIF pixel decode
+    # (sub-block reassembly + palette lookup through the same UDF)
     "multimodal_png_pixel_stats",
+    "multimodal_gif_pixel_stats",
 ]
 
 

@@ -463,6 +463,150 @@ def decode_bmp(p: bytes) -> tuple[int, int, int, list[int]]:
     return w, h, 3, samples
 
 
+def _lzw_decode(mcs: int, stream: bytes, npix: int) -> list[int]:
+    """GIF-flavour LZW decode (LSB-first variable-width codes, clear /
+    end codes, 12-bit cap, KwKwK case) of an unwrapped code stream.
+    Pure Python — the dictionary is index lists, never strings — and
+    bounded: decoding stops at `npix` output pixels, so a hostile
+    stream cannot expand past the declared raster (the PNG max_length
+    precedent). Raises ValueError on truncation or an out-of-range
+    code so callers route hostile rows like undecodable PNGs."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"bad LZW min code size {mcs}")
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[list[int] | None] = [[i] for i in range(clear)] + [None, None]
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitbuf = bits = pos = 0
+    while len(out) < npix:
+        while bits < width:
+            if pos >= len(stream):
+                raise ValueError("truncated LZW stream")
+            bitbuf |= stream[pos] << bits
+            bits += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bits -= width
+        if code == clear:
+            del table[clear + 2 :]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK: code emitted before defined
+        else:
+            raise ValueError(f"LZW code {code} outside table of {len(table)}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < npix:
+        raise ValueError(f"short LZW pixel stream: {len(out)} < {npix}")
+    return out[:npix]
+
+
+def decode_gif(p: bytes) -> tuple[int, int, int, list[int]]:
+    """(width, height, channels, flat RGB samples) of the FIRST image
+    frame in a GIF87a/GIF89a payload — a REAL pixel decode with ZERO
+    third-party dependencies: the container is `struct`-parsed and the
+    raster is inflated by `_lzw_decode` (GIF's only compression is
+    LZW, which is ~40 lines of pure Python; the `zlib`-PNG precedent,
+    one codec further). Extension blocks (graphics control, comments,
+    application — the animation machinery) are skipped, so animated
+    GIFs yield their first frame; a local color table overrides the
+    global one for the frame. Interlaced frames raise ValueError —
+    the per-channel-mean oracle cannot distinguish a correct
+    de-interlace from a wrong one, so claiming support would be
+    unverified (documented limit, like palette PNGs). Any pixel index
+    outside the active color table, a truncated sub-block chain, or a
+    frame larger than the logical screen raises ValueError so callers
+    route hostile rows as 'corrupt' data, not job failures."""
+    import struct as _struct
+
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = _struct.unpack_from("<HHBBB", p, 6)
+    if sw < 1 or sh < 1 or sw * sh > 1 << 24:
+        raise ValueError(f"bad GIF logical screen {sw}x{sh}")
+    off = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = p[off : off + n]
+        if len(gct) < n:
+            raise ValueError("truncated global color table")
+        off += n
+    while True:
+        if off >= len(p):
+            raise ValueError("no image descriptor before end of payload")
+        tag = p[off]
+        off += 1
+        if tag == 0x2C:  # image descriptor
+            break
+        if tag == 0x21:  # extension: label byte + sub-block chain
+            off += 1
+            while True:
+                if off >= len(p):
+                    raise ValueError("truncated extension block")
+                n = p[off]
+                off += 1 + n
+                if n == 0:
+                    break
+            continue
+        if tag == 0x3B:
+            raise ValueError("GIF trailer before any image frame")
+        raise ValueError(f"unknown GIF block tag 0x{tag:02x}")
+    if off + 9 > len(p):
+        raise ValueError("truncated image descriptor")
+    _lf, _tp, w, h, ipacked = _struct.unpack_from("<HHHHB", p, off)
+    off += 9
+    if w < 1 or h < 1 or w > sw or h > sh:
+        raise ValueError(f"bad GIF frame geometry {w}x{h} in {sw}x{sh}")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF not supported without a codec")
+    if ipacked & 0x80:  # local color table overrides the global one
+        n = 3 * (2 << (ipacked & 0x07))
+        gct = p[off : off + n]
+        if len(gct) < n:
+            raise ValueError("truncated local color table")
+        off += n
+    if not gct:
+        raise ValueError("GIF frame has no color table")
+    if off >= len(p):
+        raise ValueError("missing LZW min code size")
+    mcs = p[off]
+    off += 1
+    data = bytearray()
+    while True:  # unwrap the length-prefixed sub-block chain
+        if off >= len(p):
+            raise ValueError("truncated GIF data sub-blocks")
+        n = p[off]
+        off += 1
+        if n == 0:
+            break
+        seg = p[off : off + n]
+        if len(seg) < n:
+            raise ValueError("truncated GIF data sub-block")
+        data += seg
+        off += n
+    idx = _lzw_decode(mcs, bytes(data), w * h)
+    ncolors = len(gct) // 3
+    samples: list[int] = []
+    for i in idx:
+        if i >= ncolors:
+            raise ValueError(f"pixel index {i} outside {ncolors}-color table")
+        samples.extend(gct[3 * i : 3 * i + 3])
+    return w, h, 3, samples
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -479,11 +623,11 @@ PIXEL_STATS_SCHEMA = T.StructType(
 # library — these report status='needs_codec', NOT a silent NULL-stats
 # row, so a corpus of valid JPEGs is distinguishable from 100% corrupt
 # media (round-11 advice fix). PNG is NOT here: IDAT is zlib + stdlib
-# filters, decoded for real by decode_png (round 11).
+# filters, decoded for real by decode_png (round 11). GIF is not
+# either: its only compression is LZW, decoded for real by decode_gif
+# (round 11 — the pure-Python codec-one-further step after zlib-PNG).
 _NEEDS_CODEC_MAGICS: tuple[tuple[bytes, int], ...] = (
     (b"\xff\xd8\xff", 0),
-    (b"GIF87a", 0),
-    (b"GIF89a", 0),
     (b"WEBP", 8),  # RIFF....WEBP
 )
 
@@ -503,18 +647,19 @@ def image_pixel_stats(
     """payload -> per-image channel means over REAL decoded pixels
     (width, height, mean_r/g/b) — the image analog of chunk_audio's
     real path: Arrow-batched mapInPandas over the stdlib decoders
-    (`decode_bmp`, `decode_ppm`), no codec library. Grayscale (PGM)
-    reports its single channel as all three means. Strictly 1-in/1-out
-    row-aligned (the decode_images passthrough precedent — never
-    re-keyed on a possibly-duplicate id); NULL, undecodable, or
-    truncated payloads yield a NULL-stats row, so corrupt media is
-    visible data, not a job failure. The `status` column says WHY the
-    stats are NULL: 'ok' (decoded), 'needs_codec' (a recognized format
-    — PNG/JPEG/GIF/WebP — that stdlib cannot decode; see
-    decode_images' Pillow stub), 'corrupt' (a BMP/PPM magic whose
-    header or raster fails to parse), 'unknown_format' (unrecognized
-    magic), 'null_payload'. Without it a corpus of valid JPEGs would
-    be indistinguishable from 100% corrupt media."""
+    (`decode_bmp`, `decode_ppm`, `decode_png`, `decode_gif`), no codec
+    library. Grayscale (PGM) reports its single channel as all three
+    means. Strictly 1-in/1-out row-aligned (the decode_images
+    passthrough precedent — never re-keyed on a possibly-duplicate
+    id); NULL, undecodable, or truncated payloads yield a NULL-stats
+    row, so corrupt media is visible data, not a job failure. The
+    `status` column says WHY the stats are NULL: 'ok' (decoded),
+    'needs_codec' (a recognized format — JPEG/WebP — that genuinely
+    needs a codec library; see decode_images' Pillow stub), 'corrupt'
+    (a known magic whose header or raster fails to parse),
+    'unknown_format' (unrecognized magic), 'null_payload'. Without it
+    a corpus of valid JPEGs would be indistinguishable from 100%
+    corrupt media."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -535,6 +680,9 @@ def image_pixel_stats(
                             row = (mid, w, h, *_channel_means(s, w * h, nch), "ok")
                         elif b[:8] == b"\x89PNG\r\n\x1a\n":
                             w, h, nch, s = decode_png(b)
+                            row = (mid, w, h, *_channel_means(s, w * h, nch), "ok")
+                        elif b[:6] in (b"GIF87a", b"GIF89a"):
+                            w, h, nch, s = decode_gif(b)
                             row = (mid, w, h, *_channel_means(s, w * h, nch), "ok")
                         elif any(
                             b[o : o + len(m)] == m
@@ -597,10 +745,10 @@ def decode_images(
     def _real_dims(p: bytes) -> tuple[int | None, int | None, int | None]:
         # round-10/11 real path, following the WAV precedent: the
         # formats stdlib can genuinely decode (BMP, PPM/PGM; PNG via
-        # zlib since round 11) decode for real; anything else still
-        # needs Pillow. Malformed payloads yield NULL dims (the row
-        # survives, the failure is visible) — they are DATA, not bugs,
-        # at crawl scale.
+        # zlib and GIF via pure-Python LZW since round 11) decode for
+        # real; anything else still needs Pillow. Malformed payloads
+        # yield NULL dims (the row survives, the failure is visible)
+        # — they are DATA, not bugs, at crawl scale.
         try:
             if p[:2] == b"BM":
                 w, h, c, _ = decode_bmp(p)
@@ -610,6 +758,9 @@ def decode_images(
                 return w, h, c
             if p[:8] == b"\x89PNG\r\n\x1a\n":
                 w, h, c, _ = decode_png(p)
+                return w, h, c
+            if p[:6] in (b"GIF87a", b"GIF89a"):
+                w, h, c, _ = decode_gif(p)
                 return w, h, c
         except ValueError:
             return None, None, None

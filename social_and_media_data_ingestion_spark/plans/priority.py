@@ -26,10 +26,13 @@ from __future__ import annotations
 PRIORITY_HEAD = [
     # ================= round-11 head =================
     # Composition, in rotation-policy order:
-    #   1. the round's one growth query (never sampled): the REAL
+    #   1. the round's two growth queries (never sampled): the REAL
     #      stdlib-zlib PNG pixel decode, proved at scale by natively
     #      synthesized stored-deflate-block PNGs with a 3-way filter-
-    #      encoding rotation against a closed-form raster oracle;
+    #      encoding rotation against a closed-form raster oracle; and
+    #      the REAL pure-Python-LZW GIF pixel decode, proved by
+    #      natively synthesized fixed-width GIF code streams plus two
+    #      fixed frames forcing the dictionary-hit and KwKwK paths;
     #   2. every query whose closure changed in r11 — the image
     #      sniff/stats advice fixes (JPEG fill-byte skip + uniform
     #      both-fields dims gate ride the dim-sniff closure; the
@@ -41,10 +44,11 @@ PRIORITY_HEAD = [
     #      pinned retention user-week frame, the zero-shuffle in-row
     #      repetition signals);
     #   3. fill to 50 with the oldest-evidence fresh rows (the 22
-    #      remaining r4 rows + the first 14 r5 rows, ledger order —
+    #      remaining r4 rows + the first 13 r5 rows, ledger order —
     #      two r5 slots ceded to the late cohort-ltv / stickiness
-    #      scan-sharing closures).
+    #      scan-sharing closures, one more to the GIF growth query).
     "multimodal_png_pixel_stats",
+    "multimodal_gif_pixel_stats",
     # -- changed in r11
     "multimodal_image_dim_sniff",
     "multimodal_image_pixel_stats",
@@ -98,7 +102,6 @@ PRIORITY_HEAD = [
     "events_time_bucket_rollup",
     "supplier_concentration_hhi",
     "text_type_token_ratio",
-    "stream_stateful_running_totals",
 ]
 
 

@@ -3873,6 +3873,136 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Multimodal — REAL GIF pixel decode (r11): GIF's only compression is
+# LZW, and LZW is ~40 lines of pure Python, so decode_gif is the
+# codec-one-further step after zlib-PNG — container struct-parse,
+# sub-block unwrap, variable-width LSB-first code stream, palette
+# lookup. Payloads are spec-shaped GIF89a files synthesized NATIVELY
+# in Spark SQL: with min-code-size 7 the code width is 8 bits, so a
+# clear-then-literals stream is exact bytes a SQL expression can emit
+# (code i = byte i), while decode_gif runs the very same LZW loop it
+# runs on real files. The global color table maps index i ->
+# (i, i+1, i+2), and the main class emits pixel index i at position i,
+# so the channel means have the closed form (w*h-1)/2 + channel. Two
+# fixed-geometry classes force the LZW paths the literal stream never
+# takes: doc_id%7==5 is a 6x1 frame whose stream replays dictionary
+# code 130 twice (a plain dict hit, split across TWO sub-blocks so
+# reassembly is load-bearing); doc_id%7==1 is a 3x1 frame whose stream
+# emits code 130 BEFORE the decoder defines it (the KwKwK case).
+# doc_id%7==3 rows carry a JPEG magic (status='needs_codec'),
+# doc_id%5==0 rows declare a 10-byte sub-block and ship none
+# (status='corrupt'), NULL ids a NULL payload.
+# =============================================================================
+@q(
+    "multimodal_gif_pixel_stats",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             doc_id % 4 + 1 AS w,
+             doc_id % 3 + 1 AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id IS NULL THEN 'null_payload'
+                  WHEN doc_id % 7 = 3 THEN 'needs_codec'
+                  WHEN doc_id % 5 = 0 THEN 'corrupt'
+                  ELSE 'ok' END AS status,
+             CASE WHEN doc_id % 7 = 5 THEN 6
+                  WHEN doc_id % 7 = 1 THEN 3
+                  ELSE w END AS w2,
+             CASE WHEN doc_id % 7 IN (5, 1) THEN 1 ELSE h END AS h2,
+             CASE WHEN doc_id % 7 = 5 THEN 1.5::DOUBLE
+                  WHEN doc_id % 7 = 1 THEN 3.0::DOUBLE
+                  ELSE (w * h - 1) / 2.0 END AS mr
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           (CASE WHEN status = 'ok' THEN w2 END)::INTEGER AS width,
+           (CASE WHEN status = 'ok' THEN h2 END)::INTEGER AS height,
+           CASE WHEN status = 'ok' THEN mr END AS mean_r,
+           CASE WHEN status = 'ok' THEN mr + 1 END AS mean_g,
+           CASE WHEN status = 'ok' THEN mr + 2 END AS mean_b,
+           status
+    FROM c
+    """,
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators import multimodal as MM
+
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (did % 4 + 1).cast("int")
+    h = (did % 3 + 1).cast("int")
+    wh = (w * h).cast("int")
+
+    def le16(col):
+        hx = F.lpad(F.hex(col), 4, "0")
+        return F.unhex(F.concat(hx.substr(3, 2), hx.substr(1, 2)))
+
+    def u8(col):
+        return F.unhex(F.lpad(F.hex(col), 2, "0"))
+
+    # 128-entry global color table: index i -> (i, i+1, i+2)
+    gct = bytes(v for i in range(128) for v in (i, i + 1, i + 2))
+    # logical screen: GCT flag set, size field 6 (128 entries)
+    hdr = F.concat(
+        F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\xf6\x00\x00" + gct)
+    )
+    # image descriptor at (0,0), no LCT, no interlace; then mcs=7
+    desc = F.concat(
+        F.lit(b"\x2c\x00\x00\x00\x00"), le16(w), le16(h), F.lit(b"\x00\x07")
+    )
+    pool = F.lit(bytes(range(64)))
+    # ONE sub-block: clear(0x80) + literal codes 0..wh-1 + end(0x81),
+    # each one byte because the code width stays 8 bits (the table
+    # never reaches 256 entries for wh <= 12)
+    gif_main = F.concat(
+        hdr,
+        desc,
+        u8(wh + 2),
+        F.lit(b"\x80"),
+        pool.substr(F.lit(1), wh),
+        F.lit(b"\x81"),
+        F.lit(b"\x00\x3b"),
+    )
+    # declares a 10-byte sub-block and ships none -> 'corrupt'
+    gif_trunc = F.concat(hdr, desc, F.lit(b"\x0a"))
+
+    def const_gif(cw: int, ch: int, stream: bytes, split: list[int]) -> bytes:
+        p = bytearray(b"GIF89a")
+        p += struct.pack("<HHBBB", cw, ch, 0xF6, 0, 0)
+        p += gct
+        p += b"\x2c" + struct.pack("<HHHHB", 0, 0, cw, ch, 0)
+        p += b"\x07"
+        i = 0
+        for n in split:
+            p += bytes([n]) + stream[i : i + n]
+            i += n
+        p += b"\x00\x3b"
+        return bytes(p)
+
+    # pixels 1,2,1,2,1,2 -> codes [clear,1,2,130,130,end]: code 130 is
+    # a PLAIN dictionary hit replayed twice; stream split 4+2 so the
+    # sub-block reassembly is load-bearing for the hash match
+    gif_dict = F.lit(const_gif(6, 1, bytes([0x80, 1, 2, 0x82, 0x82, 0x81]), [4, 2]))
+    # pixels 3,3,3 -> codes [clear,3,130,end]: 130 arrives one step
+    # BEFORE the decoder defines it (the KwKwK case)
+    gif_kwkwk = F.lit(const_gif(3, 1, bytes([0x80, 3, 0x82, 0x81]), [4]))
+    jpeg = F.lit(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00")
+    payload = (
+        F.when(did % 7 == 3, jpeg)
+        .when(did % 5 == 0, gif_trunc)
+        .when(did % 7 == 5, gif_dict)
+        .when(did % 7 == 1, gif_kwkwk)
+        .otherwise(gif_main)
+    )
+    media = docs.select(did.alias("media_id"), payload.alias("payload"))
+    return MM.image_pixel_stats(media)
+
+
+# =============================================================================
 # Embedding ingestion gate — non-finite components (r10): the vector
 # analog of events_nonfinite_audit, closing the finite-inputs contract
 # for the 25-query vector family. The r10 probe (NaN/Inf components

@@ -887,3 +887,343 @@ def test_sniff_image_dims_webp_variants(spark):
         r.media_id: r.detected_mime for r in MM.sniff_format(df).collect()
     }
     assert mimes[1] == "image/webp" and mimes[5] == "audio/x-wav"
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 11): decode_gif = container struct-parse + pure-Python LZW.
+# The tests carry their OWN LZW encoder — the repo ships only the decoder,
+# so a round-trip here is evidence against an independent implementation,
+# including variable code-width growth the registry query's synthesized
+# streams never reach (their tables stay under 256 entries).
+# ---------------------------------------------------------------------------
+
+
+def _lzw_codes(mcs, pixels):
+    """Classic LZW encode to a code list: [clear, data..., end]."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    codes = [clear]
+    cur = b""
+    for px in pixels:
+        cand = cur + bytes([px])
+        if cand in table:
+            cur = cand
+        else:
+            codes.append(table[cur])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+            cur = bytes([px])
+    if cur:
+        codes.append(table[cur])
+    codes.append(end)
+    return codes
+
+
+def _lzw_pack(codes, mcs):
+    """LSB-first variable-width bit packing; the width schedule is
+    derived by SIMULATING the decoder's table growth, so it is correct
+    by construction (no encoder-side off-by-one can slip in)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    bitbuf = bits = 0
+    table_len, width, first = clear + 2, mcs + 1, True
+    for code in codes:
+        bitbuf |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bits -= 8
+        if code == clear:
+            table_len, width, first = clear + 2, mcs + 1, True
+        elif code != end:
+            if first:
+                first = False
+            elif table_len < 4096:
+                table_len += 1
+                if table_len == (1 << width) and width < 12:
+                    width += 1
+    if bits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _gif_full(w, h, pixels, palette, mcs, sub_size=255, extensions=b"",
+              interlace=False, animated_second_frame=False):
+    """A spec-shaped GIF89a from pixel indices + an RGB palette list
+    (padded to the next power-of-two size the header can declare)."""
+    import struct
+
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length()) - 1
+    while (2 << size_field) < n:
+        size_field += 1
+    gct = bytearray()
+    for rgb in palette:
+        gct += bytes(rgb)
+    gct += bytes(3 * ((2 << size_field) - n))
+    p = bytearray(b"GIF89a")
+    p += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | size_field, 0, 0)
+    p += gct
+    p += extensions
+    p += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    p += bytes([mcs])
+    data = _lzw_pack(_lzw_codes(mcs, pixels), mcs)
+    for i in range(0, len(data), sub_size):
+        seg = data[i : i + sub_size]
+        p += bytes([len(seg)]) + seg
+    p += b"\x00"
+    if animated_second_frame:
+        p += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        p += bytes([mcs])
+        d2 = _lzw_pack(_lzw_codes(mcs, [0]), mcs)
+        p += bytes([len(d2)]) + d2 + b"\x00"
+    p += b"\x3b"
+    return bytes(p)
+
+
+def test_decode_gif_lzw_roundtrip_property():
+    """Property (hypothesis): encode random pixel grids with the
+    test-side LZW encoder at every min-code-size 2-7 and decode with
+    decode_gif — pixels and palette-mapped samples must match exactly.
+    Large grids at mcs=2 push the table past 256/512 entries, so the
+    variable code-width growth path (8->9 bits and beyond) is
+    exercised, which the registry query's fixed-width streams never
+    reach."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=12),
+        mcs=st.integers(min_value=2, max_value=7),
+        data=st.data(),
+    )
+    def prop(w, h, mcs, data):
+        ncolors = 1 << mcs
+        pixels = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=ncolors - 1),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+        palette = [(3 * i % 256, (3 * i + 1) % 256, (3 * i + 2) % 256)
+                   for i in range(ncolors)]
+        sub = data.draw(st.sampled_from([1, 7, 255]))
+        gif = _gif_full(w, h, pixels, palette, mcs, sub_size=sub)
+        gw, gh, nch, samples = MM.decode_gif(gif)
+        assert (gw, gh, nch) == (w, h, 3)
+        expect = [c for px in pixels for c in palette[px]]
+        assert samples == expect
+
+    prop()
+
+
+def test_decode_gif_width_growth_and_midstream_clear():
+    """Deterministic checks of the two LZW paths hostile to off-by-ones:
+    (a) a 64x48 grid at mcs=2 drives the code width from 3 bits up
+    through 9+ as the table passes 256/512 entries; (b) a mid-stream
+    CLEAR code resets the table and width, and decoding continues."""
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    # (a) width growth: a de Bruijn-ish repeating texture compresses
+    w, h = 64, 48
+    pixels = [(i * 7 + (i * i) // 3) % 4 for i in range(w * h)]
+    palette = [(i, i + 1, i + 2) for i in range(4)]
+    gif = _gif_full(w, h, pixels, palette, mcs=2)
+    gw, gh, _, samples = MM.decode_gif(gif)
+    assert (gw, gh) == (w, h)
+    assert samples == [c for px in pixels for c in palette[px]]
+
+    # (b) mid-stream clear: encode two halves separately, join with the
+    # second half's leading clear code intact
+    half1, half2 = pixels[: w * h // 2], pixels[w * h // 2 :]
+    codes = _lzw_codes(2, half1)[:-1] + _lzw_codes(2, half2)
+    data = _lzw_pack(codes, 2)
+    base = _gif_full(w, h, pixels, palette, mcs=2)
+    # splice: rebuild the payload with the custom code stream
+    import struct
+
+    hdr_len = 13 + 3 * 4  # header + 4-entry GCT (size field 1 -> 4)
+    p = bytearray(base[: hdr_len + 11])  # ...image descriptor + mcs byte
+    for i in range(0, len(data), 255):
+        seg = data[i : i + 255]
+        p += bytes([len(seg)]) + seg
+    p += b"\x00\x3b"
+    gw, gh, _, samples = MM.decode_gif(bytes(p))
+    assert (gw, gh) == (w, h)
+    assert samples == [c for px in pixels for c in palette[px]]
+
+
+def test_decode_gif_container_features():
+    """Container handling: extension blocks are skipped (animated GIFs
+    yield the FIRST frame), a local color table overrides the global
+    one, GIF87a parses, and 1-byte sub-blocks reassemble."""
+    import struct
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    palette = [(9, 8, 7), (1, 2, 3)]
+    pixels = [0, 1, 1, 0]
+    gce = b"\x21\xf9\x04\x04\x0a\x00\x00\x00"
+    comment = b"\x21\xfe\x03abc\x00"
+    gif = _gif_full(2, 2, pixels, palette, mcs=2,
+                    extensions=gce + comment, animated_second_frame=True)
+    w, h, nch, samples = MM.decode_gif(gif)
+    assert (w, h, nch) == (2, 2, 3)
+    assert samples == [9, 8, 7, 1, 2, 3, 1, 2, 3, 9, 8, 7]
+
+    # GIF87a magic parses identically
+    gif87 = b"GIF87a" + gif[6:]
+    assert MM.decode_gif(gif87)[3] == samples
+
+    # local color table wins over the global one
+    base = _gif_full(2, 2, pixels, palette, mcs=2)
+    hdr_len = 13 + 3 * 2  # 2-entry palette pads to a 2-entry GCT
+    lct = bytes((40, 41, 42)) + bytes((50, 51, 52)) + bytes(6)
+    p = (
+        base[:hdr_len]
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x80 | 0x01)
+        + lct
+        + base[hdr_len + 10 :]
+    )
+    w, h, _, samples = MM.decode_gif(bytes(p))
+    assert samples == [40, 41, 42, 50, 51, 52, 50, 51, 52, 40, 41, 42]
+
+    # 1-byte sub-blocks reassemble into the same stream
+    tiny = _gif_full(2, 2, pixels, palette, mcs=2, sub_size=1)
+    assert MM.decode_gif(tiny)[3] == [9, 8, 7, 1, 2, 3, 1, 2, 3, 9, 8, 7]
+
+
+def test_decode_gif_hostile_payloads():
+    """Hostile GIFs raise ValueError (never crash, never garbage):
+    truncated everywhere a length is declared, interlace flag, pixel
+    index outside the palette, trailer before any frame, unknown block
+    tag, bomb geometry, and an LZW code outside the table."""
+    import struct
+
+    import pytest
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    good = _gif_full(3, 2, [0, 1, 0, 1, 0, 1], palette, mcs=2)
+    hdr_len = 13 + 3 * 2  # 2-entry palette pads to a 2-entry GCT
+
+    cases = [
+        b"GIF89a\x03\x00",  # short header
+        good[:hdr_len],  # no blocks at all
+        good[:hdr_len] + b"\x3b",  # trailer before any frame
+        good[:hdr_len] + b"\xaa" + good[hdr_len + 1 :],  # unknown tag
+        good[: hdr_len + 5],  # truncated image descriptor
+        good[:-3],  # sub-block chain never terminated
+        _gif_full(3, 2, [0, 1, 0, 1, 0, 1], palette, mcs=2,
+                  interlace=True),
+        # frame larger than the logical screen
+        good[:hdr_len] + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, 9, 9, 0) + good[hdr_len + 10 :],
+        # bomb geometry in the logical screen descriptor
+        b"GIF89a" + struct.pack("<HHBBB", 0xFFFF, 0xFFFF, 0, 0, 0) + b"\x2c",
+        # declared 10-byte sub-block, ships none
+        good[: hdr_len + 10] + b"\x0a",
+    ]
+    for p in cases:
+        with pytest.raises(ValueError):
+            MM.decode_gif(bytes(p))
+
+    # pixel index outside a 2-entry palette: hand-build with index 3
+    codes = _lzw_codes(2, [3, 3])
+    data = _lzw_pack(codes, 2)
+    p = bytearray(b"GIF89a")
+    p += struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)  # size field 0 -> 2 entries
+    p += bytes((0, 0, 0, 1, 1, 1))
+    p += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+    p += b"\x02" + bytes([len(data)]) + data + b"\x00\x3b"
+    with pytest.raises(ValueError):
+        MM.decode_gif(bytes(p))
+
+    # an LZW code beyond the table (code 200 at mcs=2 width 3 is
+    # impossible; craft width-3 stream with code 6 right after clear)
+    stream = _lzw_pack([4, 6, 5], 2)  # 6 = clear+2, undefined, prev=None
+    p = bytearray(good[: hdr_len + 11]) + bytes([len(stream)]) + stream
+    p += b"\x00\x3b"
+    with pytest.raises(ValueError):
+        MM.decode_gif(bytes(p))
+
+
+def test_decode_gif_fuzz_never_crashes():
+    """Property (hypothesis): decode_gif on arbitrary mutations of a
+    valid GIF — flipped bytes, truncations, appended garbage — either
+    returns a well-formed tuple or raises ValueError, never any other
+    exception (the corrupt-media-is-data contract of the stats UDF)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    palette = [(i, 2 * i, 3 * i) for i in range(8)]
+    base = _gif_full(5, 4, [i % 8 for i in range(20)], palette, mcs=3)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(base) - 1),
+        val=st.integers(min_value=0, max_value=255),
+        cut=st.integers(min_value=6, max_value=len(base)),
+        tail=st.binary(max_size=16),
+    )
+    def prop(pos, val, cut, tail):
+        p = bytearray(base)
+        p[pos] = val
+        p = bytes(p[:cut]) + tail
+        try:
+            w, h, nch, s = MM.decode_gif(p)
+            assert w >= 1 and h >= 1 and len(s) == w * h * nch
+        except ValueError:
+            pass
+
+    prop()
+
+
+def test_gif_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
+    """multimodal_gif_pixel_stats vs its closed-form oracle on NULL and
+    10-digit doc_ids, plus ids hitting every class and precedence
+    branch: 0/5/15 (corrupt, incl. %7-class collisions), 3/17
+    (needs_codec), 12 (dict-hit class), 1/8 (KwKwK class), 2/4/6/11
+    (main arithmetic class)."""
+    import duckdb
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        multimodal_gif_pixel_stats,
+    )
+
+    ids = (0, 1, 2, 3, 4, 5, 6, 8, 11, 12, 15, 17, 9999999999)
+    rows = [(i, "s", "x") for i in ids]
+    rows.append((None, "s", "x"))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        multimodal_gif_pixel_stats(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("media_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(registry()["multimodal_gif_pixel_stats"].oracle)
+        .fetchdf()
+        .sort_values("media_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(want.astype(str))
