@@ -320,6 +320,16 @@ def main() -> None:
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in HEADLINE:
+        # Untimed priming run: the global warm-up above decays before
+        # the timed loop reaches late positions (measured r11: Python
+        # workers idle-reaped during a 58-query JVM-only stretch made
+        # the first mapInPandas headliner's first timed run pay ~1-1.5 s
+        # of worker respawn EVERY run, a deterministic spread>1 rescue
+        # that read as "machine not quiet"). One priming execution per
+        # query restores the steady state the measured pass promises;
+        # real ambient contention still shows across the 3 timed runs,
+        # so the rescue/zero-rerun quiet attestation keeps its meaning.
+        reg[name].spark(spark, sf_dir).count()
         # 3 measured runs, ALL recorded; headline value is the best
         # (steady-state throughput, robust to one-off scheduler/GC
         # hiccups on a shared machine) but the full spread stays in the
