@@ -96,6 +96,8 @@ MAGIC_MIMES = [
     ("89504E47", "image/png"),  # \x89 P N G
     ("474946383761", "image/gif"),  # GIF87a
     ("474946383961", "image/gif"),  # GIF89a
+    ("49492A00", "image/tiff"),  # II little-endian TIFF (r11)
+    ("4D4D002A", "image/tiff"),  # MM big-endian TIFF (r11)
 ]
 _RIFF_HEX, _WAVE_HEX, _WAV_MIME = "52494646", "57415645", "audio/x-wav"
 UNKNOWN_MIME = "application/octet-stream"
@@ -158,6 +160,15 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
       poisons the offset on a malformed/truncated chain. 24 hops cover
       any sane header (EXIF+ICC+DQT+DHT stacks run ~10); a deeper
       chain degrades to NULL dims, never a wrong read.
+    - TIFF (r11): dims live in IFD0 entries (tag 256 ImageWidth /
+      257 ImageLength) at a position the header only points to, in
+      EITHER byte order (II little / MM big) — a bounded fold over the
+      first 16 IFD entries reads tag/type/count per 12-byte entry and
+      takes inline SHORT(3)/LONG(4) values with count 1 (a count > 1
+      means the value field is an offset, which a header-only sniff
+      must not chase). Tags are spec-ordered ascending, so 256/257
+      land in the first few entries of any sane file; deeper or
+      indirect layouts degrade to NULL dims, never a wrong read.
 
     Unknown signatures, truncated headers, and NULL payloads all yield
     NULL dims with NULL `dim_format` — the row survives, the failure is
@@ -239,6 +250,43 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
       ELSE named_struct('w', cast(null as int), 'h', cast(null as int))
     END"""
 
+    # TIFF (r11): IFD0 walk in both byte orders. Readers take a 1-based
+    # POSITION EXPRESSION so the same helpers read at the dynamic
+    # offsets the header declares; truncated reads conv('') -> NULL and
+    # propagate to NULL dims through the fold's ELSE branch.
+    def _led(pos: str, n: int) -> str:  # little-endian uint at dynamic pos
+        terms = " + ".join(
+            f"conv(hex(substring({p}, ({pos}) + {i}, 1)), 16, 10) * {256 ** i}"
+            for i in range(n)
+        )
+        return f"try_cast({terms} as int)"
+
+    def _tiff_walk(u16, u32) -> str:
+        # entries start at ifd+3 (1-based: 4-byte magic, 4-byte IFD
+        # offset at 5, 2-byte entry count at ifd+1); 12 bytes each
+        ifd = u32("5")
+        base = f"(({ifd}) + 3 + i * 12)"
+        tag = u16(base)
+        typ = u16(f"{base} + 2")
+        cnt = u32(f"{base} + 4")
+        val = (
+            f"CASE WHEN ({cnt}) = 1 AND ({typ}) = 3 THEN {u16(f'{base} + 8')} "
+            f"WHEN ({cnt}) = 1 AND ({typ}) = 4 THEN {u32(f'{base} + 8')} "
+            f"ELSE cast(null as int) END"
+        )
+        return f"""aggregate(
+          sequence(0, 15),
+          named_struct('w', cast(null as int), 'h', cast(null as int)),
+          (s, i) -> CASE
+            WHEN i >= ({u16(f"({ifd}) + 1")}) THEN s
+            WHEN ({tag}) = 256 THEN named_struct('w', {val}, 'h', s.h)
+            WHEN ({tag}) = 257 THEN named_struct('w', s.w, 'h', {val})
+            ELSE s END,
+          s -> s)"""
+
+    tiff_ii = _tiff_walk(lambda pos: _led(pos, 2), lambda pos: _led(pos, 4))
+    tiff_mm = _tiff_walk(lambda pos: _be(pos, 2), lambda pos: _be(pos, 4))
+
     nulls = "named_struct('w', cast(null as int), 'h', cast(null as int))"
     dims = (
         f"CASE WHEN hex(substring({p}, 1, 8)) = '89504E470D0A1A0A' "
@@ -248,6 +296,8 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         f"THEN named_struct('w', {_le16(7)}, 'h', {_le16(9)}) "
         f"WHEN hex(substring({p}, 1, 4)) = '52494646' "
         f"AND hex(substring({p}, 9, 4)) = '57454250' THEN {webp} "
+        f"WHEN hex(substring({p}, 1, 4)) = '49492A00' THEN {tiff_ii} "
+        f"WHEN hex(substring({p}, 1, 4)) = '4D4D002A' THEN {tiff_mm} "
         # BMP dims are SIGNED: only height may legally be negative
         # (top-down storage, abs() below); a non-positive width or a
         # zero height is a malformed header -> NULL, never a negative
@@ -272,6 +322,10 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             (F.hex(F.substring(F.col(p), 1, 4)) == "52494646")
             & (F.hex(F.substring(F.col(p), 9, 4)) == "57454250"),
             "webp",
+        )
+        .when(
+            F.hex(F.substring(F.col(p), 1, 4)).isin("49492A00", "4D4D002A"),
+            "tiff",
         )
         .when(F.hex(F.substring(F.col(p), 1, 2)) == "424D", "bmp")
     )

@@ -44,9 +44,10 @@ PRIORITY_HEAD = [
     #      pinned retention user-week frame, the zero-shuffle in-row
     #      repetition signals);
     #   3. fill to 50 with the oldest-evidence fresh rows (the 22
-    #      remaining r4 rows + the first 13 r5 rows, ledger order —
+    #      remaining r4 rows + the first 12 r5 rows, ledger order —
     #      two r5 slots ceded to the late cohort-ltv / stickiness
-    #      scan-sharing closures, one more to the GIF growth query).
+    #      scan-sharing closures, one to the GIF growth query, one to
+    #      the TIFF-magic format-sniff re-proof).
     "multimodal_png_pixel_stats",
     "multimodal_gif_pixel_stats",
     # -- changed in r11
@@ -63,6 +64,10 @@ PRIORITY_HEAD = [
     "events_retention_matrix",
     "orders_cohort_ltv",
     "events_stickiness_weekly",
+    # late r11: the native TIFF IFD0 dim sniff rides the dim-sniff
+    # closure (already above); the TIFF magics in MAGIC_MIMES change
+    # the format-sniff closure, re-proved here
+    "multimodal_format_sniff",
     # (text_bm25_scores and text_rrf_fusion also changed in r11 — they
     # already sit in the r4 re-proof fill below)
     # -- oldest evidence (r4) re-proof
@@ -101,7 +106,6 @@ PRIORITY_HEAD = [
     "window_time_range_moving_avg",
     "events_time_bucket_rollup",
     "supplier_concentration_hhi",
-    "text_type_token_ratio",
 ]
 
 

@@ -3528,6 +3528,7 @@ def events_stickiness_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CASE WHEN doc_id IS NULL OR doc_id % 7 IN (0, 3) THEN NULL
+                WHEN doc_id % 11 = 7 THEN 'tiff'
                 WHEN doc_id % 5 = 0 THEN 'png'
                 WHEN doc_id % 5 = 1 THEN 'jpeg'
                 WHEN doc_id % 5 = 2 THEN 'gif'
@@ -3621,9 +3622,42 @@ def multimodal_image_dim_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         le4(h_enc),
         F.lit(struct.pack("<HHIIiiII", 1, 24, 0, 16, 2835, 2835, 0, 0)),
     )
+    # TIFF class (r11): IFD0 at a did-dependent offset (junk pad between
+    # header and IFD, so the dynamic-offset read is load-bearing), four
+    # ascending-tag entries with width as SHORT or LONG by did%3, both
+    # byte orders by did%2 — the blind IFD walk must reproduce the
+    # construction arithmetic across every variant
+    pad13 = (did % 13).cast("bigint")
+    w_short = did % 3 == 0
+
+    def tiff_of(le: bool):
+        if le:
+            pk = lambda fmt, *v: struct.pack("<" + fmt, *v)  # noqa: E731
+            n2, n4 = le2, le4
+        else:
+            pk = lambda fmt, *v: struct.pack(">" + fmt, *v)  # noqa: E731
+            n2, n4 = (lambda c: be(c, 2)), (lambda c: be(c, 4))
+        magic = b"II*\x00" if le else b"MM\x00*"
+        entry_w = F.when(
+            w_short, F.concat(F.lit(pk("HHI", 256, 3, 1)), n2(w), F.lit(b"\x00\x00"))
+        ).otherwise(F.concat(F.lit(pk("HHI", 256, 4, 1)), n4(w)))
+        return F.concat(
+            F.lit(magic),
+            n4(pad13 + 8),
+            F.lit(bytes(16)).substr(F.lit(1), pad13.cast("int")),
+            F.lit(pk("H", 4)),
+            F.lit(pk("HHI", 254, 4, 1) + pk("I", 0)),
+            entry_w,
+            F.concat(F.lit(pk("HHI", 257, 4, 1)), n4(h)),
+            F.lit(pk("HHI", 259, 3, 1) + pk("H", 1) + b"\x00\x00"),
+            F.lit(pk("I", 0)),
+        )
+
+    tiff = F.when(did % 2 == 0, tiff_of(True)).otherwise(tiff_of(False))
     payload = (
         F.when(did % 7 == 0, F.lit(b"\x00\x01"))  # garbage magic
         .when(did % 7 == 3, F.lit(b"\xff\xd8\xff\xe0\x00"))  # truncated JPEG
+        .when(did % 11 == 7, tiff)
         .when(did % 5 == 0, png)
         .when(did % 5 == 1, jpeg)
         .when(did % 5 == 2, gif)

@@ -480,7 +480,13 @@ def test_dim_sniff_query_hostile_ids_vs_oracle(spark, tmp_path):
         multimodal_image_dim_sniff,
     )
 
-    rows = [(i, "s", "x") for i in (0, 1, 2, 3, 6, 7, 14, 21, 9999999999)]
+    # r11 TIFF class (%11==7): 18 = II byte order + SHORT width, 29 =
+    # MM + LONG, 40 = II + LONG; 7 also satisfies %11==7 but %7==0
+    # garbage takes precedence in BOTH engines (the precedence probe)
+    rows = [
+        (i, "s", "x")
+        for i in (0, 1, 2, 3, 6, 7, 14, 18, 21, 29, 40, 9999999999)
+    ]
     rows.append((None, "s", "x"))
     spark.createDataFrame(
         rows, "doc_id long, source string, text string"
@@ -748,6 +754,8 @@ def test_sniff_image_dims_never_errors_property(spark):
         b"P6",
         b"GIF89a",
         b"RIFF\x00\x00\x00\x00WEBP",
+        b"II*\x00",
+        b"MM\x00*",
     ]
     cases = []
 
@@ -1227,3 +1235,89 @@ def test_gif_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.astype(str).equals(want.astype(str))
+
+
+def _tiff_bytes(w, h, le=True, pad=0, w_short=False, extra_entries=True):
+    """A spec-shaped baseline-TIFF header: magic, IFD0 at a declared
+    offset (pad junk in between), ascending-tag entries with inline
+    SHORT/LONG values."""
+    import struct
+
+    e = "<" if le else ">"
+    p = bytearray(b"II*\x00" if le else b"MM\x00*")
+    p += struct.pack(e + "I", 8 + pad)
+    p += bytes(pad)
+    entries = []
+    if extra_entries:
+        entries.append(
+            struct.pack(e + "HHI", 254, 4, 1) + struct.pack(e + "I", 0)
+        )
+    if w_short:
+        entries.append(
+            struct.pack(e + "HHI", 256, 3, 1)
+            + struct.pack(e + "H", w) + b"\x00\x00"
+        )
+    else:
+        entries.append(
+            struct.pack(e + "HHI", 256, 4, 1) + struct.pack(e + "I", w)
+        )
+    entries.append(struct.pack(e + "HHI", 257, 4, 1) + struct.pack(e + "I", h))
+    if extra_entries:
+        entries.append(
+            struct.pack(e + "HHI", 259, 3, 1)
+            + struct.pack(e + "H", 1) + b"\x00\x00"
+        )
+    p += struct.pack(e + "H", len(entries))
+    for en in entries:
+        p += en
+    p += struct.pack(e + "I", 0)
+    return bytes(p)
+
+
+def test_sniff_image_dims_tiff(spark):
+    """TIFF dims via the native IFD0 walk (r11): both byte orders,
+    SHORT and LONG width types, a did-independent junk pad before the
+    IFD (the dynamic-offset read is load-bearing), and hostile shapes
+    — truncated header, garbage IFD, zero width, and a count>1 width
+    entry whose value field is an OFFSET the sniff must refuse to
+    chase — all degrade to NULL dims, never a wrong read."""
+    import struct
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    offset_width = bytearray(_tiff_bytes(9, 9, le=True))
+    offset_width = bytearray(
+        bytes(offset_width).replace(
+            struct.pack("<HHI", 256, 4, 1), struct.pack("<HHI", 256, 4, 2)
+        )
+    )
+    rows = [
+        (1, bytearray(_tiff_bytes(640, 480, le=True))),
+        (2, bytearray(_tiff_bytes(123, 456, le=False))),
+        (3, bytearray(_tiff_bytes(77, 88, le=True, pad=9, w_short=True))),
+        (4, bytearray(_tiff_bytes(65535, 1, le=False, w_short=True))),
+        (5, bytearray(b"II*\x00\x08\x00\x00")),  # truncated before IFD
+        (6, bytearray(_tiff_bytes(0, 10, le=True))),  # zero width
+        (7, bytearray(b"MM\x00*" + b"\xff" * 40)),  # garbage IFD
+        (8, offset_width),  # count>1: value field is an offset
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.dim_format, r.width, r.height)
+        for r in MM.sniff_image_dims(df).collect()
+    }
+    assert got[1] == ("tiff", 640, 480)
+    assert got[2] == ("tiff", 123, 456)
+    assert got[3] == ("tiff", 77, 88)
+    assert got[4] == ("tiff", 65535, 1)
+    for k in (5, 6, 7, 8):
+        assert got[k] == (None, None, None)
+    # the mime sniff knows both TIFF byte orders (r11) and stays
+    # magic-level: the garbage-IFD payload still reads image/tiff here
+    # (the sniff is a prefix probe), while the dims above are NULL
+    mimes = {
+        r.media_id: r.detected_mime for r in MM.sniff_format(df).collect()
+    }
+    assert mimes[1] == "image/tiff" and mimes[2] == "image/tiff"
+    assert mimes[7] == "image/tiff"
+    assert mimes[5] == "image/tiff"  # truncated but magic-valid prefix
