@@ -261,31 +261,59 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         )
         return f"try_cast({terms} as int)"
 
-    def _tiff_walk(u16, u32) -> str:
+    def _tiff_walk(u16, u32, le: bool) -> str:
         # entries start at ifd+3 (1-based: 4-byte magic, 4-byte IFD
-        # offset at 5, 2-byte entry count at ifd+1); 12 bytes each
-        ifd = u32("5")
-        base = f"(({ifd}) + 3 + i * 12)"
-        tag = u16(base)
-        typ = u16(f"{base} + 2")
-        cnt = u32(f"{base} + 4")
+        # offset at 5, 2-byte entry count at ifd+1); 12 bytes each.
+        # Per-entry cost is the scaling story here: a first cut that
+        # re-read tag/type/count/value as separate binary substrings
+        # inside the fold ran TIFF rows ~50x slower than PNG rows
+        # (measured r11, 5M-row A/B). This shape reads each entry's
+        # 12 bytes ONCE as a hex string (positions generated directly
+        # by sequence(start, stop, 12), bounded by the real entry
+        # count) and slices tag/type/count/value out of the 24 hex
+        # chars with cheap string ops.
+        def hx16(b: int) -> str:  # uint16 at byte offset b of the entry
+            if le:
+                return (
+                    f"conv(concat(substr(e, {2 * b + 3}, 2), "
+                    f"substr(e, {2 * b + 1}, 2)), 16, 10)"
+                )
+            return f"conv(substr(e, {2 * b + 1}, 4), 16, 10)"
+
+        def hx32(b: int) -> str:  # uint32 at byte offset b of the entry
+            if le:
+                return (
+                    f"conv(concat(substr(e, {2 * b + 7}, 2), "
+                    f"substr(e, {2 * b + 5}, 2), substr(e, {2 * b + 3}, 2), "
+                    f"substr(e, {2 * b + 1}, 2)), 16, 10)"
+                )
+            return f"conv(substr(e, {2 * b + 1}, 8), 16, 10)"
+
         val = (
-            f"CASE WHEN ({cnt}) = 1 AND ({typ}) = 3 THEN {u16(f'{base} + 8')} "
-            f"WHEN ({cnt}) = 1 AND ({typ}) = 4 THEN {u32(f'{base} + 8')} "
-            f"ELSE cast(null as int) END"
+            f"try_cast(CASE WHEN {hx32(4)} = 1 AND {hx16(2)} = 3 "
+            f"THEN {hx16(8)} WHEN {hx32(4)} = 1 AND {hx16(2)} = 4 "
+            f"THEN {hx32(8)} END as int)"
         )
+        ifd0 = u32("5")
+        n0 = u16(f"({ifd0}) + 1")
+        first = f"(({ifd0}) + 3)"
         return f"""aggregate(
-          sequence(0, 15),
+          CASE WHEN ({n0}) >= 1 THEN transform(
+            sequence({first}, {first} + 12 * (least(16, {n0}) - 1), 12),
+            pos -> hex(substring({p}, pos, 12))) END,
           named_struct('w', cast(null as int), 'h', cast(null as int)),
-          (s, i) -> CASE
-            WHEN i >= ({u16(f"({ifd}) + 1")}) THEN s
-            WHEN ({tag}) = 256 THEN named_struct('w', {val}, 'h', s.h)
-            WHEN ({tag}) = 257 THEN named_struct('w', s.w, 'h', {val})
+          (s, e) -> CASE
+            WHEN {hx16(0)} = 256 THEN named_struct('w', {val}, 'h', s.h)
+            WHEN {hx16(0)} = 257 THEN named_struct('w', s.w, 'h', {val})
             ELSE s END,
           s -> s)"""
 
-    tiff_ii = _tiff_walk(lambda pos: _led(pos, 2), lambda pos: _led(pos, 4))
-    tiff_mm = _tiff_walk(lambda pos: _be(pos, 2), lambda pos: _be(pos, 4))
+    tiff_ii = _tiff_walk(
+        lambda pos: _led(pos, 2), lambda pos: _led(pos, 4), le=True
+    )
+    tiff_mm = _tiff_walk(
+        lambda pos: _be(pos, 2), lambda pos: _be(pos, 4), le=False
+    )
 
     nulls = "named_struct('w', cast(null as int), 'h', cast(null as int))"
     dims = (
