@@ -44,10 +44,11 @@ PRIORITY_HEAD = [
     #      pinned retention user-week frame, the zero-shuffle in-row
     #      repetition signals);
     #   3. fill to 50 with the oldest-evidence fresh rows (the 22
-    #      remaining r4 rows + the first 12 r5 rows, ledger order —
+    #      remaining r4 rows + the first 11 r5 rows, ledger order —
     #      two r5 slots ceded to the late cohort-ltv / stickiness
     #      scan-sharing closures, one to the GIF growth query, one to
-    #      the TIFF-magic format-sniff re-proof).
+    #      the TIFF-magic format-sniff re-proof, one to the pre-epoch
+    #      floor fix on the datetime roundtrip).
     "multimodal_png_pixel_stats",
     "multimodal_gif_pixel_stats",
     # -- changed in r11
@@ -68,6 +69,10 @@ PRIORITY_HEAD = [
     # closure (already above); the TIFF magics in MAGIC_MIMES change
     # the format-sniff closure, re-proved here
     "multimodal_format_sniff",
+    # late r11: the temporal-extremes harness found unix_timestamp's
+    # toward-zero truncation mapping pre-epoch fractional seconds one
+    # second late; the floor-division fix changes this closure
+    "scalar_datetime_roundtrip",
     # (text_bm25_scores and text_rrf_fusion also changed in r11 — they
     # already sit in the r4 re-proof fill below)
     # -- oldest evidence (r4) re-proof
@@ -105,7 +110,6 @@ PRIORITY_HEAD = [
     "corpus_profile",
     "window_time_range_moving_avg",
     "events_time_bucket_rollup",
-    "supplier_concentration_hhi",
 ]
 
 

@@ -645,8 +645,19 @@ def union_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_datetime_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FLOOR-based epoch seconds, not unix_timestamp: Spark's
+    # unix_timestamp truncates toward zero, so a PRE-EPOCH timestamp
+    # with a fractional second maps one second late (and its roundtrip
+    # lands after the actual instant). Unix convention — and the
+    # oracle's floor(date_part('epoch', ts)) — is the floor, so the
+    # epoch is derived from exact integer micros with an explicit
+    # floor-division correction (found by the r11 temporal-extremes
+    # harness; div truncates and % follows the dividend in Spark SQL).
     ev = t(spark, sf_dir, "events")
-    epoch = F.unix_timestamp("ts")
+    epoch = F.expr(
+        "unix_micros(ts) div 1000000 "
+        "- CASE WHEN unix_micros(ts) % 1000000 < 0 THEN 1 ELSE 0 END"
+    )
     return ev.select(
         "event_id",
         epoch.alias("epoch_s"),
