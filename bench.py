@@ -182,8 +182,10 @@ def _preflight_quiet() -> float | None:
     drift (r7's driver artifact inflated untouched queries by a uniform
     ~1.23x). Waits up to ~3 min for the 1-minute load average to drop
     under the threshold; returns the offending load if the box never
-    quiets so the caller can REFUSE to emit an artifact instead of
-    emitting a poisoned one. Threshold overridable via
+    quiets so the caller can tag the artifact DEGRADED (r12: it used
+    to refuse outright, which left r11 with an error-only driver
+    artifact) instead of publishing weather as performance. Threshold
+    overridable via
     SPARK_GRAFT_BENCH_MAX_LOAD; gate skippable for ad-hoc exploration
     with SPARK_GRAFT_BENCH_SKIP_PREFLIGHT=1."""
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_PREFLIGHT") == "1":
@@ -210,6 +212,11 @@ def _preflight_quiet() -> float | None:
 
 
 _CANARY = "q6_forecast_revenue"
+
+# Settle pauses between canary attempts, escalating so the total
+# horizon (~20 min) is on the scale of the machine's documented
+# 30-60 min weather phases instead of an order of magnitude under it.
+_CANARY_SETTLES = (20, 40, 80, 160, 300, 300, 300)
 
 
 def _preflight_canary(spark, reg, sf_dir, anchor) -> tuple[bool, dict]:
@@ -249,7 +256,16 @@ def _preflight_canary(spark, reg, sf_dir, anchor) -> tuple[bool, dict]:
     except ValueError:
         max_ratio = 1.2
     ratio = None
-    for attempt in range(6):
+    # Escalating settle schedule (round-11 verdict item 2): the box's
+    # slow phases last 30-60 MINUTES, so r11's 6x20s horizon could not
+    # outwait one — the driver landed in a slow phase and aborted
+    # deterministically (BENCH_r11.json: ratios walked 1.48x->6.70x
+    # across six 20s settles). 8 attempts with settles escalating
+    # 20s->5min (~20 min total worst case) gives the gate a real chance
+    # of catching a phase boundary; if it still never quiets the caller
+    # now degrades instead of aborting (see main()).
+    settles = _CANARY_SETTLES
+    for attempt in range(len(settles) + 1):
         rs = []
         for _ in range(3):
             t0 = time.time()
@@ -259,12 +275,14 @@ def _preflight_canary(spark, reg, sf_dir, anchor) -> tuple[bool, dict]:
         info = {"canary": _CANARY, "canary_ratio": round(ratio, 3)}
         if ratio < max_ratio:
             return True, info
-        print(
-            f"# preflight canary: {_CANARY} best {min(rs):.3f}s = "
-            f"{ratio:.2f}x anchor (attempt {attempt + 1}/6), settling 20s",
-            file=sys.stderr,
-        )
-        time.sleep(20)
+        if attempt < len(settles):
+            print(
+                f"# preflight canary: {_CANARY} best {min(rs):.3f}s = "
+                f"{ratio:.2f}x anchor (attempt {attempt + 1}/"
+                f"{len(settles) + 1}), settling {settles[attempt]}s",
+                file=sys.stderr,
+            )
+            time.sleep(settles[attempt])
     return False, info
 
 
@@ -291,24 +309,58 @@ def main() -> None:
     new_era = "--write-anchor-new-era" in sys.argv
     prev_median: float | None = None
     if "--prev-median" in sys.argv:
-        prev_median = float(sys.argv[sys.argv.index("--prev-median") + 1])
+        # validated (round-11 ADVICE): flag-last or a non-numeric value
+        # previously tracebacked; print the era-re-pin usage instead
+        idx = sys.argv.index("--prev-median")
+        usage = (
+            "# usage: bench.py --write-anchor-new-era --prev-median X  "
+            "(X = the immediately preceding quiet run's median "
+            "vs_anchor, e.g. 0.80)"
+        )
+        if idx + 1 >= len(sys.argv):
+            print(usage, file=sys.stderr)
+            sys.exit(2)
+        try:
+            prev_median = float(sys.argv[idx + 1])
+        except ValueError:
+            print(usage, file=sys.stderr)
+            sys.exit(2)
+    # --repin-entry NAME (repeatable): refresh ONLY the named anchor
+    # entries from this run's bests, leaving the rest of the era's
+    # fixed point untouched. For when one query's closure changed cost
+    # class after the era pin (r11: dim_sniff's anchor predates the
+    # TIFF format class, so its ratio measured fixture mix, not code).
+    repin: list[str] = [
+        sys.argv[i + 1]
+        for i, a in enumerate(sys.argv)
+        if a == "--repin-entry" and i + 1 < len(sys.argv)
+    ]
+    unknown = [q for q in repin if q not in HEADLINE]
+    if unknown:
+        print(f"# --repin-entry: not headliners: {unknown}", file=sys.stderr)
+        sys.exit(2)
+    # Degraded mode (round-11 verdict item 2): a preflight that never
+    # quiets used to abort with an error-only JSON — honest, but it
+    # left round 11 with ZERO driver-side per-query numbers. Now a
+    # failed gate tags the run "degraded" (with the evidence: load or
+    # canary ratio) and the measured pass runs ANYWAY, so the artifact
+    # always carries per-query numbers that a reader can interpret
+    # through the calibration lens (SCALE.md §11). Anchor writes and
+    # rescue re-runs are disabled in degraded mode — the numbers are
+    # weather-lensed evidence, never a fixed point.
+    degraded: dict = {}
     bad_load = _preflight_quiet()
     if bad_load is not None:
-        # refuse to bench: one explicit stdout line, BENCH_FULL.json
-        # untouched — a missing number is recoverable, a poisoned
-        # committed number masquerades as a plan regression forever
+        degraded = {
+            "degraded": True,
+            "degraded_reason": "preflight_load",
+            "load_1m": round(bad_load, 2),
+        }
         print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total_runtime",
-                    "error": "preflight_load",
-                    "load_1m": round(bad_load, 2),
-                    "unit": "sec",
-                    "sf": sf,
-                }
-            )
+            f"# DEGRADED: load_1m={bad_load:.2f} never quieted — "
+            f"continuing, artifact will be tagged degraded",
+            file=sys.stderr,
         )
-        return
     spark = get_spark(app_name="bench")
     reg = registry()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -324,18 +376,14 @@ def main() -> None:
     # refuse honest runs — a fresh JVM runs the canary 2-3.5x anchor)
     canary_ok, canary_info = _preflight_canary(spark, reg, sf_dir, anchor)
     if not canary_ok:
+        degraded.setdefault("degraded", True)
+        degraded.setdefault("degraded_reason", "preflight_canary")
         print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total_runtime",
-                    "error": "preflight_canary",
-                    "unit": "sec",
-                    "sf": sf,
-                    **canary_info,
-                }
-            )
+            f"# DEGRADED: canary never quieted "
+            f"(final ratio {canary_info.get('canary_ratio')}) — "
+            f"continuing, artifact will be tagged degraded",
+            file=sys.stderr,
         )
-        return
 
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -372,7 +420,11 @@ def main() -> None:
     # up to two rescue passes (2 extra runs each) after a settle pause.
     reruns: dict[str, int] = {}
     anchor_comparable = _anchor_machine_matches()
-    for _attempt in range(2):
+    # In degraded mode the suspect tests are meaningless (a slow phase
+    # puts EVERY query >= 2x anchor, so rescue would re-run the whole
+    # set twice for nothing) — the artifact is already tagged as
+    # weather-lensed, so ship the single measured pass as-is.
+    for _attempt in range(0 if degraded else 2):
         suspects = [
             name
             for name in HEADLINE
@@ -409,6 +461,7 @@ def main() -> None:
         "reruns": reruns,
         "sf": sf_val,
         **canary_info,  # the run's calibration number (see _preflight_canary)
+        **degraded,  # weather-lens tags when a preflight gate failed
     }
     if anchor:
         full["vs_anchor"] = {
@@ -425,6 +478,11 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(full), file=sys.stderr)
+    if degraded:
+        # a weather-lensed run must never become a fixed point
+        write_anchor = False
+        new_era = False
+        repin = []
     if write_anchor and anchor and _anchor_machine_matches():
         # A re-pin is only valid from a UNIFORMLY quiet run (SCALE.md
         # §11 corollary: the Aug-14 anchor pinned under decaying load
@@ -516,6 +574,31 @@ def main() -> None:
                 indent=1,
             )
         print(f"# anchor written: {ANCHOR_PATH}", file=sys.stderr)
+    if repin and anchor and _anchor_machine_matches():
+        # Single-entry refresh: same uniform-quiet evidence bar as a
+        # full --write-anchor (canary within ±5% of the era's fixed
+        # point, zero rescue re-runs), but rewrites ONLY the named
+        # entries — the other entries' fixed point stays one-era-old
+        # rather than drifting with every refresh.
+        cr = canary_info.get("canary_ratio")
+        if reruns or cr is None or not (0.95 <= cr <= 1.05):
+            print(
+                f"# repin-entry NOT written: run not uniformly quiet "
+                f"(canary_ratio={cr}, reruns={sorted(reruns)})",
+                file=sys.stderr,
+            )
+        else:
+            with open(ANCHOR_PATH) as fh:
+                cur = json.load(fh)
+            for q in repin:
+                cur["queries"][q] = times[q]
+            with open(ANCHOR_PATH, "w") as fh:
+                json.dump(cur, fh, indent=1)
+            print(
+                f"# anchor entries re-pinned {sorted(repin)} "
+                f"(canary {cr}): {ANCHOR_PATH}",
+                file=sys.stderr,
+            )
     # Compact final stdout line: best-only per query, 3 dp. One scalar
     # anchor ratio only — the per-query ratios live in BENCH_FULL.json
     # (stdout must stay inside the driver's bounded tail buffer).
@@ -528,6 +611,12 @@ def main() -> None:
     }
     if "vs_anchor_total" in full:
         compact["vs_anchor_total"] = full["vs_anchor_total"]
+    if degraded:
+        # the driver's artifact must carry the weather lens inline:
+        # per-query numbers + the evidence they were taken in weather
+        compact.update(degraded)
+        if "canary_ratio" in canary_info:
+            compact["canary_ratio"] = canary_info["canary_ratio"]
     print(json.dumps(compact))
 
 

@@ -89,3 +89,155 @@ def test_preflight_canary_measures_against_anchor(tmp_path, monkeypatch):
     ok, info = bench._preflight_canary(None, reg, "x", {bench._CANARY: 1e9})
     assert ok and info["canary"] == bench._CANARY
     assert 0 <= info["canary_ratio"] < 0.001
+
+
+def test_canary_settle_horizon_matches_weather_phases():
+    """r11 verdict item 2: the settle horizon must be on the scale of
+    the machine's 30-60 min weather phases, not an order of magnitude
+    under it. ~20 min total, escalating."""
+    assert sum(bench._CANARY_SETTLES) >= 15 * 60
+    assert list(bench._CANARY_SETTLES) == sorted(bench._CANARY_SETTLES)
+
+
+def test_preflight_canary_exhausts_escalating_settles(monkeypatch):
+    import os
+
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.setattr(bench, "_anchor_machine_matches", lambda: True)
+
+    class SlowQuery:
+        def spark(self, spark, sf_dir):
+            class _DF:
+                def count(self):
+                    return 1
+
+            return _DF()
+
+    reg = {bench._CANARY: SlowQuery()}
+    # tiny anchor best => measured ratio astronomically over 1.2 =>
+    # every attempt fails => all settles consumed, (False, info) back
+    ok, info = bench._preflight_canary(None, reg, "x", {bench._CANARY: 1e-12})
+    assert not ok
+    assert info["canary"] == bench._CANARY and info["canary_ratio"] > 1.2
+    assert sleeps == list(bench._CANARY_SETTLES)
+
+
+def _fake_bench_env(monkeypatch, tmp_path, headliner="fake_q"):
+    """Shared scaffolding: one fake headliner, no Spark, artifacts to
+    tmp_path."""
+    import types
+
+    class FakeQuery:
+        def spark(self, spark, sf_dir):
+            class _DF:
+                def count(self):
+                    return 7
+
+            return _DF()
+
+    monkeypatch.setattr(bench, "HEADLINE", [headliner])
+    monkeypatch.setattr(bench, "get_spark", lambda app_name: None)
+    monkeypatch.setattr(bench, "registry", lambda: {headliner: FakeQuery(), bench._CANARY: FakeQuery()})
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "ANCHOR_PATH", str(tmp_path / "BENCH_ANCHOR.json"))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py"])
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_SKIP_PREFLIGHT", raising=False)
+    return types.SimpleNamespace()
+
+
+def test_main_degrades_on_load_never_error_only(monkeypatch, tmp_path, capsys):
+    """r11's BENCH_r11.json was an error-only abort. The contract now:
+    a failed preflight still produces per-query numbers, tagged
+    degraded with the evidence."""
+    import json as _json
+
+    _fake_bench_env(monkeypatch, tmp_path)
+    monkeypatch.setattr(bench, "_preflight_quiet", lambda: 9.87)
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = _json.loads(line)
+    assert out["degraded"] is True
+    assert out["degraded_reason"] == "preflight_load"
+    assert out["load_1m"] == 9.87
+    assert "error" not in out and out["queries"]["fake_q"] >= 0
+    full = _json.loads((tmp_path / "BENCH_FULL.json").read_text())
+    assert full["degraded"] is True and "queries" in full
+
+
+def test_main_degrades_on_canary_and_disables_anchor_writes(
+    monkeypatch, tmp_path, capsys
+):
+    import json as _json
+    import os
+
+    _fake_bench_env(monkeypatch, tmp_path)
+    monkeypatch.setattr(bench, "_preflight_quiet", lambda: None)
+    # comparable anchor with an impossibly fast canary best => canary
+    # fails every escalating attempt => degraded, not error-only
+    (tmp_path / "BENCH_ANCHOR.json").write_text(
+        _json.dumps(
+            {
+                "queries": {bench._CANARY: 1e-12, "fake_q": 1e-12},
+                "sf": 0.1,
+                "machine": {"cpus": os.cpu_count()},
+            }
+        )
+    )
+    monkeypatch.setattr(
+        bench.sys, "argv", ["bench.py", "--write-anchor", "--repin-entry", "fake_q"]
+    )
+    bench.main()
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["degraded"] is True
+    assert out["degraded_reason"] == "preflight_canary"
+    assert out["canary_ratio"] > 1.2
+    assert out["queries"]["fake_q"] >= 0
+    # a weather-lensed run must never move the fixed point, and the
+    # meaningless >=2x-anchor rescue loop must not have fired
+    anchor = _json.loads((tmp_path / "BENCH_ANCHOR.json").read_text())
+    assert anchor["queries"]["fake_q"] == 1e-12
+    full = _json.loads((tmp_path / "BENCH_FULL.json").read_text())
+    assert full["reruns"] == {}
+
+
+def test_repin_entry_rewrites_only_named_entry(monkeypatch, tmp_path, capsys):
+    import json as _json
+    import os
+
+    _fake_bench_env(monkeypatch, tmp_path)
+    monkeypatch.setattr(bench, "_preflight_quiet", lambda: None)
+    # the fake query's count() is near-instant, so an anchor value that
+    # lands the canary ratio inside [0.95, 1.05] can't be chosen
+    # deterministically — bypass the canary via env and assert the
+    # refusal path instead: no canary_ratio => no repin (evidence bar)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SKIP_PREFLIGHT", "1")
+    (tmp_path / "BENCH_ANCHOR.json").write_text(
+        _json.dumps(
+            {
+                "queries": {"fake_q": 123.0, "other_q": 9.0},
+                "sf": 0.1,
+                "machine": {"cpus": os.cpu_count()},
+            }
+        )
+    )
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py", "--repin-entry", "fake_q"])
+    bench.main()
+    capsys.readouterr()
+    # SKIP_PREFLIGHT => no canary_ratio => repin refused (evidence bar)
+    anchor = _json.loads((tmp_path / "BENCH_ANCHOR.json").read_text())
+    assert anchor["queries"]["fake_q"] == 123.0
+    assert anchor["queries"]["other_q"] == 9.0
+    # now with uniform-quiet canary evidence: only the named entry moves
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_SKIP_PREFLIGHT")
+    monkeypatch.setattr(
+        bench,
+        "_preflight_canary",
+        lambda *a: (True, {"canary": bench._CANARY, "canary_ratio": 1.0}),
+    )
+    bench.main()
+    capsys.readouterr()
+    anchor = _json.loads((tmp_path / "BENCH_ANCHOR.json").read_text())
+    assert anchor["queries"]["fake_q"] != 123.0  # refreshed from this run
+    assert anchor["queries"]["other_q"] == 9.0  # era fixed point untouched
