@@ -271,7 +271,11 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         # 12 bytes ONCE as a hex string (positions generated directly
         # by sequence(start, stop, 12), bounded by the real entry
         # count) and slices tag/type/count/value out of the 24 hex
-        # chars with cheap string ops.
+        # chars with cheap string ops. A payload cut mid-entry hexes
+        # the final entry to < 24 chars and its slices would concat
+        # into smaller-but-plausible values (a height tag before a
+        # truncated width tag read width=1 — r12 advice fix), so the
+        # fold skips any entry shorter than the full 24 hex chars.
         def hx16(b: int) -> str:  # uint16 at byte offset b of the entry
             if le:
                 return (
@@ -303,6 +307,7 @@ def sniff_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             pos -> hex(substring({p}, pos, 12))) END,
           named_struct('w', cast(null as int), 'h', cast(null as int)),
           (s, e) -> CASE
+            WHEN length(e) < 24 THEN s
             WHEN {hx16(0)} = 256 THEN named_struct('w', {val}, 'h', s.h)
             WHEN {hx16(0)} = 257 THEN named_struct('w', s.w, 'h', {val})
             ELSE s END,
@@ -711,6 +716,13 @@ PIXEL_STATS_SCHEMA = T.StructType(
 _NEEDS_CODEC_MAGICS: tuple[tuple[bytes, int], ...] = (
     (b"\xff\xd8\xff", 0),
     (b"WEBP", 8),  # RIFF....WEBP
+    # TIFF (r12 advice fix): recognized by sniff_format/sniff_image_dims
+    # since r11, so the stats UDF must say 'needs_codec' (raster may be
+    # LZW/JPEG/deflate-compressed with arbitrary tag layouts), not
+    # 'unknown_format' — a TIFF corpus must be distinguishable from
+    # garbage.
+    (b"II*\x00", 0),
+    (b"MM\x00*", 0),
 )
 
 
@@ -736,8 +748,9 @@ def image_pixel_stats(
     id); NULL, undecodable, or truncated payloads yield a NULL-stats
     row, so corrupt media is visible data, not a job failure. The
     `status` column says WHY the stats are NULL: 'ok' (decoded),
-    'needs_codec' (a recognized format — JPEG/WebP — that genuinely
-    needs a codec library; see decode_images' Pillow stub), 'corrupt'
+    'needs_codec' (a recognized format — JPEG/WebP/TIFF — that
+    genuinely needs a codec library; see decode_images' Pillow stub),
+    'corrupt'
     (a known magic whose header or raster fails to parse),
     'unknown_format' (unrecognized magic), 'null_payload'. Without it
     a corpus of valid JPEGs would be indistinguishable from 100%

@@ -1321,3 +1321,65 @@ def test_sniff_image_dims_tiff(spark):
     assert mimes[1] == "image/tiff" and mimes[2] == "image/tiff"
     assert mimes[7] == "image/tiff"
     assert mimes[5] == "image/tiff"  # truncated but magic-valid prefix
+
+
+def test_sniff_image_dims_tiff_truncated_mid_entry_never_wrong_read(spark):
+    """r12 advice fix: a doubly-malformed TIFF — height tag BEFORE
+    width, payload cut mid-way through the width entry's value field —
+    used to hex-slice the partial entry into a smaller-but-plausible
+    width (the surviving low byte of 1281 read as width=1). The fold
+    now skips any entry shorter than the full 12 bytes, so the dims
+    degrade to NULL: 'never a wrong read' is the contract."""
+    import struct
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    def cut_mid_value(le):
+        e = "<" if le else ">"
+        p = bytearray(b"II*\x00" if le else b"MM\x00*")
+        p += struct.pack(e + "I", 8)  # IFD0 right after the header
+        p += struct.pack(e + "H", 2)  # declares 2 entries
+        # complete height entry first (tag 257, SHORT, value 5)
+        p += struct.pack(e + "HHI", 257, 3, 1)
+        p += struct.pack(e + "H", 5) + b"\x00\x00"
+        # width entry (tag 256, SHORT, real value 1281) cut after ONE
+        # value byte: little-endian keeps the low byte (reads 1),
+        # big-endian keeps the high byte (reads 5) — both plausible
+        p += struct.pack(e + "HHI", 256, 3, 1)
+        p += struct.pack(e + "H", 1281)[:1]
+        return bytes(p)
+
+    rows = [
+        (1, bytearray(cut_mid_value(le=True))),
+        (2, bytearray(cut_mid_value(le=False))),
+        # control: the same out-of-ascending-order tags, complete file
+        (3, bytearray(_tiff_bytes(1281, 5, le=True))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.dim_format, r.width, r.height)
+        for r in MM.sniff_image_dims(df).collect()
+    }
+    assert got[1] == (None, None, None)
+    assert got[2] == (None, None, None)
+    assert got[3] == ("tiff", 1281, 5)
+
+
+def test_image_pixel_stats_tiff_reports_needs_codec(spark):
+    """r12 advice fix: TIFF is a recognized format (sniff_format and
+    sniff_image_dims both know it since r11), so the stats UDF must
+    report 'needs_codec' for it — 'unknown_format' made a TIFF corpus
+    indistinguishable from garbage, the exact ambiguity the status
+    column exists to prevent. Both byte orders."""
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    rows = [
+        (1, bytearray(_tiff_bytes(64, 48, le=True))),
+        (2, bytearray(_tiff_bytes(64, 48, le=False))),
+        (3, bytearray(b"\x00\x01not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.status for r in MM.image_pixel_stats(df).collect()}
+    assert got[1] == "needs_codec"
+    assert got[2] == "needs_codec"
+    assert got[3] == "unknown_format"
