@@ -694,6 +694,372 @@ def decode_gif(p: bytes) -> tuple[int, int, int, list[int]]:
     return w, h, 3, samples
 
 
+# zigzag scan position k -> natural (row-major) coefficient index
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_IDCT_BASIS: list[list[float]] | None = None
+
+
+def _jpeg_idct_basis() -> list[list[float]]:
+    """64 precomputed 8x8 IDCT basis functions (natural coefficient
+    order), built once per worker. The IDCT below is SPARSE: cost is
+    64 x (number of nonzero coefficients), so the DC-only blocks that
+    dominate smooth regions cost 64 adds, not a dense 2-D transform —
+    the shape that keeps the Python block loop honest at fixture
+    scale."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import math as _math
+
+        c = [1.0 / _math.sqrt(2.0)] + [1.0] * 7
+        cos = [
+            [_math.cos((2 * x + 1) * u * _math.pi / 16) for u in range(8)]
+            for x in range(8)
+        ]
+        _IDCT_BASIS = [
+            [
+                c[u] * c[v] * cos[x][u] * cos[y][v] / 4.0
+                for y in range(8)
+                for x in range(8)
+            ]
+            for v in range(8)
+            for u in range(8)
+        ]
+    return _IDCT_BASIS
+
+
+def _jpeg_huff_lut(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table -> {(code_length, code): symbol}.
+    Raises ValueError when the counts over-subscribe the code space or
+    the symbol list is short (hostile DHT segments)."""
+    lut: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for size in range(1, 17):
+        for _ in range(counts[size - 1]):
+            if code >= 1 << size:
+                raise ValueError("DHT counts overflow the code space")
+            if k >= len(symbols):
+                raise ValueError("truncated DHT symbol list")
+            lut[(size, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment: unstuffs
+    FF 00, byte-aligns + consumes RSTn at restart boundaries, and
+    raises ValueError when a real marker (e.g. a premature EOI)
+    interrupts the stream — a truncated scan is data-level corruption,
+    never a crash."""
+
+    def __init__(self, p: bytes, i: int):
+        self.p = p
+        self.i = i
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.p):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.p[self.i]
+            if b == 0xFF:
+                nxt = self.p[self.i + 1] if self.i + 1 < len(self.p) else None
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"marker 0xff{nxt:02x} inside entropy stream"
+                        if nxt is not None
+                        else "truncated JPEG entropy stream"
+                    )
+                self.i += 2
+            else:
+                self.i += 1
+            self.buf = b
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, lut: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for size in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = lut.get((size, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    def restart(self) -> None:
+        # byte-align, then the 2-byte RSTn marker
+        self.n = 0
+        if self.i + 2 > len(self.p) or self.p[self.i] != 0xFF or not (
+            0xD0 <= self.p[self.i + 1] <= 0xD7
+        ):
+            raise ValueError("missing restart marker")
+        self.i += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: an s-bit magnitude value whose top bit is 0 codes
+    a negative number."""
+    return v - (1 << s) + 1 if s and v < 1 << (s - 1) else v
+
+
+def decode_jpeg(p: bytes) -> tuple[int, int, int, list[int]]:
+    """(width, height, channels, flat samples — RGB for 3-component,
+    grayscale for 1) from a BASELINE SEQUENTIAL JPEG (SOF0) — a REAL
+    pixel decode with ZERO third-party dependencies, the codec-one-
+    further step after zlib-PNG and pure-LZW GIF: marker walk, DQT /
+    DHT table parse, Huffman entropy decode (byte unstuffing, restart
+    intervals), dequantize + dezigzag, sparse IDCT, level shift, and
+    chroma upsampling + YCbCr->RGB (JFIF coefficients). Sampling
+    factors up to the spec's 4 are handled generically (4:4:4, 4:2:0,
+    4:2:2 all fall out of the hmax/vmax MCU geometry).
+
+    Progressive (SOF2), the other non-baseline frame types, arithmetic
+    coding, and 12-bit precision raise NotImplementedError — genuinely
+    a codec library's job, and callers route those rows 'needs_codec'.
+    Malformed payloads raise ValueError ('corrupt'): the two failure
+    classes stay distinguishable, which is the status-column contract.
+    Zip-bomb geometry is refused before any allocation (the PNG
+    precedent): declared rasters past 2^24 pixels raise.
+
+    Parity: the reference's crawl stores exactly this format
+    (reference reddit_image_scraper.py:31,35-39 writes {id}.jpg)."""
+    if p[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    dc_luts: dict[int, dict] = {}
+    ac_luts: dict[int, dict] = {}
+    frame = None  # (w, h, [(comp_id, h_i, v_i, tq)])
+    restart_interval = 0
+    i = 2
+    while True:
+        if i + 2 > len(p):
+            raise ValueError("truncated JPEG before SOS")
+        if p[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at offset {i}")
+        while i < len(p) and p[i] == 0xFF:
+            i += 1  # fill bytes before the marker id are legal
+        if i >= len(p):
+            raise ValueError("truncated JPEG before SOS")
+        m = p[i]
+        i += 1
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue  # standalone markers
+        if m == 0xD9:
+            raise ValueError("EOI before SOS")
+        if m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # progressive / hierarchical / arithmetic frames: a valid
+            # JPEG this decoder honestly does not cover
+            raise NotImplementedError(
+                f"non-baseline JPEG frame (SOF marker 0xff{m:02x}) needs a "
+                f"codec library"
+            )
+        if i + 2 > len(p):
+            raise ValueError("truncated JPEG segment length")
+        seglen = (p[i] << 8) | p[i + 1]
+        if seglen < 2 or i + seglen > len(p):
+            raise ValueError("truncated JPEG segment")
+        seg = p[i + 2 : i + seglen]
+        data_start = i + seglen
+        i += seglen
+        if m == 0xDB:  # DQT: one or more tables, zigzag order
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                n = 128 if pq else 64
+                if pq > 1 or j + n > len(seg):
+                    raise ValueError("bad DQT segment")
+                if pq:
+                    qt[tq] = [
+                        (seg[j + 2 * k] << 8) | seg[j + 2 * k + 1]
+                        for k in range(64)
+                    ]
+                else:
+                    qt[tq] = list(seg[j : j + 64])
+                j += n
+        elif m == 0xC4:  # DHT: one or more tables
+            j = 0
+            while j < len(seg):
+                if j + 17 > len(seg):
+                    raise ValueError("bad DHT segment")
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1 : j + 17]
+                nsym = sum(counts)
+                symbols = seg[j + 17 : j + 17 + nsym]
+                if tc > 1 or len(symbols) < nsym:
+                    raise ValueError("bad DHT segment")
+                (ac_luts if tc else dc_luts)[th] = _jpeg_huff_lut(
+                    counts, symbols
+                )
+                j += 17 + nsym
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential SOF
+            if len(seg) < 6:
+                raise ValueError("truncated SOF")
+            prec, h, w, ncomp = seg[0], (seg[1] << 8) | seg[2], (
+                seg[3] << 8
+            ) | seg[4], seg[5]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG precision needs a codec library"
+                )
+            if w < 1 or h < 1 or w * h > 1 << 24:
+                raise ValueError(f"bad JPEG geometry {w}x{h}")
+            if ncomp not in (1, 3) or len(seg) < 6 + 3 * ncomp:
+                raise ValueError(f"unsupported JPEG component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                h_i, v_i = hv >> 4, hv & 15
+                if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
+                    raise ValueError(f"bad sampling factors {h_i}x{v_i}")
+                comps.append((cid, h_i, v_i, tq))
+            frame = (w, h, comps)
+        elif m == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI")
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif m == 0xDA:  # SOS: selector parse, then the entropy scan
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            w, h, comps = frame
+            if len(seg) < 1 or seg[0] != len(comps) or len(seg) < 1 + 2 * len(
+                comps
+            ):
+                raise ValueError("SOS component list mismatch")
+            sel = {}
+            for c in range(len(comps)):
+                cid, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cid] = (tds >> 4, tds & 15)
+            return _jpeg_decode_scan(
+                p, data_start, w, h, comps, sel, qt, dc_luts, ac_luts,
+                restart_interval,
+            )
+        # all other segments (APPn, COM, ...) are skipped
+
+
+def _jpeg_decode_scan(
+    p, start, w, h, comps, sel, qt, dc_luts, ac_luts, restart_interval
+) -> tuple[int, int, int, list[int]]:
+    basis = _jpeg_idct_basis()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    meta = []  # (h_i, v_i, plane_stride, qtab, dc_lut, ac_lut)
+    for cid, h_i, v_i, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"missing quant table {tq}")
+        if cid not in sel:
+            raise ValueError(f"scan omits frame component {cid}")
+        td, ta = sel[cid]
+        if td not in dc_luts or ta not in ac_luts:
+            raise ValueError(f"missing Huffman table DC{td}/AC{ta}")
+        stride = mx * h_i * 8
+        planes.append(bytearray(stride * my * v_i * 8))
+        meta.append((h_i, v_i, stride, qt[tq], dc_luts[td], ac_luts[ta]))
+    br = _JpegBits(p, start)
+    preds = [0] * len(comps)
+
+    def block(qtab, dc_lut, ac_lut, ci):
+        # -> list of (natural_index, dequantized_value) nonzeros
+        s = br.huff(dc_lut)
+        if s > 11:
+            raise ValueError(f"bad DC magnitude category {s}")
+        preds[ci] += _jpeg_extend(br.bits(s), s)
+        nz = []
+        if preds[ci]:
+            nz.append((0, preds[ci] * qtab[0]))
+        k = 1
+        while k < 64:
+            rs = br.huff(ac_lut)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zero coefficients
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC coefficient index past 63")
+            nz.append(
+                (_JPEG_ZIGZAG[k], _jpeg_extend(br.bits(s), s) * qtab[k])
+            )
+            k += 1
+        return nz
+
+    mcu = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart()
+                for ci in range(len(preds)):
+                    preds[ci] = 0
+            for ci, (h_i, v_i, stride, qtab, dcl, acl) in enumerate(meta):
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        nz = block(qtab, dcl, acl, ci)
+                        f = [0.0] * 64
+                        for idx, cval in nz:
+                            b = basis[idx]
+                            for pnt in range(64):
+                                f[pnt] += cval * b[pnt]
+                        ox = (mxi * h_i + bx) * 8
+                        oy = (myi * v_i + by) * 8
+                        plane = planes[ci]
+                        for r in range(8):
+                            base = (oy + r) * stride + ox
+                            fr = f[r * 8 : r * 8 + 8]
+                            for cx in range(8):
+                                v = int(fr[cx] + 128.5)
+                                plane[base + cx] = (
+                                    0 if v < 0 else (255 if v > 255 else v)
+                                )
+            mcu += 1
+    samples: list[int] = []
+    if len(comps) == 1:
+        stride = meta[0][2]
+        for y in range(h):
+            samples.extend(planes[0][y * stride : y * stride + w])
+        return w, h, 1, samples
+    (yh, yv, ystride, *_), (bh, bv, bstride, *_), (rh, rv, rstride, *_) = meta
+    for y in range(h):
+        yrow = (y * yv // vmax) * ystride
+        brow = (y * bv // vmax) * bstride
+        rrow = (y * rv // vmax) * rstride
+        for x in range(w):
+            yy = planes[0][yrow + x * yh // hmax]
+            cbd = planes[1][brow + x * bh // hmax] - 128
+            crd = planes[2][rrow + x * rh // hmax] - 128
+            rr = int(yy + 1.402 * crd + 0.5)
+            gg = int(yy - 0.344136 * cbd - 0.714136 * crd + 0.5)
+            bb = int(yy + 1.772 * cbd + 0.5)
+            samples.append(0 if rr < 0 else (255 if rr > 255 else rr))
+            samples.append(0 if gg < 0 else (255 if gg > 255 else gg))
+            samples.append(0 if bb < 0 else (255 if bb > 255 else bb))
+    return w, h, 3, samples
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -708,13 +1074,15 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 # magics the stats UDF recognizes but cannot decode without a codec
 # library — these report status='needs_codec', NOT a silent NULL-stats
-# row, so a corpus of valid JPEGs is distinguishable from 100% corrupt
+# row, so a corpus of valid WebPs is distinguishable from 100% corrupt
 # media (round-11 advice fix). PNG is NOT here: IDAT is zlib + stdlib
 # filters, decoded for real by decode_png (round 11). GIF is not
 # either: its only compression is LZW, decoded for real by decode_gif
 # (round 11 — the pure-Python codec-one-further step after zlib-PNG).
+# JPEG left in round 12: baseline sequential decodes for real via
+# decode_jpeg; only its NON-baseline frames (progressive etc.) still
+# report 'needs_codec', via decode_jpeg's NotImplementedError.
 _NEEDS_CODEC_MAGICS: tuple[tuple[bytes, int], ...] = (
-    (b"\xff\xd8\xff", 0),
     (b"WEBP", 8),  # RIFF....WEBP
     # TIFF (r12 advice fix): recognized by sniff_format/sniff_image_dims
     # since r11, so the stats UDF must say 'needs_codec' (raster may be
@@ -741,16 +1109,17 @@ def image_pixel_stats(
     """payload -> per-image channel means over REAL decoded pixels
     (width, height, mean_r/g/b) — the image analog of chunk_audio's
     real path: Arrow-batched mapInPandas over the stdlib decoders
-    (`decode_bmp`, `decode_ppm`, `decode_png`, `decode_gif`), no codec
-    library. Grayscale (PGM) reports its single channel as all three
+    (`decode_bmp`, `decode_ppm`, `decode_png`, `decode_gif`,
+    `decode_jpeg` for baseline sequential), no codec library.
+    Grayscale (PGM) reports its single channel as all three
     means. Strictly 1-in/1-out row-aligned (the decode_images
     passthrough precedent — never re-keyed on a possibly-duplicate
     id); NULL, undecodable, or truncated payloads yield a NULL-stats
     row, so corrupt media is visible data, not a job failure. The
     `status` column says WHY the stats are NULL: 'ok' (decoded),
-    'needs_codec' (a recognized format — JPEG/WebP/TIFF — that
-    genuinely needs a codec library; see decode_images' Pillow stub),
-    'corrupt'
+    'needs_codec' (a format that genuinely needs a codec library —
+    WebP/TIFF, and non-baseline JPEG frames such as progressive; see
+    decode_images' Pillow stub), 'corrupt'
     (a known magic whose header or raster fails to parse),
     'unknown_format' (unrecognized magic), 'null_payload'. Without it
     a corpus of valid JPEGs would be indistinguishable from 100%
@@ -779,6 +1148,23 @@ def image_pixel_stats(
                         elif b[:6] in (b"GIF87a", b"GIF89a"):
                             w, h, nch, s = decode_gif(b)
                             row = (mid, w, h, *_channel_means(s, w * h, nch), "ok")
+                        elif b[:3] == b"\xff\xd8\xff":
+                            # baseline sequential decodes for real (r12);
+                            # progressive & friends raise
+                            # NotImplementedError -> 'needs_codec', while
+                            # a malformed baseline file raises ValueError
+                            # -> 'corrupt' via the outer handler
+                            try:
+                                w, h, nch, s = decode_jpeg(b)
+                                row = (
+                                    mid, w, h,
+                                    *_channel_means(s, w * h, nch), "ok",
+                                )
+                            except NotImplementedError:
+                                row = (
+                                    mid, None, None, None, None, None,
+                                    "needs_codec",
+                                )
                         elif any(
                             b[o : o + len(m)] == m
                             for m, o in _NEEDS_CODEC_MAGICS
@@ -838,10 +1224,11 @@ def decode_images(
     keep = list(passthrough)
 
     def _real_dims(p: bytes) -> tuple[int | None, int | None, int | None]:
-        # round-10/11 real path, following the WAV precedent: the
+        # round-10/11/12 real path, following the WAV precedent: the
         # formats stdlib can genuinely decode (BMP, PPM/PGM; PNG via
-        # zlib and GIF via pure-Python LZW since round 11) decode for
-        # real; anything else still needs Pillow. Malformed payloads
+        # zlib and GIF via pure-Python LZW since round 11; baseline
+        # sequential JPEG since round 12) decode for real; anything
+        # else still needs Pillow. Malformed payloads
         # yield NULL dims (the row survives, the failure is visible)
         # — they are DATA, not bugs, at crawl scale.
         try:
@@ -856,6 +1243,12 @@ def decode_images(
                 return w, h, c
             if p[:6] in (b"GIF87a", b"GIF89a"):
                 w, h, c, _ = decode_gif(p)
+                return w, h, c
+            if p[:3] == b"\xff\xd8\xff":
+                # r12: baseline sequential decodes for real; progressive
+                # & friends raise NotImplementedError below, keeping the
+                # Pillow-stub contract for genuinely-needs-codec media
+                w, h, c, _ = decode_jpeg(p)
                 return w, h, c
         except ValueError:
             return None, None, None

@@ -3780,7 +3780,8 @@ def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # raster (byte i = i), so the per-channel means have one closed form
 # the oracle computes without parsing a byte: agreement proves the
 # stored-block inflate AND the Up/Sub defilter arithmetic. doc_id%7==3
-# rows carry a JPEG magic (status='needs_codec'), doc_id%5==0 rows a
+# rows carry a progressive-JPEG SOF2 prefix (status='needs_codec' —
+# baseline JPEG decodes for real since r12), doc_id%5==0 rows a
 # stored block that declares more scanline bytes than it ships
 # (status='corrupt'), NULL ids a NULL payload.
 # =============================================================================
@@ -3894,7 +3895,11 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     png_trunc = F.concat(
         sig, chunk(b"IHDR", ihdr_payload), chunk(b"IDAT", ztrunc), iend
     )
-    jpeg = F.lit(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00")
+    # progressive-JPEG (SOF2) prefix: since r12 baseline JPEG decodes
+    # for real, so the needs_codec class must be a frame type that
+    # GENUINELY needs a codec — decode_jpeg raises NotImplementedError
+    # on the 0xffc2 marker
+    jpeg = F.lit(b"\xff\xd8\xff\xc2")
     payload = (
         F.when(did % 7 == 3, jpeg)
         .when(did % 5 == 0, png_trunc)
@@ -3923,7 +3928,8 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # code 130 twice (a plain dict hit, split across TWO sub-blocks so
 # reassembly is load-bearing); doc_id%7==1 is a 3x1 frame whose stream
 # emits code 130 BEFORE the decoder defines it (the KwKwK case).
-# doc_id%7==3 rows carry a JPEG magic (status='needs_codec'),
+# doc_id%7==3 rows carry a progressive-JPEG SOF2 prefix
+# (status='needs_codec' — baseline JPEG decodes for real since r12),
 # doc_id%5==0 rows declare a 10-byte sub-block and ship none
 # (status='corrupt'), NULL ids a NULL payload.
 # =============================================================================
@@ -4024,7 +4030,11 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pixels 3,3,3 -> codes [clear,3,130,end]: 130 arrives one step
     # BEFORE the decoder defines it (the KwKwK case)
     gif_kwkwk = F.lit(const_gif(3, 1, bytes([0x80, 3, 0x82, 0x81]), [4]))
-    jpeg = F.lit(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00")
+    # progressive-JPEG (SOF2) prefix: since r12 baseline JPEG decodes
+    # for real, so the needs_codec class must be a frame type that
+    # GENUINELY needs a codec — decode_jpeg raises NotImplementedError
+    # on the 0xffc2 marker
+    jpeg = F.lit(b"\xff\xd8\xff\xc2")
     payload = (
         F.when(did % 7 == 3, jpeg)
         .when(did % 5 == 0, gif_trunc)

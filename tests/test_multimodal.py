@@ -425,11 +425,20 @@ def test_decode_images_real_path_routes_by_magic(spark):
     assert got[2] == (2, 3, 3)
     assert got[3] == (None, None, None)
     assert got[4] == (None, None, None)
+    # r12: a malformed baseline JPEG (header-only, truncated SOF) is
+    # DATA -> NULL dims; a genuinely-needs-codec frame (progressive)
+    # still raises the stub
     jpg = spark.createDataFrame(
         [(9, bytearray(_jpeg_bytes(4, 4)))], "media_id long, payload binary"
     )
-    with pytest.raises(Exception, match="Pillow"):
-        MM.decode_images(jpg, fake=False).collect()
+    got_j = {r.media_id: (r.width, r.height, r.channels)
+             for r in MM.decode_images(jpg, fake=False).collect()}
+    assert got_j[9] == (None, None, None)
+    prog = spark.createDataFrame(
+        [(9, bytearray(b"\xff\xd8\xff\xc2"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="codec"):
+        MM.decode_images(prog, fake=False).collect()
 
 
 def test_sniff_image_dims_native(spark):
@@ -528,9 +537,13 @@ def test_image_pixel_stats_operator(spark):
         # recognized formats that need a real codec must report
         # status='needs_codec', NOT blend into the corrupt class; a
         # PNG with no IDAT is decodable-format-but-corrupt (PNG is a
-        # REAL stdlib decode since round 11)
+        # REAL stdlib decode since round 11), and since r12 so is a
+        # baseline-JPEG header with a truncated SOF (6) — only the
+        # genuinely-needs-codec progressive frame (10) stays
+        # needs_codec
         (5, bytearray(_png_bytes(4, 4))),  # IHDR only, no IDAT
         (6, bytearray(_jpeg_bytes(8, 8))),
+        (10, bytearray(b"\xff\xd8\xff\xc2")),
         (7, bytearray(_webp_bytes(3, 3, "vp8l"))),
         (8, bytearray(b"\x00\x01not an image")),
         (9, bytearray(_png_full(2, 2, [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]))),
@@ -546,7 +559,8 @@ def test_image_pixel_stats_operator(spark):
     assert got[4] == (None, None, None, None, None, "null_payload")
     assert got[None] == (1, 1, 7.0, 7.0, 7.0, "ok")
     assert got[5] == (None, None, None, None, None, "corrupt")
-    for k in (6, 7):
+    assert got[6] == (None, None, None, None, None, "corrupt")
+    for k in (7, 10):
         assert got[k] == (None, None, None, None, None, "needs_codec")
     assert got[8] == (None, None, None, None, None, "unknown_format")
     assert got[9] == (2, 2, 5.5, 6.5, 7.5, "ok")
@@ -1383,3 +1397,455 @@ def test_image_pixel_stats_tiff_reports_needs_codec(spark):
     assert got[1] == "needs_codec"
     assert got[2] == "needs_codec"
     assert got[3] == "unknown_format"
+
+
+# =============================================================================
+# JPEG (r12): decode_jpeg is a REAL baseline-sequential decode. The
+# roundtrip tests below use a spec-shaped TEST-SIDE ENCODER (forward
+# DCT + quantize + canonical Huffman tables built per image + MSB-first
+# bit packing with FF00 stuffing + optional restart intervals) so the
+# decoder is exercised on real multi-coefficient entropy streams — AC
+# run-lengths, ZRL, EOB, code-width growth — not just the DC-only
+# closed-form fixtures the oracle query uses.
+# =============================================================================
+
+
+def _jpeg_cat(v):
+    s = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, size):
+        for i in range(size - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits to the byte boundary
+
+
+def _jpeg_fdct_quant(block, q):
+    import math
+
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    cos = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+    out = []
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += (block[y * 8 + x] - 128) * cos[x][u] * cos[y][v]
+            out.append(int(round(0.25 * c[u] * c[v] * s / q[v * 8 + u])))
+    return out
+
+
+def _jpeg_encode(w, h, raster, subsample=(1, 1), q=1, restart=0):
+    """Minimal spec-correct baseline encoder: `raster` is a flat list —
+    RGB triples (3-component) or gray samples (1-component, pass
+    subsample=None). subsample=(2,2) makes Y 2x2 vs 1x1 chroma
+    (4:2:0); (2,1) gives 4:2:2. One DC and one AC Huffman table serve
+    all components, built canonically from the symbols the image
+    actually uses (all at fixed code lengths — legal, if suboptimal)."""
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    gray = subsample is None
+    qtab = [q] * 64
+    if gray:
+        comps = [(1, 1, 1)]
+        planes_in = [list(raster)]
+    else:
+        sh, sv = subsample
+        comps = [(1, sh, sv), (2, 1, 1), (3, 1, 1)]
+        yp, cbp, crp = [], [], []
+        for i in range(w * h):
+            r, g, b = raster[3 * i : 3 * i + 3]
+            yy = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            for plane, v in ((yp, yy), (cbp, cb), (crp, cr)):
+                plane.append(min(255, max(0, int(v + 0.5))))
+        planes_in = [yp, cbp, crp]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    # component planes: subsample by box-averaging, pad by replication
+    planes = []
+    for (cid, ch, cv), pin in zip(comps, planes_in):
+        pw, ph = mx * ch * 8, my * cv * 8
+        sw = (w * ch + hmax - 1) // hmax  # true subsampled extent
+        sh_ = (h * cv + vmax - 1) // vmax
+        plane = [[0] * pw for _ in range(ph)]
+        for yy in range(ph):
+            for xx in range(pw):
+                sx, sy = min(xx, sw - 1), min(yy, sh_ - 1)
+                # box average of the source pixels this sample covers
+                x0, y0 = sx * hmax // ch, sy * vmax // cv
+                x1 = min(w, (sx + 1) * hmax // ch) or x0 + 1
+                y1 = min(h, (sy + 1) * vmax // cv) or y0 + 1
+                x0, y0 = min(x0, w - 1), min(y0, h - 1)
+                acc = cnt = 0
+                for py in range(y0, max(y1, y0 + 1)):
+                    for px in range(x0, max(x1, x0 + 1)):
+                        acc += pin[min(py, h - 1) * w + min(px, w - 1)]
+                        cnt += 1
+                plane[yy][xx] = int(acc / cnt + 0.5)
+        planes.append(plane)
+    # entropy-encode twice: pass 1 collects symbols, pass 2 emits
+    for collect_only in (True, False):
+        dc_syms, ac_syms = set(), set()
+        if not collect_only:
+            dcl = sorted(dc_syms_f)
+            acl = sorted(ac_syms_f)
+            dc_len = 4 if len(dcl) < 15 else 8
+            dc_code = {s: i for i, s in enumerate(dcl)}
+            ac_code = {s: i for i, s in enumerate(acl)}
+            bw = _JpegBitWriter()
+            segs = []
+        preds = [0] * len(comps)
+        mcu = 0
+        for myi in range(my):
+            for mxi in range(mx):
+                if restart and mcu and mcu % restart == 0:
+                    if not collect_only:
+                        bw.flush()
+                        bw.out += bytes(
+                            [0xFF, 0xD0 + (mcu // restart - 1) % 8]
+                        )
+                    preds = [0] * len(comps)
+                for ci, (cid, ch, cv) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            ox, oy = (mxi * ch + bx) * 8, (myi * cv + by) * 8
+                            block = [
+                                planes[ci][oy + yy][ox + xx]
+                                for yy in range(8)
+                                for xx in range(8)
+                            ]
+                            coef = _jpeg_fdct_quant(block, qtab)
+                            diff = coef[0] - preds[ci]
+                            preds[ci] = coef[0]
+                            s = _jpeg_cat(diff)
+                            if collect_only:
+                                dc_syms.add(s)
+                            else:
+                                bw.put(dc_code[s], dc_len)
+                                if s:
+                                    bw.put(
+                                        diff if diff > 0 else diff + (1 << s) - 1,
+                                        s,
+                                    )
+                            zz = [coef[_JPEG_ZIGZAG[k]] for k in range(64)]
+                            run = 0
+                            for k in range(1, 64):
+                                if zz[k] == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    if collect_only:
+                                        ac_syms.add(0xF0)
+                                    else:
+                                        bw.put(ac_code[0xF0], 8)
+                                    run -= 16
+                                s = _jpeg_cat(zz[k])
+                                sym = (run << 4) | s
+                                if collect_only:
+                                    ac_syms.add(sym)
+                                else:
+                                    bw.put(ac_code[sym], 8)
+                                    v = zz[k]
+                                    bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                                run = 0
+                            if run:
+                                if collect_only:
+                                    ac_syms.add(0x00)
+                                else:
+                                    bw.put(ac_code[0x00], 8)
+                mcu += 1
+        if collect_only:
+            if not ac_syms:
+                ac_syms.add(0x00)
+            dc_syms_f, ac_syms_f = dc_syms, ac_syms
+        else:
+            bw.flush()
+    # assemble the file
+    def dht(tc, th, length, symbols):
+        counts = [0] * 16
+        counts[length - 1] = len(symbols)
+        body = bytes([(tc << 4) | th]) + bytes(counts) + bytes(symbols)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        [qtab[_JPEG_ZIGZAG[k]] for k in range(64)]
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, ch, cv in comps:
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += dht(0, 0, dc_len, dcl) + dht(1, 0, 8, acl)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart)
+    sos = bytes([len(comps)])
+    for cid, _, _ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes(bw.out) + b"\xff\xd9"
+    return out
+
+
+def _rand_raster(n, seed=1234):
+    # deterministic LCG so the fuzz/roundtrip fixtures never depend on
+    # the environment
+    vals = []
+    x = seed
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        vals.append(x % 256)
+    return vals
+
+
+def test_decode_jpeg_roundtrip_gray_and_color_444():
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    # gray 16x10: gradient + noise, quant=1 -> near-lossless
+    w, h = 16, 10
+    gray = [(x * 7 + y * 11 + n) % 256 for n, (y, x) in enumerate(
+        (y, x) for y in range(h) for x in range(w)
+    )]
+    jp = _jpeg_encode(w, h, gray, subsample=None, q=1)
+    W, H, nch, s = decode_jpeg(jp)
+    assert (W, H, nch) == (w, h, 1)
+    errs = [abs(a - b) for a, b in zip(s, gray)]
+    assert max(errs) <= 6 and sum(errs) / len(errs) <= 1.5
+
+    # color 4:4:4 11x9 pseudo-random RGB — exercises AC runs, ZRL, and
+    # byte stuffing on a real entropy stream
+    w, h = 11, 9
+    rgb = _rand_raster(w * h * 3)
+    jp = _jpeg_encode(w, h, rgb, subsample=(1, 1), q=1)
+    W, H, nch, s = decode_jpeg(jp)
+    assert (W, H, nch) == (w, h, 3)
+    errs = [abs(a - b) for a, b in zip(s, rgb)]
+    # RGB->YCbCr->RGB costs ~2 both ways even before DCT rounding
+    assert max(errs) <= 10 and sum(errs) / len(errs) <= 2.5
+
+
+def test_decode_jpeg_roundtrip_subsampled_and_quantized():
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    # 4:2:0 with chroma constant per 2x2 (so subsampling is lossless)
+    w, h = 18, 14
+    rgb = []
+    for y in range(h):
+        for x in range(w):
+            g = (x * 13 + y * 5) % 200
+            rgb.extend((g, (g + 40) % 256, 30))
+    jp = _jpeg_encode(w, h, rgb, subsample=(2, 2), q=1)
+    W, H, nch, s = decode_jpeg(jp)
+    assert (W, H, nch) == (w, h, 3)
+    # 4:2:2 as well — the generic hmax/vmax geometry must handle it
+    jp2 = _jpeg_encode(w, h, rgb, subsample=(2, 1), q=1)
+    assert decode_jpeg(jp2)[:3] == (w, h, 3)
+    # a coarser quant table (dequant multiply is load-bearing)
+    flat = [77, 150, 40] * (w * h)
+    jp3 = _jpeg_encode(w, h, flat, subsample=(2, 2), q=16)
+    W, H, nch, s3 = decode_jpeg(jp3)
+    for c in range(3):
+        ch = s3[c::3]
+        assert max(ch) - min(ch) == 0  # flat stays flat
+        assert abs(ch[0] - flat[c]) <= 8  # q=16 DC rounding bound
+
+
+def test_decode_jpeg_restart_intervals():
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    w, h = 32, 8  # 4 MCUs at 4:4:4 -> restarts after every MCU
+    rgb = _rand_raster(w * h * 3, seed=77)
+    for ri in (1, 2):
+        jp = _jpeg_encode(w, h, rgb, subsample=(1, 1), q=1, restart=ri)
+        W, H, nch, s = decode_jpeg(jp)
+        assert (W, H, nch) == (w, h, 3)
+        errs = [abs(a - b) for a, b in zip(s, rgb)]
+        assert max(errs) <= 10
+    # a missing RST marker is corruption, not a crash
+    jp = _jpeg_encode(w, h, rgb, subsample=(1, 1), q=1, restart=1)
+    broken = jp.replace(b"\xff\xd0", b"\x00\x00", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(broken)
+
+
+def test_decode_jpeg_error_taxonomy():
+    """The two failure classes stay distinguishable: NotImplementedError
+    for valid-but-needs-codec frames, ValueError for malformed files —
+    that split IS the status-column contract (needs_codec vs corrupt)."""
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    base = _jpeg_encode(8, 8, _rand_raster(8 * 8 * 3), subsample=(1, 1))
+    # needs_codec: progressive, arithmetic, hierarchical, 12-bit
+    for sof in (0xC2, 0xC3, 0xC5, 0xC9, 0xCA, 0xCE):
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(b"\xff\xd8\xff" + bytes([sof]))
+    twelve = base.replace(
+        b"\xff\xc0\x00\x11\x08", b"\xff\xc0\x00\x11\x0c", 1
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(twelve)
+    # corrupt: not-a-jpeg, EOI before SOS, truncated scan, zip-bomb
+    # geometry, 2-component frame, missing tables
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg(base[: len(base) // 2])
+    bomb = base.replace(
+        b"\xff\xc0\x00\x11\x08\x00\x08\x00\x08",
+        b"\xff\xc0\x00\x11\x08\xff\xff\xff\xff",
+        1,
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(bomb)
+
+
+def test_decode_jpeg_mutation_fuzz_never_crashes():
+    """Bit flips, truncations, and segment-length lies must yield a
+    decode or a ValueError/NotImplementedError — never any other
+    exception (the PNG/GIF fuzz precedent)."""
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    base = _jpeg_encode(
+        10, 7, _rand_raster(10 * 7 * 3, seed=9), subsample=(2, 2), q=2
+    )
+    muts = []
+    for i in range(0, len(base), 3):
+        b = bytearray(base)
+        b[i] ^= 0xFF
+        muts.append(bytes(b))
+    muts += [base[:i] for i in range(2, len(base), 5)]
+    lcg = 424242
+    for _ in range(60):
+        lcg = (lcg * 1103515245 + 12345) % (1 << 31)
+        b = bytearray(base)
+        b[lcg % len(b)] = (lcg >> 8) % 256
+        muts.append(bytes(b))
+    decoded = failed = 0
+    for m in muts:
+        try:
+            w, h, nch, s = decode_jpeg(m)
+            assert len(s) == w * h * nch
+            decoded += 1
+        except (ValueError, NotImplementedError):
+            failed += 1
+    assert decoded + failed == len(muts) and failed > 0
+
+
+def _jpeg_dc_bytes(w, h, vy, vcb=None, vcr=None, mode="444"):
+    """The DC-only closed-form fixture the oracle query synthesizes in
+    SQL, built here in Python: flat blocks, 2-symbol DC table (cat 0 at
+    '00', cat 6 at '0100'), 1-symbol AC table (EOB at '000000'), quant
+    all 8s — every block byte-aligned by construction."""
+    import struct
+
+    def cat6(V):
+        e = V if V >= 0 else V + 63
+        return bytes([0x40 | (e >> 2), (e & 3) << 6])
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    dc = b"\xff\xc4" + struct.pack(">H", 21) + b"\x00" + bytes(
+        [0, 1, 0, 1] + [0] * 12
+    ) + bytes([0x00, 0x06])
+    ac = b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" + bytes(
+        [0, 0, 0, 0, 0, 1] + [0] * 10
+    ) + bytes([0x00])
+    if mode == "gray":
+        sof = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(
+            ">HH", h, w
+        ) + bytes([1, 1, 0x11, 0])
+        sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 63, 0])
+        scan = cat6(vy)
+    else:
+        samp = 0x22 if mode == "420" else 0x11
+        sof = b"\xff\xc0" + struct.pack(">H", 17) + bytes([8]) + struct.pack(
+            ">HH", h, w
+        ) + bytes([3, 1, samp, 0, 2, 0x11, 0, 3, 0x11, 0])
+        sos = b"\xff\xda" + struct.pack(">H", 12) + bytes(
+            [3, 1, 0, 2, 0, 3, 0, 0, 63, 0]
+        )
+        if mode == "420":
+            scan = cat6(vy) + b"\x00" * 3 + cat6(vcb) + cat6(vcr)
+        else:
+            n_mcu = ((w + 7) // 8) * ((h + 7) // 8)
+            scan = (cat6(vy) + cat6(vcb) + cat6(vcr)) + b"\x00\x00\x00" * (
+                n_mcu - 1
+            )
+    return b"\xff\xd8" + dqt + dc + ac + sof + sos + scan + b"\xff\xd9"
+
+
+def test_image_pixel_stats_jpeg_real_decode(spark):
+    """End-to-end through the stats UDF: baseline JPEGs decode to
+    status='ok' with the closed-form channel means (quant 8 x cat-6
+    DC V -> flat plane 128+V; JFIF YCbCr->RGB with floor(x+0.5));
+    progressive reports needs_codec; a truncated scan reports
+    corrupt."""
+    import math
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    vy, vcb, vcr = 50, -40, -35
+    exp_r = math.floor(128 + vy + 1.402 * vcr + 0.5)
+    exp_g = math.floor((128 + vy) - 0.344136 * vcb - 0.714136 * vcr + 0.5)
+    exp_b = math.floor(128 + vy + 1.772 * vcb + 0.5)
+    rows = [
+        (1, bytearray(_jpeg_dc_bytes(10, 9, vy, vcb, vcr))),
+        (2, bytearray(_jpeg_dc_bytes(5, 7, 33, mode="gray"))),
+        (3, bytearray(_jpeg_dc_bytes(13, 11, vy, vcb, vcr, mode="420"))),
+        (4, bytearray(b"\xff\xd8\xff\xc2")),
+        (5, bytearray(_jpeg_dc_bytes(10, 9, vy, vcb, vcr)[:-12])),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.status)
+        for r in MM.image_pixel_stats(df).collect()
+    }
+    assert got[1] == (10, 9, float(exp_r), float(exp_g), float(exp_b), "ok")
+    assert got[2] == (5, 7, 161.0, 161.0, 161.0, "ok")
+    assert got[3] == (13, 11, float(exp_r), float(exp_g), float(exp_b), "ok")
+    assert got[4] == (None, None, None, None, None, "needs_codec")
+    assert got[5] == (None, None, None, None, None, "corrupt")
