@@ -133,6 +133,10 @@ HEADLINE = [
     # (sub-block reassembly + palette lookup through the same UDF)
     "multimodal_png_pixel_stats",
     "multimodal_gif_pixel_stats",
+    # round-12 growth, anchored from birth: the stdlib baseline-JPEG
+    # pixel decode (Huffman entropy decode + dequant + sparse IDCT +
+    # YCbCr->RGB through the mapInPandas stats UDF)
+    "multimodal_jpeg_pixel_stats",
 ]
 
 

@@ -4047,6 +4047,155 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Multimodal — REAL baseline-JPEG pixel decode (r12): decode_jpeg runs
+# Huffman entropy decode + dequant + sparse IDCT + YCbCr->RGB; this
+# query proves that path AT SCALE the PNG/GIF way. Payloads are
+# spec-shaped SOF0 JPEGs synthesized NATIVELY in Spark SQL using
+# custom-but-legal Huffman tables chosen so every coded block is
+# byte-aligned: the DC table maps category 0 to the 2-bit code '00'
+# and category 6 to the 4-bit '0100', the AC table maps EOB to the
+# 6-bit '000000', so a cat-6 block is exactly 2 bytes (never 0xFF —
+# no stuffing) and a cat-0 block is the single byte 0x00. With quant
+# table all 8s, a DC-only block IDCTs to the flat value 128+V (the
+# dequantized coefficient 8V divided by 8), so the channel means have
+# closed forms the oracle computes without parsing a byte: gray
+# 128+vy; color floor-rounded JFIF YCbCr->RGB of (128+vy, 128+vcb,
+# 128+vcr). Three real-decode classes: 4:4:4 color up to 2x2 MCUs
+# (multi-MCU scan walk: later MCUs are all-cat-0 diffs), grayscale
+# (%7==5), and 4:2:0 single-MCU (%7==1: four Y blocks + subsampled
+# chroma, exercising the hmax/vmax upsampling). doc_id%7==3 rows carry
+# a progressive SOF2 prefix (status='needs_codec'), doc_id%5==0 rows
+# declare a 2-MCU geometry but ship one MCU (premature EOI inside the
+# entropy stream -> status='corrupt'), NULL ids a NULL payload.
+# The AC/run-length/restart surface the flat fixtures cannot reach is
+# pinned by the test-side encoder roundtrips (test_multimodal.py).
+# =============================================================================
+@q(
+    "multimodal_jpeg_pixel_stats",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             32 + doc_id % 32 AS vy,
+             -(32 + doc_id % 16) AS vcb,
+             -(32 + (doc_id // 16) % 16) AS vcr
+      FROM documents
+    ), c AS (
+      SELECT doc_id, vy, vcb, vcr,
+             CASE WHEN doc_id IS NULL THEN 'null_payload'
+                  WHEN doc_id % 7 = 3 THEN 'needs_codec'
+                  WHEN doc_id % 5 = 0 THEN 'corrupt'
+                  ELSE 'ok' END AS status,
+             doc_id % 7 = 5 AS is_gray,
+             CASE WHEN doc_id % 7 = 5 THEN doc_id % 8 + 1
+                  WHEN doc_id % 7 = 1 THEN doc_id % 16 + 1
+                  ELSE doc_id % 9 + 1 END AS w2,
+             CASE WHEN doc_id % 7 = 5 THEN (doc_id // 8) % 8 + 1
+                  WHEN doc_id % 7 = 1 THEN (doc_id // 16) % 16 + 1
+                  ELSE doc_id % 11 + 1 END AS h2
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           (CASE WHEN status = 'ok' THEN w2 END)::INTEGER AS width,
+           (CASE WHEN status = 'ok' THEN h2 END)::INTEGER AS height,
+           CASE WHEN status <> 'ok' THEN NULL
+                WHEN is_gray THEN (128 + vy)::DOUBLE
+                ELSE FLOOR(128 + vy + 1.402 * vcr + 0.5) END AS mean_r,
+           CASE WHEN status <> 'ok' THEN NULL
+                WHEN is_gray THEN (128 + vy)::DOUBLE
+                ELSE FLOOR((128 + vy) - 0.344136 * vcb - 0.714136 * vcr
+                           + 0.5) END AS mean_g,
+           CASE WHEN status <> 'ok' THEN NULL
+                WHEN is_gray THEN (128 + vy)::DOUBLE
+                ELSE FLOOR(128 + vy + 1.772 * vcb + 0.5) END AS mean_b,
+           status
+    FROM c
+    """,
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators import multimodal as MM
+
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    vy = (did % 32 + 32).cast("int")  # DC category 6, positive
+    e_cb = (31 - did % 16).cast("int")  # extra bits of vcb = -(32+d%16)
+    e_cr = (31 - (F.expr("doc_id div 16") % 16)).cast("int")
+
+    def be2(col):
+        return F.unhex(F.lpad(F.hex(col), 4, "0"))
+
+    def cat6(e):
+        # '0100' + 6 extra bits + '000000' EOB = 2 exact bytes
+        return F.concat(
+            F.unhex(F.lpad(F.hex((e / 4).cast("int") + 64), 2, "0")),
+            F.unhex(F.lpad(F.hex((e % 4) * 64), 2, "0")),
+        )
+
+    # fixed table segments: quant all 8s; DC {cat0->'00', cat6->'0100'};
+    # AC {EOB->'000000'}
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 21) + b"\x00"
+        + bytes([0, 1, 0, 1] + [0] * 12) + bytes([0x00, 0x06])
+        + b"\xff\xc4" + struct.pack(">H", 20) + b"\x10"
+        + bytes([0, 0, 0, 0, 0, 1] + [0] * 10) + bytes([0x00])
+    )
+    head = F.lit(b"\xff\xd8" + dqt + dht)
+    sos3 = b"\xff\xda\x00\x0c\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
+    sos1 = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    eoi = F.lit(b"\xff\xd9")
+
+    def sof(ncomp: int, y_samp: int, w, h):
+        if ncomp == 1:
+            return F.concat(
+                F.lit(b"\xff\xc0\x00\x0b\x08"), be2(h), be2(w),
+                F.lit(b"\x01\x01\x11\x00"),
+            )
+        return F.concat(
+            F.lit(b"\xff\xc0\x00\x11\x08"), be2(h), be2(w),
+            F.lit(bytes([3, 1, y_samp, 0, 2, 0x11, 0, 3, 0x11, 0])),
+        )
+
+    mcu1 = F.concat(cat6(vy), cat6(e_cb), cat6(e_cr))
+    # 4:4:4 color up to 2x2 MCUs; MCUs after the first are 3 cat-0
+    # blocks = 3 zero bytes each (flat image: all later DC diffs 0)
+    w3 = (did % 9 + 1).cast("int")
+    h3 = (did % 11 + 1).cast("int")
+    n_mcu = F.ceil(w3 / 8) * F.ceil(h3 / 8)
+    color = F.concat(
+        head, sof(3, 0x11, w3, h3), F.lit(sos3), mcu1,
+        F.lit(bytes(9)).substr(F.lit(1), (3 * (n_mcu - 1)).cast("int")),
+        eoi,
+    )
+    # grayscale single MCU
+    wg = (did % 8 + 1).cast("int")
+    hg = (F.expr("doc_id div 8") % 8 + 1).cast("int")
+    gray = F.concat(head, sof(1, 0x11, wg, hg), F.lit(sos1), cat6(vy), eoi)
+    # 4:2:0 single MCU: Y1 cat-6 + Y2..Y4 cat-0 + chroma
+    w4 = (did % 16 + 1).cast("int")
+    h4 = (F.expr("doc_id div 16") % 16 + 1).cast("int")
+    j420 = F.concat(
+        head, sof(3, 0x22, w4, h4), F.lit(sos3),
+        cat6(vy), F.lit(bytes(3)), cat6(e_cb), cat6(e_cr), eoi,
+    )
+    # corrupt: declares 16x8 (2 MCUs) but ships one -> premature EOI
+    trunc = F.concat(
+        head, sof(3, 0x11, F.lit(16), F.lit(8)), F.lit(sos3), mcu1, eoi
+    )
+    prog = F.lit(b"\xff\xd8\xff\xc2")  # needs_codec: progressive SOF2
+    payload = (
+        F.when(did % 7 == 3, prog)
+        .when(did % 5 == 0, trunc)
+        .when(did % 7 == 5, gray)
+        .when(did % 7 == 1, j420)
+        .otherwise(color)
+    )
+    media = docs.select(did.alias("media_id"), payload.alias("payload"))
+    return MM.image_pixel_stats(media)
+
+
+# =============================================================================
 # Embedding ingestion gate — non-finite components (r10): the vector
 # analog of events_nonfinite_audit, closing the finite-inputs contract
 # for the 25-query vector family. The r10 probe (NaN/Inf components

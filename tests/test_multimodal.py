@@ -1849,3 +1849,45 @@ def test_image_pixel_stats_jpeg_real_decode(spark):
     assert got[3] == (13, 11, float(exp_r), float(exp_g), float(exp_b), "ok")
     assert got[4] == (None, None, None, None, None, "needs_codec")
     assert got[5] == (None, None, None, None, None, "corrupt")
+
+
+def test_jpeg_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
+    """multimodal_jpeg_pixel_stats vs its closed-form oracle on NULL
+    and 10-digit doc_ids, plus ids hitting every class and precedence
+    branch: 0/5/15/40 (corrupt, incl. %7-class collisions), 3/10
+    (needs_codec, incl. the %5 collision at 10), 12/26 (grayscale),
+    8/22 (4:2:0), 2/4/6/11/13 (4:4:4 incl. multi-MCU geometries)."""
+    import duckdb
+
+    from social_and_media_data_ingestion_spark.plans.queries import registry
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import (
+        multimodal_jpeg_pixel_stats,
+    )
+
+    ids = (0, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 15, 22, 26, 40, 9999999999)
+    rows = [(i, "s", "x") for i in ids]
+    rows.append((None, "s", "x"))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        multimodal_jpeg_pixel_stats(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("media_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(registry()["multimodal_jpeg_pixel_stats"].oracle)
+        .fetchdf()
+        .sort_values("media_id", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(want.astype(str))
+    by_id = {r.media_id: r.status for _, r in got.iterrows()}
+    assert by_id[12] == "ok" and by_id[8] == "ok" and by_id[2] == "ok"
+    assert by_id[10] == "needs_codec" and by_id[40] == "corrupt"
