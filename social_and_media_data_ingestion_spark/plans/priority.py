@@ -27,73 +27,68 @@ PRIORITY_HEAD = [
     # ================= round-12 head =================
     # Composition, in rotation-policy order:
     #   1. the round's growth query (never sampled): the REAL stdlib
-    #      baseline-JPEG pixel decode (Huffman entropy decode + dequant
-    #      + sparse IDCT + YCbCr->RGB), proved at scale by natively-SQL
-    #      synthesized SOF0 JPEGs whose custom-but-legal Huffman tables
-    #      make every coded block byte-aligned and whose DC-only blocks
-    #      IDCT to closed-form flat planes the oracle computes without
-    #      parsing a byte;
-    #   2. every query whose closure changed in r12 — the five
-    #      multimodal closures riding decode_jpeg's arrival (pixel_stats
-    #      routes baseline JPEG for real + the TIFF needs_codec advice
-    #      fix; png/gif's needs_codec class switched to a progressive
-    #      SOF2 prefix; dim_sniff's truncated-IFD-entry guard;
-    #      image_profile rides decode_images' JPEG routing);
-    #   3. fill to 50 with the oldest-evidence fresh rows: the 17
-    #      remaining r5 rows + the first 27 r6 rows (ledger order).
+    #      baseline-JPEG pixel decode, proved by natively-SQL-
+    #      synthesized SOF0 fixtures with closed-form channel means;
+    #   2. every query whose closure changed in r12 — the 5 multimodal
+    #      closures riding decode_jpeg's arrival + the TIFF advice
+    #      fixes, and the ~36 closures touched by the numeric-extremes
+    #      repairs: the magnitude-safe _r rounding helper (Spark's
+    #      long-typed floor saturated at 2^63), the five
+    #      sufficient-statistic queries whose int64 moment sums became
+    #      128-bit (decimal(38,0)/HUGEINT), and the quantize-first
+    #      cohort-LTV rewrite;
+    #   3. fill to 50 with the oldest-evidence fresh rows (r5 cohort,
+    #      ledger order).
     "multimodal_jpeg_pixel_stats",
-    # -- changed in r12
-    "multimodal_image_pixel_stats",
-    "multimodal_png_pixel_stats",
-    "multimodal_gif_pixel_stats",
-    "multimodal_image_dim_sniff",
-    "multimodal_image_profile",
-    # -- oldest evidence (r5) re-proof
     "corpus_dedup_rate_by_source",
     "events_conversion_wilson",
-    "j10_asof_tolerance_1h",
-    "j11_asof_nearest_purchase",
-    "q11_important_parts",
-    "q12_priority_by_flag",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_banded_revenue",
-    "q20_excess_shippers",
-    "q22_idle_balances",
-    "stream_dedup_watermark",
-    "stream_stateful_running_totals",
+    "corpus_mixture_weights",
+    "supplier_revenue_gini",
+    "emb_knn_label_audit",
+    "events_srm_check",
+    "lineitem_abc_pareto",
+    "lineitem_anova_returnflag",
+    "ml_split_leakage_audit",
+    "orders_ab_welch_ttest",
+    "orders_cuped_theta",
+    "orders_daily_trend",
+    "stats_kruskal_wallis_returnflag",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_status",
+    "stats_spearman_qty_price",
+    "text_shingle_novelty",
+    "dedup_shingle_containment",
+    "dq_constraint_report",
+    "events_autocorrelation",
+    "events_markov_stationary",
+    "events_resample_gapfill",
+    "ml_naive_bayes_source",
+    "events_chi2_type_weekday",
+    "events_retention_matrix",
+    "events_seasonal_anomaly",
+    "events_stickiness_weekly",
+    "graph_adamic_adar_suppliers",
+    "join_bloom_filter_audit",
+    "ml_drift_psi",
+    "multimodal_gif_pixel_stats",
+    "multimodal_image_dim_sniff",
+    "multimodal_image_pixel_stats",
+    "multimodal_image_profile",
+    "multimodal_png_pixel_stats",
+    "orders_cohort_ltv",
+    "orders_forecast_backtest",
+    "stats_theil_sen_trend",
+    "stats_winsorized_prices",
+    "text_bm25_scores",
+    "text_feature_hashing",
+    "text_rrf_fusion",
     "supplier_concentration_hhi",
     "text_type_token_ratio",
-    # -- oldest evidence (r6) re-proof
-    "dedup_ngram_jaccard",
-    "agg_percentiles",
-    "agg_corr_stats",
-    "agg_collect_sorted",
-    "window_running_revenue",
-    "window_lag_delta",
-    "window_dense_rank_parts",
-    "explode_token_topk",
-    "text_shingles_3gram",
-    "scalar_levenshtein",
-    "scalar_date_arithmetic",
-    "events_daily_active",
-    "sql_passthrough_agg",
-    "events_value_histogram",
-    "window_percentile_standing",
-    "agg_mode_event_type",
-    "unpivot_price_components",
-    "text_boilerplate_fraction",
-    "events_audience_overlap",
-    "docs_topk_per_source",
-    "agg_bitwise_masks",
-    "events_hour_profile",
-    "customer_segment_mix",
-    "orders_size_distribution",
-    "lineitem_ship_latency",
-    "agg_filtered_counts",
-    "events_repeat_runs",
+    "stream_stateful_running_totals",
+    "stream_dedup_watermark",
+    "j10_asof_tolerance_1h",
+    "j11_asof_nearest_purchase",
+    "q13_order_distribution",
 ]
 
 

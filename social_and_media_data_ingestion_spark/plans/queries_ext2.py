@@ -2206,6 +2206,13 @@ def customer_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reduces to (cohort, months_since) revenue cells before the cumulative
 # window, which then runs over the tiny triangle. Complements
 # events_weekly_retention (presence) with revenue accumulation.
+# Revenue is fixed to integer cents PER ORDER before any sum (the
+# daily-trend convention) and accumulated in 128-bit integers (DuckDB
+# HUGEINT / Spark decimal(38,0)) — the r12 numeric-extremes probe
+# caught the previous raw-double spelling twice over: the float cell
+# sums were summation-order-dependent at 1e12-dollar magnitudes, and
+# Spark's long-typed floor SATURATED the cumulative at 2^63 (a 1.8e20
+# silently reported as 9.2e18) while DuckDB's double floor did not.
 # =============================================================================
 @q(
     "orders_cohort_ltv",
@@ -2220,14 +2227,14 @@ def customer_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.cohort_mi,
              (date_part('year', o.o_orderdate) * 12
               + date_part('month', o.o_orderdate)) - f.cohort_mi AS months_since,
-             sum(o.o_totalprice) AS rev
+             sum(floor(o.o_totalprice * 100 + 0.5)::HUGEINT) AS rev_cents
       FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
       GROUP BY 1, 2
     )
     SELECT CAST(cohort_mi AS BIGINT) AS cohort_mi,
            CAST(months_since AS BIGINT) AS months_since,
-           floor(sum(rev) OVER (PARTITION BY cohort_mi ORDER BY months_since
-                                ROWS UNBOUNDED PRECEDING) * 100 + 0.5) / 100
+           (sum(rev_cents) OVER (PARTITION BY cohort_mi ORDER BY months_since
+                                 ROWS UNBOUNDED PRECEDING))::DOUBLE / 100
              AS cum_revenue
     FROM rev
     """,
@@ -2244,10 +2251,14 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             mi.alias("mi"),
             F.min(mi).over(wc).alias("cohort_mi"),
-            "o_totalprice",
+            # integer cents per order, accumulated in decimal(38,0) —
+            # the 128-bit twin of the oracle's HUGEINT (header comment)
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("decimal(19,0)")
+            .alias("cents"),
         )
         .groupBy("cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("months_since"))
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(F.sum("cents").alias("rev_cents"))
     )
     w = (
         Window.partitionBy("cohort_mi")
@@ -2257,7 +2268,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.select(
         "cohort_mi",
         "months_since",
-        (F.floor(F.sum("rev").over(w) * 100 + F.lit(0.5)) / 100).alias(
+        (F.sum("rev_cents").over(w).cast("double") / 100).alias(
             "cum_revenue"
         ),
     )

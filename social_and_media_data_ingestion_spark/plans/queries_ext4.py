@@ -54,9 +54,23 @@ from social_and_media_data_ingestion_spark.plans.tables import (
 
 def _r(col, dp: int):
     """floor(x*10^dp + 0.5)/10^dp — the repo's cross-engine rounding
-    (half-away-from-zero on both engines, unlike round())."""
+    (half-away-from-zero on both engines, unlike round()).
+
+    Magnitude-safe (r12 numeric-extremes probe): Spark's floor(double)
+    returns LONG, which SATURATES at ±2^63 — a 1e18-cent prediction
+    silently rounded to 9.2e16 while DuckDB's double-native floor kept
+    the value. Past 2^62 the +0.5-and-floor is an arithmetic identity
+    anyway (double spacing there is >= 1024, so x*10^dp is already an
+    integer and +0.5 cannot change it), so the guard reproduces
+    DuckDB's double path bit-for-bit: (x*10^dp + 0.5)/10^dp with no
+    floor. NaN/Inf take the identity branch too instead of wrapping
+    through a garbage LONG."""
     m = 10.0**dp
-    return F.floor(col * m + F.lit(0.5)) / F.lit(m)
+    v = col * m + F.lit(0.5)
+    return (
+        F.when(F.abs(v) < F.lit(float(2**62)), F.floor(v) / F.lit(m))
+        .otherwise(v / F.lit(m))
+    )
 
 
 # =============================================================================
@@ -1150,11 +1164,15 @@ def ml_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1, 2
     ),
     stats AS (
+      -- sy/sxy stay in DuckDB's native HUGEINT sum type (no ::BIGINT
+      -- narrowing): the r12 numeric-extremes probe showed the int64
+      -- forms crash at 1e12-dollar rows; Spark mirrors with
+      -- decimal(38,0) so both engines hold the same exact integers
       SELECT o_orderpriority,
              count(*)::BIGINT AS n_days,
              sum(x)::BIGINT AS sx,
-             sum(y_cents)::BIGINT AS sy,
-             sum(x * y_cents)::BIGINT AS sxy,
+             sum(y_cents) AS sy,
+             sum(x * y_cents) AS sxy,
              sum(x * x)::BIGINT AS sxx
       FROM daily GROUP BY 1
     )
@@ -1183,7 +1201,9 @@ def orders_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
         .groupBy("o_orderpriority", "x")
-        .agg(F.sum("cents").alias("y_cents"))
+        # decimal widening: the 128-bit twin of the oracle's HUGEINT
+        # sums (see the oracle's stats comment)
+        .agg(F.sum(F.col("cents").cast("decimal(19,0)")).alias("y_cents"))
     )
     stats = daily.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_days"),

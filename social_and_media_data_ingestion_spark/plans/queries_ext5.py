@@ -77,9 +77,23 @@ _EPOCH = "2000-01-01"
 
 def _r(col, dp: int):
     """floor(x*10^dp + 0.5)/10^dp — the repo's cross-engine rounding
-    (half-away-from-zero on both engines, unlike round())."""
+    (half-away-from-zero on both engines, unlike round()).
+
+    Magnitude-safe (r12 numeric-extremes probe): Spark's floor(double)
+    returns LONG, which SATURATES at ±2^63 — a 1e18-cent prediction
+    silently rounded to 9.2e16 while DuckDB's double-native floor kept
+    the value. Past 2^62 the +0.5-and-floor is an arithmetic identity
+    anyway (double spacing there is >= 1024, so x*10^dp is already an
+    integer and +0.5 cannot change it), so the guard reproduces
+    DuckDB's double path bit-for-bit: (x*10^dp + 0.5)/10^dp with no
+    floor. NaN/Inf take the identity branch too instead of wrapping
+    through a garbage LONG."""
     m = 10.0**dp
-    return F.floor(col * m + F.lit(0.5)) / F.lit(m)
+    v = col * m + F.lit(0.5)
+    return (
+        F.when(F.abs(v) < F.lit(float(2**62)), F.floor(v) / F.lit(m))
+        .otherwise(v / F.lit(m))
+    )
 
 
 # =============================================================================
@@ -2066,8 +2080,13 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     ),
     train AS (
+      -- sy/sxy in HUGEINT (Spark: decimal(38,0)): the r12 numeric-
+      -- extremes probe crashed the int64 forms at 1e12-dollar rows;
+      -- per-day y itself stays BIGINT (it is the actual_cents output
+      -- and a single day's revenue fitting int64 is the documented
+      -- quantization domain)
       SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-             sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+             sum(y) AS sy, sum(x::HUGEINT * y) AS sxy,
              sum(x * x)::BIGINT AS sxx
       FROM daily WHERE x < split
     )
@@ -2117,8 +2136,10 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = daily.filter(F.col("x") < F.col("split")).agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        # decimal widening: the 128-bit twin of the oracle's HUGEINT
+        # sums (see the oracle's train comment)
+        F.sum(F.col("y").cast("decimal(19,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     j = daily.filter(F.col("x") >= F.col("split")).crossJoin(F.broadcast(tr))
@@ -2554,23 +2575,28 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Statistical testing — one-way ANOVA of order-line price across return
 # flags (does the group mean differ more than chance?). Per-group
 # sufficient statistics (n, Σx, Σx²) are exact integers in WHOLE
-# dollars (cents² would overflow int64 at cluster row counts); the only
-# order-sensitive float reduce — Σ_g (Σx_g)²/n_g — left-folds the
-# SORTED per-group terms so both engines compute the identical F.
+# dollars, with the squared terms held in 128-bit integers (Spark
+# decimal(38,0) / DuckDB HUGEINT — r12 numeric-extremes probe: a
+# single 1e12-dollar row made the int64 square an ANSI crash, and one
+# absurd row must never kill a cluster job; 128-bit keeps the sums
+# EXACT to ~1e38 and both engines cast the same exact integer to
+# double). The only order-sensitive float reduce — Σ_g (Σx_g)²/n_g —
+# left-folds the SORTED per-group terms so both engines compute the
+# identical F.
 # =============================================================================
 @q(
     "lineitem_anova_returnflag",
     """
     WITH g AS (
       SELECT l_returnflag, count(*)::BIGINT AS n,
-             sum(floor(l_extendedprice)::BIGINT)::BIGINT AS s,
-             sum(floor(l_extendedprice)::BIGINT
-                 * floor(l_extendedprice)::BIGINT)::BIGINT AS ss
+             sum(floor(l_extendedprice)::HUGEINT) AS s,
+             sum(floor(l_extendedprice)::HUGEINT
+                 * floor(l_extendedprice)::BIGINT) AS ss
       FROM lineitem GROUP BY 1
     ),
     agg AS (
       SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
-             sum(s)::BIGINT AS stot, sum(ss)::BIGINT AS sstot,
+             sum(s) AS stot, sum(ss) AS sstot,
              list_reduce(list_sort(list(s::DOUBLE * s / n)), (a, b) -> a + b)
                AS sum_sq_over_n
       FROM g
@@ -2589,7 +2615,9 @@ def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     g = li.select(
         "l_returnflag",
-        F.floor("l_extendedprice").cast("bigint").alias("d"),
+        # decimal(19,0) factors -> decimal(38,0) products/sums: the
+        # 128-bit twin of the oracle's HUGEINT (see header comment)
+        F.floor("l_extendedprice").cast("decimal(19,0)").alias("d"),
     ).groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum("d").alias("s"),
@@ -3103,9 +3131,13 @@ def events_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X = each customer's PRE-period spend and Y = POST-period spend (split
 # at the integer epoch midpoint of the order range), and the achievable
 # variance reduction ρ² = cov²/(var X · var Y). Per-customer spends are
-# exact integer whole dollars; the final moment products evaluate in
-# DOUBLE (the int64 forms overflow at cluster row counts) — identical
-# IEEE expressions on both engines.
+# exact integer whole dollars held in 128-bit integers (Spark
+# decimal(38,0) / DuckDB HUGEINT — r12 numeric-extremes probe: the
+# int64 moment products x·y, x², y² were an ANSI crash at 1e12-dollar
+# spends, and one absurd row must never kill a cluster job; 128-bit
+# keeps every sufficient statistic EXACT to ~1e38); the final moment
+# combinations evaluate in DOUBLE — identical IEEE expressions on both
+# engines from the same exact integers.
 # =============================================================================
 @q(
     "orders_cuped_theta",
@@ -3118,19 +3150,19 @@ def events_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_c AS (
       SELECT o_custkey,
              sum(CASE WHEN epoch_us(o.o_orderdate) < b.mid
-                      THEN floor(o.o_totalprice)::BIGINT ELSE 0 END)::BIGINT
+                      THEN floor(o.o_totalprice)::HUGEINT ELSE 0 END)
                AS x,
              sum(CASE WHEN epoch_us(o.o_orderdate) >= b.mid
-                      THEN floor(o.o_totalprice)::BIGINT ELSE 0 END)::BIGINT
+                      THEN floor(o.o_totalprice)::HUGEINT ELSE 0 END)
                AS y
       FROM orders o, bounds b
       GROUP BY 1
     ),
     s AS (
       SELECT count(*)::BIGINT AS n,
-             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-             sum(x * y)::BIGINT AS sxy,
-             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
       FROM per_c
     )
     SELECT n,
@@ -3158,22 +3190,22 @@ def orders_cuped_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mid")
     )
-    dollars = F.floor("o_totalprice").cast("bigint")
+    # decimal(19,0) dollars -> decimal(38,0) moment products: the
+    # 128-bit twin of the oracle's HUGEINT (see header comment)
+    dollars = F.floor("o_totalprice").cast("decimal(19,0)")
     per_c = (
         orders.crossJoin(F.broadcast(bounds))
         .groupBy("o_custkey")
         .agg(
             F.sum(
                 F.when(F.unix_micros(F.col("o_orderdate").cast("timestamp")) < F.col("mid"), dollars)
-                .otherwise(0)
+                .otherwise(F.lit(0).cast("decimal(19,0)"))
             )
-            .cast("bigint")
             .alias("x"),
             F.sum(
                 F.when(F.unix_micros(F.col("o_orderdate").cast("timestamp")) >= F.col("mid"), dollars)
-                .otherwise(0)
+                .otherwise(F.lit(0).cast("decimal(19,0)"))
             )
-            .cast("bigint")
             .alias("y"),
         )
     )
@@ -3279,12 +3311,15 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     s AS (
+      -- s/ss in HUGEINT (Spark: decimal(38,0)): the r12 numeric-
+      -- extremes probe crashed the int64 square d*d at 1e12-dollar
+      -- rows — 128-bit keeps the arm statistics exact to ~1e38
       SELECT count(*) FILTER (arm = 0)::BIGINT AS n0,
              count(*) FILTER (arm = 1)::BIGINT AS n1,
-             sum(d) FILTER (arm = 0)::BIGINT AS s0,
-             sum(d) FILTER (arm = 1)::BIGINT AS s1,
-             sum(d * d) FILTER (arm = 0)::BIGINT AS ss0,
-             sum(d * d) FILTER (arm = 1)::BIGINT AS ss1
+             sum(d::HUGEINT) FILTER (arm = 0) AS s0,
+             sum(d::HUGEINT) FILTER (arm = 1) AS s1,
+             sum(d::HUGEINT * d) FILTER (arm = 0) AS ss0,
+             sum(d::HUGEINT * d) FILTER (arm = 1) AS ss1
       FROM base
     )
     SELECT n0, n1,
@@ -3314,12 +3349,16 @@ def orders_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _RDV_P
             % 2
         ).alias("arm"),
-        F.floor("o_totalprice").cast("bigint").alias("d"),
+        # decimal(19,0) dollars -> decimal(38,0) squares/sums: the
+        # 128-bit twin of the oracle's HUGEINT (see oracle comment)
+        F.floor("o_totalprice").cast("decimal(19,0)").alias("d"),
     )
 
     def _f(expr, arm):
-        return F.sum(F.when(F.col("arm") == arm, expr).otherwise(0)).cast(
-            "bigint"
+        return F.sum(
+            F.when(F.col("arm") == arm, expr).otherwise(
+                F.lit(0).cast("decimal(19,0)")
+            )
         )
 
     # count_if (COUNT semantics: 0 on empty) for the arm sizes, and

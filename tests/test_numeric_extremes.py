@@ -1,0 +1,386 @@
+"""Numeric-extremes harness (round 12) — the next adversarial probe in
+the r7-r12 lineage (nulls → empty/one-row → dup-PK → hostile docs/names
+→ non-finite → skew → time → NUMERIC EXTREMES): every single-table
+registry query over events / orders / lineitem / embeddings runs
+against tables whose numeric columns sit on floating-point and integer
+trap doors, Spark vs its DuckDB oracle.
+
+The trap doors, and what each one catches:
+
+- NEAR-EQUAL LARGE CLUSTERS (1e12 + small ints): variance/covariance
+  via sum-of-squares identities cancels catastrophically and becomes
+  summation-order-dependent.
+- THE 2^53 INTEGER BOUNDARY (9007199254740991/2): doubles stop
+  representing consecutive integers; float SUMs become order-dependent
+  while integer-quantized sums stay exact. This is the 10^12-row-analog
+  probe of the int64-quantization contract.
+- CENTS AT MAGNITUDE (1e12 + k + 0.37): fractional cents whose double
+  ulp is ~1e-4 — round-to-cents is still deterministic, raw float
+  aggregation is not. Quantized squares/cross-products reach 1e28+,
+  far past int64: the probe CRASHED five sufficient-statistic queries
+  (ANSI long overflow) until their moment sums were widened to 128-bit
+  integers (Spark decimal(38,0) / DuckDB HUGEINT) in r12, and caught
+  Spark's long-typed floor SATURATING the rounding helper at 2^63
+  (fixed with the magnitude-identity guard in _r / orders_cohort_ltv).
+- SUBNORMALS (5e-324 doubles; 1.4e-45 float32 components): gradual
+  underflow; norms of all-subnormal vectors hit the zero-norm guards.
+- ABSORPTION (1e-300 rows inside 1e12 clusters): x + tiny == x.
+- SIGNED ZERO (-0.0): min/max/repr conventions differ per engine; the
+  tolerance lens treats -0.0 == 0.0 (|a-b| = 0).
+- FLOAT32 EXACT LATTICE (2^30 + k*2^7 embedding components): exactly
+  representable in the embeddings' FLOAT storage, so differences are
+  computation shape, never parquet decode.
+
+WHAT THE SWEEP ASSERTS — the contract lens:
+
+Bit-exact cross-engine equality of float reductions over UNQUANTIZABLE
+doubles at these magnitudes is not achievable by ANY engine pair (the
+sum's value depends on partial-aggregation order, which neither SQL
+semantics nor the 100 TB contract pins). So the sweep requires:
+  (1) NO CRASH — one absurd row must never kill a cluster job;
+  (2) rowcounts and every non-float column exactly equal;
+  (3) every float column within 1e-9 RELATIVE of the oracle — passes
+      the benign ulp noise of order-dependent summation (observed
+      <= 5e-13 across the registry) while failing wrong formulas,
+      saturation, and overflow wraps by many orders of magnitude.
+Queries whose outputs are integer-quantized end-to-end are bit-equal
+under this lens automatically (diff 0), and the six repaired in r12
+are additionally pinned bit-exact by the named test below.
+
+DOCUMENTED-INHERENT skip-list (weaker check: no-crash + rowcount +
+non-float equality only): statistics that are mathematically
+degenerate on these shapes, where both engines' answers are garbage of
+the same magnitude and agreement would be numerological —
+  - agg_linear_regression: OLS intercept over an unquantizable double
+    with near-total cancellation in n·Σxy − Σx·Σy;
+  - events_time_weighted_avg: Σ(v·Δt)/ΣΔt where ±1e12 contributions
+    cancel to a small result (relative error is unbounded by
+    construction);
+  - agg_corr_stats: built-in covar/corr accumulate co-moments in
+    engine-specific orders; cancellation amplifies the difference;
+  - stats_winsorized_prices: percentile CLIPPING is discontinuous —
+    a 1-ulp interpolation difference at 2^53 flips a row's clipped
+    value, a legitimate convention gap, not an error;
+  - emb_dim_variance: ranks dimensions BY a variance that is exactly 0
+    in exact arithmetic for the lattice class — both engines produce
+    ~1e-16 noise of either sign and the rank order is undefined.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pytest
+
+from social_and_media_data_ingestion_spark.plans.queries import registry
+
+from test_skew_stress import _single_table_queries
+
+# statistics that are mathematically degenerate on the trap-door
+# shapes (see module docstring) — swept for crash/rowcount/non-float
+# equality only
+_INHERENT = {
+    "agg_linear_regression",
+    "events_time_weighted_avg",
+    "agg_corr_stats",
+    "stats_winsorized_prices",
+    "emb_dim_variance",
+}
+
+# doubles on the trap doors (events.value)
+_X_VALUES = [
+    1e12, 1e12 + 1, 1e12 + 3, 1e12 + 6,          # near-equal large
+    9007199254740991.0, 9007199254740992.0,       # 2^53 boundary
+    -9007199254740991.0,
+    5e-324, 1e-310, 2.2250738585072014e-308,      # subnormal / min-normal
+    -5e-324,
+    1e-300,                                       # absorbed next to 1e12
+    0.0, -0.0,
+    123.456, -987.125,                            # mundane controls
+]
+
+
+@pytest.fixture(scope="module")
+def xnum_events_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("xnumevents")
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for i in range(240):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=i * 7),
+                (i % 9) + 1,
+                ["view", "click", "purchase"][i % 3],
+                _X_VALUES[i % len(_X_VALUES)],
+                '{"k": 1}',
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def xnum_orders_dir(spark, tmp_path_factory):
+    """o_totalprice at cents-quantization magnitude: 1e12 + k + .37
+    (ulp ~1.2e-4, so round-to-cents is exact and deterministic) mixed
+    with 2^53-adjacent integer-valued doubles. Quantized cents sum to
+    ~2e18 over the fixture and their squares/cross-products reach 1e33
+    — inside the 128-bit domain, far past int64."""
+    tmp = tmp_path_factory.mktemp("xnumorders")
+    rows = []
+    for i in range(200):
+        if i % 5 == 4:
+            price = 9007199254740991.0 - (i % 3)  # 2^53 boundary ints
+        else:
+            price = 1e12 + (i * 7) % 97 + [0.0, 0.25, 0.37, 0.5][i % 4]
+        rows.append(
+            (
+                i,
+                (i % 31) + 1,
+                ["O", "F", "P"][i % 3],
+                price,
+                dt.datetime(2024, 1, 1 + (i % 28)),
+                f"{(i % 5) + 1}-X",
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def xnum_lineitem_dir(spark, tmp_path_factory):
+    """l_extendedprice on the same cents lattice at 1e12; l_discount /
+    l_tax on the [0, 1] boundary including the 0.005 rounding
+    knife-edge; l_quantity up to 1e9 (quantity*price products then
+    reach 1e21 in doubles — finite, but any path casting a product to
+    bigint would crash here)."""
+    tmp = tmp_path_factory.mktemp("xnumlineitem")
+    rows = []
+    for i in range(240):
+        price = 1e12 + (i * 13) % 89 + [0.0, 0.25, 0.37, 0.5][i % 4]
+        rows.append(
+            (
+                (i // 4) + 1,
+                (i % 25) + 1,
+                (i % 10) + 1,
+                (i % 4) + 1,
+                float([1, 7, 50, 10 ** 9][i % 4]),
+                price,
+                [0.0, 0.005, 0.1, 1.0][i % 4],
+                [0.0, 0.005, 0.08][i % 3],
+                ["R", "A", "N"][i % 3],
+                ["O", "F"][i % 2],
+                dt.datetime(2024, 2, 1 + (i % 28)),
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber bigint, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def xnum_embeddings_dir(spark, tmp_path_factory):
+    """64-dim FLOAT vectors on the float32 trap doors: the exact
+    2^30 + k*2^7 lattice, subnormal float32 components (1.4e-45),
+    zero vectors (zero-norm guards), and 1e18-component vectors
+    (squares reach 1e36 — finite in float32's double promotion, inf
+    only if a path wrongly narrows an intermediate)."""
+    tmp = tmp_path_factory.mktemp("xnumemb")
+    rows = []
+    for i in range(80):
+        cls = i % 5
+        if cls == 0:  # float32-exact near-equal lattice
+            vec = [float(2 ** 30 + ((i + j) % 7) * 2 ** 7) for j in range(64)]
+        elif cls == 1:  # subnormal components
+            vec = [1.4e-45 if (i + j) % 3 == 0 else 1e-40 for j in range(64)]
+        elif cls == 2:  # zero vector
+            vec = [0.0] * 64
+        elif cls == 3:  # huge components
+            vec = [1e18 if (i + j) % 9 == 0 else float(j) for j in range(64)]
+        else:  # mundane control
+            vec = [float((i * 64 + j) % 23) / 7.0 for j in range(64)]
+        rows.append((i, vec, i % 10))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label bigint"
+    ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+    return str(tmp)
+
+
+def _tolerance_sweep(spark, reg, names, sf_dir, con, rel_tol=1e-9):
+    """Contract-lens compare (module docstring): crash-free, rowcounts
+    + non-float columns exact, float columns within rel_tol; queries in
+    _INHERENT skip the float comparison."""
+    bad = []
+    for name in names:
+        qd = reg[name]
+        try:
+            got = qd.spark(spark, sf_dir).toPandas()
+            want = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001 - collect, report all
+            bad.append(f"{name}: CRASH {type(e).__name__}: {str(e)[:120]}")
+            continue
+        cols = sorted(got.columns)
+        if sorted(want.columns) != cols:
+            bad.append(f"{name}: column mismatch")
+            continue
+        if len(got) != len(want):
+            bad.append(f"{name}: rowcount {len(got)} vs {len(want)}")
+            continue
+        fcols = [
+            c
+            for c in cols
+            if got[c].dtype.kind in "fc" or want[c].dtype.kind in "fc"
+        ]
+        kcols = [c for c in cols if c not in fcols]
+        # align on non-float columns first, then rounded floats (a raw
+        # float sort key would let ulp noise permute the alignment)
+        def skey(df):
+            import pandas as pd
+
+            parts = {c: df[c].astype(str) for c in kcols}
+            for c in fcols:
+                parts[c] = df[c].astype(float).map(
+                    lambda v: f"{v:.6e}" if v == v else "nan"
+                )
+            # key columns take sort priority — a float sort key first
+            # would let ulp/rounding ties permute the row alignment
+            return df.assign(**{f"_k_{c}": parts[c] for c in parts}).sort_values(
+                [f"_k_{c}" for c in kcols + fcols]
+            ).reset_index(drop=True)
+
+        if name == "emb_dim_variance":
+            # fully degenerate here (docstring): the output's rank and
+            # dim ORDINALS are assigned by a variance that is 0 in
+            # exact arithmetic, so even the non-float columns are
+            # noise-ordered — rowcount + no-crash is the whole contract
+            continue
+        gs, ws = skey(got), skey(want)
+        for c in kcols:
+            if not gs[c].astype(str).equals(ws[c].astype(str)):
+                bad.append(f"{name}: non-float column {c} differs")
+                break
+        else:
+            if name in _INHERENT:
+                continue  # documented: float values are degenerate here
+            for c in fcols:
+                aa = gs[c].astype(float).to_numpy()
+                bb = ws[c].astype(float).to_numpy()
+                both_nan = np.isnan(aa) & np.isnan(bb)
+                denom = np.maximum(np.maximum(np.abs(aa), np.abs(bb)), 1e-300)
+                d = np.abs(aa - bb) / denom
+                d[both_nan] = 0.0
+                if np.isnan(d).any():
+                    bad.append(f"{name}: NaN mismatch in {c}")
+                    break
+                if len(d) and float(np.max(d)) > rel_tol:
+                    bad.append(
+                        f"{name}: {c} rel diff {float(np.max(d)):.3e}"
+                    )
+                    break
+    return bad
+
+
+def _view(con, table, sf_dir):
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/{table}.parquet/*.parquet')"
+    )
+
+
+def test_every_events_query_survives_numeric_extremes(spark, xnum_events_dir):
+    con = duckdb.connect()
+    _view(con, "events", xnum_events_dir)
+    reg = registry()
+    names = _single_table_queries(
+        "events", skip={"agg_quantile_sketch_audit"}
+    )
+    assert len(names) >= 40
+    bad = _tolerance_sweep(spark, reg, names, xnum_events_dir, con)
+    assert not bad, "\n".join(bad)
+
+
+def test_every_orders_query_survives_numeric_extremes(spark, xnum_orders_dir):
+    con = duckdb.connect()
+    _view(con, "orders", xnum_orders_dir)
+    reg = registry()
+    names = _single_table_queries("orders")
+    assert len(names) >= 10
+    bad = _tolerance_sweep(spark, reg, names, xnum_orders_dir, con)
+    assert not bad, "\n".join(bad)
+
+
+def test_every_lineitem_query_survives_numeric_extremes(
+    spark, xnum_lineitem_dir
+):
+    con = duckdb.connect()
+    _view(con, "lineitem", xnum_lineitem_dir)
+    reg = registry()
+    names = _single_table_queries("lineitem")
+    assert len(names) >= 8
+    bad = _tolerance_sweep(spark, reg, names, xnum_lineitem_dir, con)
+    assert not bad, "\n".join(bad)
+
+
+def test_every_embeddings_query_survives_numeric_extremes(
+    spark, xnum_embeddings_dir
+):
+    con = duckdb.connect()
+    _view(con, "embeddings", xnum_embeddings_dir)
+    reg = registry()
+    names = _single_table_queries("embeddings")
+    assert len(names) >= 15
+    bad = _tolerance_sweep(spark, reg, names, xnum_embeddings_dir, con)
+    assert not bad, "\n".join(bad)
+
+
+def test_widened_moment_queries_bit_exact_at_extremes(
+    spark, xnum_orders_dir, xnum_lineitem_dir
+):
+    """The six queries repaired by this probe (128-bit moment sums +
+    magnitude-safe rounding + quantize-first LTV) must agree with the
+    oracle BIT-EXACTLY on the trap-door fixtures — their sufficient
+    statistics are exact integers end-to-end, so unlike raw float
+    reductions they have no ulp excuse."""
+    reg = registry()
+    fixtures = {
+        "orders_cuped_theta": xnum_orders_dir,
+        "orders_ab_welch_ttest": xnum_orders_dir,
+        "orders_daily_trend": xnum_orders_dir,
+        "orders_forecast_backtest": xnum_orders_dir,
+        "orders_cohort_ltv": xnum_orders_dir,
+        "lineitem_anova_returnflag": xnum_lineitem_dir,
+    }
+    bad = []
+    for name, d in fixtures.items():
+        table = "lineitem" if name.startswith("lineitem") else "orders"
+        con = duckdb.connect()
+        _view(con, table, d)
+        qd = reg[name]
+        got = qd.spark(spark, d).toPandas()
+        want = con.execute(qd.oracle).fetchdf()
+        cols = sorted(got.columns)
+        gs = (
+            got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        )
+        ws = (
+            want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        )
+        if len(gs) != len(ws) or not gs.equals(ws):
+            bad.append(name)
+    assert not bad, f"bit-exact contract broken: {bad}"
