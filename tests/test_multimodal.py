@@ -1891,3 +1891,70 @@ def test_jpeg_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
     by_id = {r.media_id: r.status for _, r in got.iterrows()}
     assert by_id[12] == "ok" and by_id[8] == "ok" and by_id[2] == "ok"
     assert by_id[10] == "needs_codec" and by_id[40] == "corrupt"
+
+
+def test_decode_jpeg_table_and_header_edges():
+    """Pure-decoder edges the encoder roundtrips never construct: a
+    16-bit-precision DQT (pq=1), a DHT whose counts over-subscribe the
+    code space, an SOS naming a component the frame lacks, a scan
+    selecting Huffman tables never defined, and a 2-component frame —
+    every one a loud ValueError, never a wrong decode."""
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    base = _jpeg_dc_bytes(4, 4, 40, -35, -40)
+
+    # pq=1 (16-bit) DQT parses: rebuild the fixture's DQT with 16-bit
+    # entries of the same value 8 — decode must agree with the 8-bit one
+    dqt8 = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    dqt16 = (
+        b"\xff\xdb" + struct.pack(">H", 131) + b"\x10"
+        + struct.pack(">H", 8) * 64
+    )
+    assert dqt8 in base
+    w, h, nch, s = decode_jpeg(base.replace(dqt8, dqt16))
+    assert (w, h, nch) == (4, 4, 3)
+    assert s == decode_jpeg(base)[3]
+
+    # counts over-subscribe the code space: 3 codes of length 1
+    bad_dht = b"\xff\xc4" + struct.pack(">H", 22) + b"\x00" + bytes(
+        [3] + [0] * 15
+    ) + bytes([0, 1, 2])
+    good_dc = b"\xff\xc4" + struct.pack(">H", 21) + b"\x00" + bytes(
+        [0, 1, 0, 1] + [0] * 12
+    ) + bytes([0x00, 0x06])
+    assert good_dc in base
+    with pytest.raises(ValueError):
+        decode_jpeg(base.replace(good_dc, bad_dht))
+
+    # scan references component id 9 that the frame never declared
+    sos = b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        [3, 1, 0, 2, 0, 3, 0, 0, 63, 0]
+    )
+    bad_sos = b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        [3, 9, 0, 2, 0, 3, 0, 0, 63, 0]
+    )
+    assert sos in base
+    with pytest.raises(ValueError):
+        decode_jpeg(base.replace(sos, bad_sos))
+
+    # scan selects AC table 3, never defined
+    bad_sel = b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        [3, 1, 3, 2, 0, 3, 0, 0, 63, 0]
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(base.replace(sos, bad_sel))
+
+    # 2-component frames are not a JPEG thing this decoder accepts
+    sof3 = b"\xff\xc0" + struct.pack(">H", 17) + bytes([8]) + struct.pack(
+        ">HH", 4, 4
+    ) + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sof2c = b"\xff\xc0" + struct.pack(">H", 14) + bytes([8]) + struct.pack(
+        ">HH", 4, 4
+    ) + bytes([2, 1, 0x11, 0, 2, 0x11, 0])
+    assert sof3 in base
+    with pytest.raises(ValueError):
+        decode_jpeg(base.replace(sof3, sof2c))
