@@ -241,3 +241,55 @@ def test_repin_entry_rewrites_only_named_entry(monkeypatch, tmp_path, capsys):
     anchor = _json.loads((tmp_path / "BENCH_ANCHOR.json").read_text())
     assert anchor["queries"]["fake_q"] != 123.0  # refreshed from this run
     assert anchor["queries"]["other_q"] == 9.0  # era fixed point untouched
+
+
+def test_repin_entry_accepts_whole_fixed_point_agreement(
+    monkeypatch, tmp_path, capsys
+):
+    """Gate (b): with >= 10 anchored headliners whose vs_anchor_total
+    sits inside ±5%, a single-entry repin applies even when the canary
+    carries no ratio — the 60-entry fixed point agreeing is stronger
+    uniform-quiet evidence than one sub-second query's best-of-3
+    (r12: the canary vetoed three consecutive clean 0.97-1.09 runs)."""
+    import json as _json
+    import os
+
+    _fake_bench_env(monkeypatch, tmp_path)
+    monkeypatch.setattr(bench, "_preflight_quiet", lambda: None)
+    monkeypatch.setattr(bench, "_preflight_canary", lambda *a: (True, {}))
+    heads = [f"q{i}" for i in range(12)]
+    monkeypatch.setattr(bench, "HEADLINE", heads)
+
+    class FakeQuery:
+        def spark(self, spark, sf_dir):
+            class _DF:
+                def count(self):
+                    return 1
+
+            return _DF()
+
+    monkeypatch.setattr(
+        bench, "registry", lambda: {h: FakeQuery() for h in heads}
+    )
+    # deterministic clock: every time.time() call advances 0.05s, so
+    # each timed run measures exactly 0.05s (two calls per run)
+    tick = [0.0]
+
+    def fake_time():
+        tick[0] += 0.05
+        return tick[0]
+
+    monkeypatch.setattr(bench.time, "time", fake_time)
+    anchor_q = {h: 0.05 for h in heads}
+    anchor_q["q0"] = 0.0500001  # distinguishable from the re-pinned 0.05
+    (tmp_path / "BENCH_ANCHOR.json").write_text(
+        _json.dumps(
+            {"queries": anchor_q, "sf": 0.1, "machine": {"cpus": os.cpu_count()}}
+        )
+    )
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py", "--repin-entry", "q0"])
+    bench.main()
+    capsys.readouterr()
+    anchor = _json.loads((tmp_path / "BENCH_ANCHOR.json").read_text())
+    assert anchor["queries"]["q0"] == 0.05  # refreshed from this run
+    assert anchor["queries"]["q1"] == 0.05  # untouched era fixed point
