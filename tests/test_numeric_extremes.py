@@ -384,3 +384,71 @@ def test_widened_moment_queries_bit_exact_at_extremes(
         if len(gs) != len(ws) or not gs.equals(ws):
             bad.append(name)
     assert not bad, f"bit-exact contract broken: {bad}"
+
+
+# =============================================================================
+# Multi-table extension: the single-table sweeps above never reach the
+# TPC-H join rewrites (orders ⋈ lineitem ⋈ dims), whose revenue
+# expressions l_extendedprice*(1-l_discount)*(1+l_tax) and per-group
+# aggregates are exactly where magnitude bugs would hide at 100 TB.
+# Facts come from the trap-door fixtures; dimension tables are the
+# REAL sf0.001 parquets (keys overlap the fixtures' 1..31 custkeys /
+# 1..25 partkeys / 1..10 suppkeys), so every join path is live.
+# =============================================================================
+
+
+@pytest.fixture(scope="module")
+def xnum_star_dir(spark, tmp_path_factory, xnum_orders_dir, xnum_lineitem_dir):
+    import shutil
+
+    tmp = tmp_path_factory.mktemp("xnumstar")
+    shutil.copytree(
+        f"{xnum_orders_dir}/orders.parquet", str(tmp / "orders.parquet")
+    )
+    shutil.copytree(
+        f"{xnum_lineitem_dir}/lineitem.parquet", str(tmp / "lineitem.parquet")
+    )
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"/root/testdata/sf0.001/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"{dim}.parquet"))
+    return str(tmp)
+
+
+def _star_queries(skip: set[str] = frozenset()):
+    """Queries touching orders and/or lineitem plus any of the five dim
+    tables — and nothing outside the star (no events/documents/
+    embeddings, no streaming)."""
+    import re as _re
+
+    star = {"orders", "lineitem", "region", "nation", "customer",
+            "supplier", "part"}
+    out = []
+    for name, qd in registry().items():
+        if qd.oracle is None or name in skip or name.startswith("stream_"):
+            continue
+        o = qd.oracle.lower()
+        used = {t for t in star if _re.search(rf"\b{t}\b", o)}
+        outside = {
+            t
+            for t in ("events", "documents", "embeddings")
+            if _re.search(rf"\b{t}\b", o)
+        }
+        if outside or not ({"orders", "lineitem"} & used) or len(used) < 2:
+            continue
+        out.append(name)
+    return out
+
+
+def test_every_star_join_query_survives_numeric_extremes(
+    spark, xnum_star_dir
+):
+    con = duckdb.connect()
+    for t_ in ("orders", "lineitem", "region", "nation", "customer",
+               "supplier", "part"):
+        _view(con, t_, xnum_star_dir)
+    reg = registry()
+    names = _star_queries()
+    assert len(names) >= 20  # the TPC-H rewrites + analytics joins
+    bad = _tolerance_sweep(spark, reg, names, xnum_star_dir, con)
+    assert not bad, "\n".join(bad)
