@@ -452,3 +452,64 @@ def test_every_star_join_query_survives_numeric_extremes(
     assert len(names) >= 20  # the TPC-H rewrites + analytics joins
     bad = _tolerance_sweep(spark, reg, names, xnum_star_dir, con)
     assert not bad, "\n".join(bad)
+
+
+# =============================================================================
+# Overflow-to-infinity class: values at ±1e308 drive float SUMs to
+# ±inf (and to NaN when +inf and -inf meet), with the outcome
+# depending on partial-aggregation order — so cross-engine VALUE
+# agreement is undefined by construction. The contract that survives
+# is narrower and non-negotiable: NO CRASH (Spark ANSI must not turn
+# inf into a cast/overflow error anywhere downstream) and exact
+# rowcounts. That is precisely the failure mode the r10 non-finite
+# probe found for NaN (floor(NaN) wrapping through LONG garbage) and
+# the r12 _r fix closed: inf now rides the rounding identity branch.
+# =============================================================================
+
+
+@pytest.fixture(scope="module")
+def xnum_inf_events_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("xnuminfevents")
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    vals = [1e308, 1e308, -1e308, -1e308, 8e307, -9e307, 42.0, 0.0]
+    rows = []
+    for i in range(160):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=i * 11),
+                (i % 7) + 1,
+                ["view", "click", "purchase"][i % 3],
+                vals[i % len(vals)],
+                '{"k": 1}',
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    return str(tmp)
+
+
+def test_every_events_query_never_crashes_on_overflow_to_inf(
+    spark, xnum_inf_events_dir
+):
+    con = duckdb.connect()
+    _view(con, "events", xnum_inf_events_dir)
+    reg = registry()
+    names = _single_table_queries(
+        "events", skip={"agg_quantile_sketch_audit"}
+    )
+    assert len(names) >= 40
+    bad = []
+    for name in names:
+        try:
+            got = reg[name].spark(spark, xnum_inf_events_dir).toPandas()
+            want = con.execute(reg[name].oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001 - collect, report all
+            bad.append(f"{name}: CRASH {type(e).__name__}: {str(e)[:120]}")
+            continue
+        if len(got) != len(want):
+            bad.append(f"{name}: rowcount {len(got)} vs {len(want)}")
+    assert not bad, "\n".join(bad)
