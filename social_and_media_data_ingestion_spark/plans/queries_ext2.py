@@ -733,37 +733,92 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
-# §2.5 extension — built-in linear-regression aggregates: value drift per
-# event type over time (slope/intercept/correlation). regr_* are plain
-# partial-combinable aggregates (sum/sum-sq/cross-sum), so this is a
-# single map-combinable shuffle regardless of event count. x is hours
-# since 2024-01-01 derived from exact microsecond epochs on both sides.
+# §2.5 extension — linear-regression drift: value slope/intercept/
+# correlation per event type over hours since 2024-01-01 (exact
+# microsecond epochs on both sides). Built on EXPLICIT moment sums
+# (n, Σx, Σy, Σx², Σxy, Σy²) rather than regr_slope/regr_intercept/
+# corr: the r12 inf probe showed DuckDB's built-ins raise
+# OutOfRangeException from their internal STDDEV_POP guard when a
+# co-moment overflows at ±1e308, while plain double sums overflow to
+# ±inf/NaN without crashing on either engine (the no-crash contract
+# tests/test_numeric_extremes.py pins). Both engines evaluate the
+# IDENTICAL closed forms — pairwise null filtering via conditional
+# sums so empty/degenerate groups still emit a row of NULLs, matching
+# regr_* group semantics. Still one map-combinable shuffle.
 # =============================================================================
 @q(
     "agg_linear_regression",
     """
+    WITH p AS (
+      SELECT event_type,
+             (epoch_us(ts) / 1000000.0 - 1704067200) / 3600.0 AS x,
+             value AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)
+               ::DOUBLE AS n,
+             sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS sx,
+             sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS sy,
+             sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * x END)
+               AS sxx,
+             sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * y END)
+               AS sxy,
+             sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y * y END)
+               AS syy
+      FROM p GROUP BY 1
+    )
     SELECT event_type,
-           floor(regr_slope(value, (epoch_us(ts) / 1000000.0 - 1704067200) / 3600.0)
+           floor(CASE WHEN n > 0 AND (n * sxx - sx * sx) <> 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
                  * 1000000 + 0.5) / 1000000 AS slope_per_hour,
-           floor(regr_intercept(value, (epoch_us(ts) / 1000000.0 - 1704067200) / 3600.0)
+           floor(CASE WHEN n > 0 AND (n * sxx - sx * sx) <> 0
+                      THEN (sy - (n * sxy - sx * sy)
+                                 / (n * sxx - sx * sx) * sx) / n END
                  * 10000 + 0.5) / 10000 AS intercept,
-           floor(corr(value, (epoch_us(ts) / 1000000.0 - 1704067200) / 3600.0)
+           floor(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                      THEN (n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)) END
                  * 10000 + 0.5) / 10000 AS r
-    FROM events GROUP BY 1
+    FROM m
     """,
 )
 def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import _r
+
     ev = t(spark, sf_dir, "events")
     x = (F.unix_micros("ts") / F.lit(1000000.0) - F.lit(1704067200)) / F.lit(3600.0)
-    ev = ev.withColumn("x", x)
-    return ev.groupBy("event_type").agg(
-        (F.floor(F.regr_slope("value", "x") * 1000000 + F.lit(0.5)) / 1000000).alias(
-            "slope_per_hour"
-        ),
-        (F.floor(F.regr_intercept("value", "x") * 10000 + F.lit(0.5)) / 10000).alias(
-            "intercept"
-        ),
-        (F.floor(F.corr("value", "x") * 10000 + F.lit(0.5)) / 10000).alias("r"),
+    ev = ev.withColumn("x", x).withColumn("y", F.col("value"))
+    ok = F.col("x").isNotNull() & F.col("y").isNotNull()
+
+    def _csum(expr):
+        return F.sum(F.when(ok, expr))
+
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(ok, F.lit(1))).cast("double").alias("n"),
+        _csum(F.col("x")).alias("sx"),
+        _csum(F.col("y")).alias("sy"),
+        _csum(F.col("x") * F.col("x")).alias("sxx"),
+        _csum(F.col("x") * F.col("y")).alias("sxy"),
+        _csum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    dx = n * F.col("sxx") - sx * sx
+    dy = n * F.col("syy") - sy * sy
+    cov_n = n * F.col("sxy") - sx * sy
+    slope = F.when((n > 0) & (dx != 0), cov_n / dx)
+    intercept = F.when((n > 0) & (dx != 0), (sy - cov_n / dx * sx) / n)
+    # _r (not bare floor) on the Spark side: Spark's floor(double)
+    # returns LONG and saturates past 2^63; the oracle's double-native
+    # floor is an arithmetic identity there, which _r reproduces
+    corr = F.when((dx > 0) & (dy > 0), cov_n / (F.sqrt(dx) * F.sqrt(dy)))
+    return m.select(
+        "event_type",
+        _r(slope, 6).alias("slope_per_hour"),
+        _r(intercept, 4).alias("intercept"),
+        _r(corr, 4).alias("r"),
     )
 
 

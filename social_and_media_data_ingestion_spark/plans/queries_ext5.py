@@ -1650,7 +1650,12 @@ _PSI_NBINS = 10
       SELECT event_type,
              CASE WHEN epoch_us(e.ts) < (epoch_us(b.t0) + epoch_us(b.t1)) // 2
                   THEN 0 ELSE 1 END AS half,
-             least(floor(value / {_PSI_BIN_W}), {_PSI_NBINS - 1})::BIGINT
+             -- clamp in DOUBLE before the BIGINT cast: at value=±1e308
+             -- floor(value/W) is ±2e306 and DuckDB's ::BIGINT raises
+             -- ConversionException (r12 inf probe); negatives belong in
+             -- bin 0 anyway. Spark twin uses the identical expression.
+             floor(greatest(least(value / {_PSI_BIN_W},
+                                  {_PSI_NBINS - 1}.0), 0.0))::BIGINT
                AS bin
       FROM events e, bounds b
     ),
@@ -1710,8 +1715,20 @@ def ml_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = ev.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         half.alias("half"),
-        F.least(
-            F.floor(F.col("value") / _PSI_BIN_W), F.lit(_PSI_NBINS - 1)
+        # clamp in DOUBLE before floor/cast (mirrors the oracle): keeps
+        # ±inf / ±1e308 quotients from ever reaching an integer overflow
+        # (r12 inf probe crashed the oracle's unclamped ::BIGINT); NaN
+        # sorts greater than 9.0 on both engines -> bin 9, NULL is
+        # skipped by least/greatest on both engines -> bin 9 (unchanged
+        # from the pre-clamp behavior)
+        F.floor(
+            F.greatest(
+                F.least(
+                    F.col("value") / _PSI_BIN_W,
+                    F.lit(float(_PSI_NBINS - 1)),
+                ),
+                F.lit(0.0),
+            )
         )
         .cast("bigint")
         .alias("bin"),
