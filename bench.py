@@ -223,7 +223,9 @@ _CANARY = "q6_forecast_revenue"
 _CANARY_SETTLES = (20, 40, 80, 160, 300, 300, 300)
 
 
-def _preflight_canary(spark, reg, sf_dir, anchor) -> tuple[bool, dict]:
+def _preflight_canary(
+    spark, reg, sf_dir, anchor, single_attempt: bool = False
+) -> tuple[bool, dict]:
     """RELATIVE pre-flight gate (round-8 verdict What's-wrong #1): the
     absolute loadavg gate provably lets weather through — ambient load
     of 2-4 sails under the 4.0 threshold yet inflates every query a
@@ -268,7 +270,12 @@ def _preflight_canary(spark, reg, sf_dir, anchor) -> tuple[bool, dict]:
     # 20s->5min (~20 min total worst case) gives the gate a real chance
     # of catching a phase boundary; if it still never quiets the caller
     # now degrades instead of aborting (see main()).
-    settles = _CANARY_SETTLES
+    # single_attempt (r12 advice): when the load gate has ALREADY tagged
+    # the run degraded, the escalating settle schedule is ~20 min of
+    # sleeps on a box known to be busy before a measured pass that runs
+    # regardless — one attempt still records canary_ratio for the
+    # calibration lens, then fall through
+    settles = [] if single_attempt else _CANARY_SETTLES
     for attempt in range(len(settles) + 1):
         rs = []
         for _ in range(3):
@@ -378,7 +385,9 @@ def main() -> None:
 
     # canary AFTER warm-up (see _preflight_canary: pre-warm-up it would
     # refuse honest runs — a fresh JVM runs the canary 2-3.5x anchor)
-    canary_ok, canary_info = _preflight_canary(spark, reg, sf_dir, anchor)
+    canary_ok, canary_info = _preflight_canary(
+        spark, reg, sf_dir, anchor, single_attempt=bool(degraded)
+    )
     if not canary_ok:
         degraded.setdefault("degraded", True)
         degraded.setdefault("degraded_reason", "preflight_canary")
@@ -597,11 +606,24 @@ def main() -> None:
         quiet = (cr is not None and 0.95 <= cr <= 1.05) or (
             vat is not None and n_anchored >= 10 and 0.95 <= vat <= 1.05
         )
-        if reruns or not quiet:
+        # r12 advice: the uniform-quiet gate never looked at the
+        # repinned query ITSELF (a brand-new entry has no anchor ratio,
+        # so it is invisible to both the rescue-suspect test and
+        # vs_anchor_total) — also require the entry's own 3-run spread
+        # to be tight, so an isolated transient spike on just that
+        # query cannot be pinned as its fixed point
+        spread_bad = {
+            q: round(max(runs[q]) / min(runs[q]), 3)
+            for q in repin
+            if q in runs and min(runs[q]) > 0
+            and max(runs[q]) / min(runs[q]) > 1.10
+        }
+        if reruns or not quiet or spread_bad:
             print(
                 f"# repin-entry NOT written: run not uniformly quiet "
                 f"(canary_ratio={cr}, vs_anchor_total={vat}, "
-                f"reruns={sorted(reruns)})",
+                f"reruns={sorted(reruns)}, "
+                f"repin_run_spread_over_1.10={spread_bad})",
                 file=sys.stderr,
             )
         else:

@@ -833,11 +833,18 @@ def decode_jpeg(p: bytes) -> tuple[int, int, int, list[int]]:
     factors up to the spec's 4 are handled generically (4:4:4, 4:2:0,
     4:2:2 all fall out of the hmax/vmax MCU geometry).
 
+    The Adobe APP14 transform flag is honored (r13 advice): transform=0
+    on a 3-component frame decodes the planes as plain RGB instead of
+    running the JFIF YCbCr matrix.
+
     Progressive (SOF2), the other non-baseline frame types, arithmetic
-    coding, and 12-bit precision raise NotImplementedError — genuinely
-    a codec library's job, and callers route those rows 'needs_codec'.
-    Malformed payloads raise ValueError ('corrupt'): the two failure
-    classes stay distinguishable, which is the status-column contract.
+    coding, 12-bit precision, 4-component (CMYK/YCCK) frames, and
+    non-interleaved multi-scan baseline files (an SOS covering a subset
+    of the frame's components) raise NotImplementedError — spec-valid
+    but genuinely a codec library's job, and callers route those rows
+    'needs_codec'. Malformed payloads raise ValueError ('corrupt'): the
+    two failure classes stay distinguishable, which is the
+    status-column contract.
     Zip-bomb geometry is refused before any allocation (the PNG
     precedent): declared rasters past 2^24 pixels raise.
 
@@ -850,6 +857,7 @@ def decode_jpeg(p: bytes) -> tuple[int, int, int, list[int]]:
     ac_luts: dict[int, dict] = {}
     frame = None  # (w, h, [(comp_id, h_i, v_i, tq)])
     restart_interval = 0
+    adobe_transform = 1  # absent APP14 -> JFIF YCbCr for 3 components
     i = 2
     while True:
         if i + 2 > len(p):
@@ -924,7 +932,17 @@ def decode_jpeg(p: bytes) -> tuple[int, int, int, list[int]]:
                 )
             if w < 1 or h < 1 or w * h > 1 << 24:
                 raise ValueError(f"bad JPEG geometry {w}x{h}")
-            if ncomp not in (1, 3) or len(seg) < 6 + 3 * ncomp:
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF component list")
+            if ncomp == 4:
+                # spec-legal Adobe CMYK/YCCK baseline (r12 advice):
+                # valid-but-undecodable routes 'needs_codec', not
+                # 'corrupt'
+                raise NotImplementedError(
+                    "4-component (CMYK/YCCK) baseline JPEG needs a codec "
+                    "library"
+                )
+            if ncomp not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {ncomp}")
             comps = []
             for c in range(ncomp):
@@ -938,27 +956,45 @@ def decode_jpeg(p: bytes) -> tuple[int, int, int, list[int]]:
             if len(seg) < 2:
                 raise ValueError("truncated DRI")
             restart_interval = (seg[0] << 8) | seg[1]
+        elif m == 0xEE:  # APP14: Adobe color-transform flag
+            # 'Adobe' + version(2) + flags0(2) + flags1(2) + transform(1);
+            # transform=0 on a 3-component frame means the planes are
+            # plain RGB and the JFIF YCbCr matrix must NOT run (r12
+            # advice: skipping this flag silently mis-colored Adobe RGB
+            # JPEGs while reporting status='ok')
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif m == 0xDA:  # SOS: selector parse, then the entropy scan
             if frame is None:
                 raise ValueError("SOS before SOF")
             w, h, comps = frame
-            if len(seg) < 1 or seg[0] != len(comps) or len(seg) < 1 + 2 * len(
-                comps
-            ):
+            ns = seg[0] if seg else 0
+            if ns < 1 or ns > len(comps) or len(seg) < 1 + 2 * ns:
                 raise ValueError("SOS component list mismatch")
+            if ns < len(comps):
+                # spec-legal non-interleaved multi-scan baseline (each
+                # SOS carries a subset of the frame's components) — a
+                # valid file this decoder honestly does not cover (r12
+                # advice: route 'needs_codec', not 'corrupt')
+                raise NotImplementedError(
+                    f"non-interleaved multi-scan baseline JPEG (SOS covers "
+                    f"{ns} of {len(comps)} frame components) needs a codec "
+                    f"library"
+                )
             sel = {}
             for c in range(len(comps)):
                 cid, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cid] = (tds >> 4, tds & 15)
             return _jpeg_decode_scan(
                 p, data_start, w, h, comps, sel, qt, dc_luts, ac_luts,
-                restart_interval,
+                restart_interval, ycbcr=adobe_transform != 0,
             )
         # all other segments (APPn, COM, ...) are skipped
 
 
 def _jpeg_decode_scan(
-    p, start, w, h, comps, sel, qt, dc_luts, ac_luts, restart_interval
+    p, start, w, h, comps, sel, qt, dc_luts, ac_luts, restart_interval,
+    ycbcr: bool = True,
 ) -> tuple[int, int, int, list[int]]:
     basis = _jpeg_idct_basis()
     hmax = max(c[1] for c in comps)
@@ -1047,16 +1083,24 @@ def _jpeg_decode_scan(
         yrow = (y * yv // vmax) * ystride
         brow = (y * bv // vmax) * bstride
         rrow = (y * rv // vmax) * rstride
-        for x in range(w):
-            yy = planes[0][yrow + x * yh // hmax]
-            cbd = planes[1][brow + x * bh // hmax] - 128
-            crd = planes[2][rrow + x * rh // hmax] - 128
-            rr = int(yy + 1.402 * crd + 0.5)
-            gg = int(yy - 0.344136 * cbd - 0.714136 * crd + 0.5)
-            bb = int(yy + 1.772 * cbd + 0.5)
-            samples.append(0 if rr < 0 else (255 if rr > 255 else rr))
-            samples.append(0 if gg < 0 else (255 if gg > 255 else gg))
-            samples.append(0 if bb < 0 else (255 if bb > 255 else bb))
+        if ycbcr:
+            for x in range(w):
+                yy = planes[0][yrow + x * yh // hmax]
+                cbd = planes[1][brow + x * bh // hmax] - 128
+                crd = planes[2][rrow + x * rh // hmax] - 128
+                rr = int(yy + 1.402 * crd + 0.5)
+                gg = int(yy - 0.344136 * cbd - 0.714136 * crd + 0.5)
+                bb = int(yy + 1.772 * cbd + 0.5)
+                samples.append(0 if rr < 0 else (255 if rr > 255 else rr))
+                samples.append(0 if gg < 0 else (255 if gg > 255 else gg))
+                samples.append(0 if bb < 0 else (255 if bb > 255 else bb))
+        else:
+            # Adobe APP14 transform=0: the three planes are already
+            # R, G, B — same upsampling geometry, no matrix
+            for x in range(w):
+                samples.append(planes[0][yrow + x * yh // hmax])
+                samples.append(planes[1][brow + x * bh // hmax])
+                samples.append(planes[2][rrow + x * rh // hmax])
     return w, h, 3, samples
 
 

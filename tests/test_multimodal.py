@@ -1742,6 +1742,93 @@ def test_decode_jpeg_error_taxonomy():
         decode_jpeg(bomb)
 
 
+def test_decode_jpeg_spec_valid_variants_route_needs_codec():
+    """r12 ADVICE: spec-LEGAL baseline variants this decoder does not
+    cover must raise NotImplementedError (-> status 'needs_codec'),
+    not ValueError (-> 'corrupt'): non-interleaved multi-scan files
+    (SOS covering a subset of the frame components) and 4-component
+    CMYK/YCCK frames."""
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    # non-interleaved: rewrite the 3-component SOS to cover only
+    # component 1 (spec-legal; the other components would follow in
+    # later scans)
+    base = _jpeg_encode(8, 8, _rand_raster(8 * 8 * 3), subsample=(1, 1))
+    full_sos = (
+        b"\xff\xda" + struct.pack(">H", 12)
+        + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    )
+    assert full_sos in base
+    single_sos = (
+        b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(base.replace(full_sos, single_sos, 1))
+    # an SOS claiming MORE components than the frame stays corrupt
+    over_sos = (
+        b"\xff\xda" + struct.pack(">H", 14)
+        + bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0])
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(base.replace(full_sos, over_sos, 1))
+
+    # 4-component (CMYK/YCCK) SOF0
+    sof4 = bytes([8, 0, 8, 0, 8, 4]) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+    )
+    cmyk = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(sof4)) + sof4
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(cmyk)
+
+
+def test_decode_jpeg_adobe_app14_rgb_transform():
+    """r12 ADVICE: APP14 'Adobe' transform=0 means the 3 planes are
+    plain RGB — the JFIF YCbCr matrix must NOT run. With a flat-color
+    image the encoder's Y/Cb/Cr plane values are closed-form, so the
+    transform=0 decode must return exactly those plane values as
+    channels; transform=1 must match the APP14-less decode."""
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    w, h = 16, 8
+    r, g, b = 77, 150, 40
+    flat = [r, g, b] * (w * h)
+    base = _jpeg_encode(w, h, flat, subsample=(1, 1), q=1)
+
+    def app14(transform):
+        seg = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+        return b"\xff\xee" + struct.pack(">H", 2 + len(seg)) + seg
+
+    # plane values the encoder wrote (its own RGB->YCbCr formula)
+    yy = min(255, max(0, int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
+    cb = min(255, max(0, int(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)))
+    cr = min(255, max(0, int(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)))
+
+    W, H, nch, s0 = decode_jpeg(base[:2] + app14(0) + base[2:])
+    assert (W, H, nch) == (w, h, 3)
+    for c, want in enumerate((yy, cb, cr)):
+        ch = s0[c::3]
+        assert max(ch) - min(ch) == 0  # flat stays flat
+        assert abs(ch[0] - want) <= 2  # q=1 DCT rounding only
+
+    # transform=1 (explicit YCbCr) == no-APP14 decode, which recovers
+    # the original RGB
+    s1 = decode_jpeg(base[:2] + app14(1) + base[2:])[3]
+    assert s1 == decode_jpeg(base)[3]
+    assert all(
+        abs(a - want) <= 4 for a, want in zip(s1[:3], (r, g, b))
+    )
+
+
 def test_decode_jpeg_mutation_fuzz_never_crashes():
     """Bit flips, truncations, and segment-length lies must yield a
     decode or a ValueError/NotImplementedError — never any other
