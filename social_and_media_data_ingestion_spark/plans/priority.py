@@ -24,6 +24,71 @@ from __future__ import annotations
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
+    # ================= round-13 head =================
+    # Composition, in rotation-policy order:
+    #   1. every query whose closure changed in r13 — the two
+    #      inf-probe oracle-crash repairs (ml_drift_psi's clamped
+    #      bin, agg_linear_regression's explicit moment sums) and
+    #      the five image closures riding the decode_jpeg advice
+    #      fixes (needs_codec routing for non-interleaved/CMYK
+    #      baseline variants, Adobe APP14 transform=0 RGB);
+    #   2. fill to 50 with the oldest-evidence re-proofs (the 8
+    #      remaining r5 TPC-H rows, all 29 r6 rows, then r7 in
+    #      ledger order).
+    "ml_drift_psi",
+    "agg_linear_regression",
+    "multimodal_jpeg_pixel_stats",
+    "multimodal_image_pixel_stats",
+    "multimodal_image_profile",
+    "multimodal_gif_pixel_stats",
+    "multimodal_png_pixel_stats",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_banded_revenue",
+    "q22_idle_balances",
+    "q11_important_parts",
+    "q12_priority_by_flag",
+    "q16_supplier_part_counts",
+    "q20_excess_shippers",
+    "dedup_ngram_jaccard",
+    "agg_percentiles",
+    "agg_corr_stats",
+    "agg_collect_sorted",
+    "window_running_revenue",
+    "window_lag_delta",
+    "window_dense_rank_parts",
+    "explode_token_topk",
+    "text_shingles_3gram",
+    "scalar_levenshtein",
+    "scalar_date_arithmetic",
+    "events_daily_active",
+    "sql_passthrough_agg",
+    "events_value_histogram",
+    "window_percentile_standing",
+    "agg_mode_event_type",
+    "unpivot_price_components",
+    "text_boilerplate_fraction",
+    "events_audience_overlap",
+    "docs_topk_per_source",
+    "agg_bitwise_masks",
+    "events_hour_profile",
+    "customer_segment_mix",
+    "orders_size_distribution",
+    "lineitem_ship_latency",
+    "agg_filtered_counts",
+    "events_repeat_runs",
+    "supplier_part_coverage",
+    "scd2_user_state_history",
+    "text_language_id",
+    "dedup_minhash_signatures",
+    "sim_cosine_topk",
+    "emb_vector_stats",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+]
+
+
+_ROUND12_HEAD = [
     # ================= round-12 head =================
     # Composition, in rotation-policy order:
     #   1. the round's growth query (never sampled): the REAL stdlib
