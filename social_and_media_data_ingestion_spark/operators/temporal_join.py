@@ -40,6 +40,7 @@ _PROBE = "__asof_is_probe"
 _T = "__asof_t"
 _REF_T = "__asof_ref_t"
 _TIE = "__asof_tie"
+_PAYLOAD_T = "__asof_payload_t"  # matched-ref ts field inside the carry struct
 
 
 def asof_join(
@@ -134,17 +135,24 @@ def asof_join(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # carry the whole matched-ref row as ONE struct: the struct is
+        # non-NULL for every ref row even when a value column is NULL,
+        # so last(ignorenulls) keeps matched-row identity and carried
+        # values in lockstep. (r13 differential fuzz: the previous
+        # per-column last(ignorenulls) SKIPPED a matched ref whose
+        # value was NULL and silently leaked an OLDER ref's value while
+        # matched_ts reported the newer row.)
+        payload = F.when(
+            is_ref,
+            F.struct(
+                F.col(_T).alias(_PAYLOAD_T), *[F.col(v) for v in value_cols]
+            ),
+        )
+        c = F.last(payload, ignorenulls=True).over(w)
         return df.select(
             *df.columns,
-            *[
-                F.last(F.when(is_ref, F.col(v)), ignorenulls=True)
-                .over(w)
-                .alias(f"__c{suffix}_{v}")
-                for v in value_cols
-            ],
-            F.last(F.when(is_ref, F.col(_T)), ignorenulls=True)
-            .over(w)
-            .alias(f"{_REF_T}{suffix}"),
+            *[c[v].alias(f"__c{suffix}_{v}") for v in value_cols],
+            c[_PAYLOAD_T].alias(f"{_REF_T}{suffix}"),
         )
 
     # gap arithmetic: exact integer microseconds for timestamps, plain

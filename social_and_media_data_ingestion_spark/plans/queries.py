@@ -1046,11 +1046,15 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n,
            round(sum(value), 2) AS total_value
     FROM events
+    -- time-semantics contract (r13 fuzz): Spark's native window()
+    -- silently DROPS NULL-ts rows while time_bucket(NULL) kept a NULL
+    -- bucket here — unknown-time rows are excluded explicitly on both
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
 def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
@@ -1072,14 +1076,16 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      -- time-semantics contract (r13 fuzz): sessions over unknown-time
+      -- rows are ill-defined; excluded on both engines
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
     FROM g GROUP BY user_id
     """,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_session = F.when(
@@ -1451,14 +1457,25 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "scalar_json_extract",
     """
-    SELECT event_id, json_extract(props, '$.k')::BIGINT AS k
+    SELECT event_id,
+           -- try-cast + json_valid guard (r13 differential fuzz): a
+           -- props value of '{"k": {"n": ...}}' extracts an OBJECT and
+           -- the plain ::BIGINT cast crashed BOTH engines (Spark ANSI
+           -- CAST_INVALID_INPUT — one weird JSON row killing a 100 TB
+           -- job); DuckDB's json_extract additionally ERRORS on
+           -- invalid JSON where Spark's get_json_object returns NULL.
+           -- ->> (extract_string) unquotes scalars like Spark does;
+           -- verified identical on 8 edge shapes incl. '{"k": "5"}'.
+           TRY_CAST((CASE WHEN json_valid(props)
+                          THEN props ->> '$.k' END) AS BIGINT) AS k
     FROM events
     """,
 )
 def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return ev.select(
-        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
     )
 
 
@@ -1806,7 +1823,9 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      -- time-semantics contract (r13 fuzz): Spark's session_window
+      -- drops NULL-ts rows natively; the oracle must too
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
@@ -2017,7 +2036,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      -- time-semantics contract (r13 fuzz): Spark's session_window
+      -- drops NULL-ts rows natively; the oracle must too
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (

@@ -330,15 +330,26 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =============================================================================
 # Running total — cumulative window (ROWS UNBOUNDED PRECEDING..CURRENT).
-# Accumulation order is pinned by the ORDER BY, so fp results agree.
+# Accumulation runs over exact integer CENTS (quantize-then-sum, the
+# house monetary convention): r13 differential fuzz caught the raw
+# round(sum(double), 2) spelling a cent off at a .XX5 boundary — Spark
+# rounds the shortest-decimal-string (HALF_UP on "-34.245") while
+# DuckDB rounds the binary double (just below the half). NULLS LAST is
+# spelled on BOTH engines (same probe: Spark's ASC default is NULLS
+# FIRST, DuckDB's is NULLS LAST, so a NULL o_orderdate silently shifted
+# every later running total); o_totalprice completes the tie-break so
+# the totals stay deterministic even under a violated PK.
 # =============================================================================
 @q(
     "window_running_revenue",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+           (sum(floor(o_totalprice * 100 + 0.5)::HUGEINT) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST,
+                      o_totalprice NULLS LAST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / 100
+             AS running_total
     FROM orders
     """,
 )
@@ -346,18 +357,32 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(
+            F.asc_nulls_last("o_orderdate"),
+            F.asc_nulls_last("o_orderkey"),
+            F.asc_nulls_last("o_totalprice"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "decimal(19,0)"
     )
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        (F.sum(cents).over(w).cast("double") / 100).alias("running_total"),
     )
 
 
 # =============================================================================
 # Lag delta — per-user event-value change (lag/lead family).
+# ts IS NOT NULL on BOTH engines — the time-semantics contract (r13
+# differential fuzz): a lag chain over rows with unknown time is
+# ill-defined, and the engines disagree on where a NULL ts sorts
+# (Spark ASC default NULLS FIRST, DuckDB NULLS LAST), silently shifting
+# every delta in the partition. Sequence/window/as-of queries exclude
+# unknown-time rows explicitly; dq_constraint_report is the gate that
+# counts them.
 # =============================================================================
 @q(
     "window_lag_delta",
@@ -365,11 +390,11 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            round(value - lag(value) OVER (
              PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id",
@@ -607,7 +632,9 @@ def j8_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT to_timestamp(floor(date_part('epoch', ts) / 300) * 300)::TIMESTAMP AS s,
                event_type, value
-        FROM events
+        -- time-semantics contract (r13 fuzz): Spark's window() drops
+        -- NULL-ts rows natively; the oracle must too
+        FROM events WHERE ts IS NOT NULL
       )
     )
     GROUP BY window_start, event_type
@@ -1346,8 +1373,10 @@ def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_anomaly_zscore",
     """
     WITH daily AS (
+      -- time-semantics contract (r13 fuzz): a NULL day group shifts
+      -- the trailing window differently per engine; excluded on both
       SELECT ts::DATE AS day, event_type, count(*)::BIGINT AS n_events
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     scored AS (
       SELECT day, event_type, n_events,
@@ -1364,7 +1393,7 @@ def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
         F.count("*").cast("long").alias("n_events")
     )

@@ -216,9 +216,13 @@ def window_time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ),
     r AS (
+      -- NULLS LAST on the type tie-break, both engines (r13 fuzz): a
+      -- NULL event_type is a real group; under Spark's ASC default it
+      -- sorted FIRST and won count ties that DuckDB gave to a named type
       SELECT user_id, event_type, n,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY n DESC, event_type ASC) AS rk
+                                ORDER BY n DESC,
+                                         event_type ASC NULLS LAST) AS rk
       FROM c
     )
     SELECT user_id, event_type AS top_event_type, n
@@ -228,7 +232,9 @@ def window_time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc_nulls_last("event_type")
+    )
     return (
         c.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
@@ -883,7 +889,9 @@ def agg_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS next_type
-      FROM events
+      -- time-semantics contract (r13 fuzz): transition order over
+      -- unknown-time rows is ill-defined; excluded on both engines
+      FROM events WHERE ts IS NOT NULL
     ),
     p AS (
       SELECT event_type, next_type, count(*)::BIGINT AS n
@@ -896,7 +904,7 @@ def agg_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     o = ev.select(
         "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -1246,10 +1254,16 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     ),
     q AS (
+      -- NULLS LAST spelled on every key, BOTH engines (r13 fuzz): the
+      -- o_custkey tie-break can be NULL (a NULL custkey is a real
+      -- group) and Spark's ASC default is NULLS FIRST vs DuckDB's LAST
       SELECT o_custkey, frequency, m_cents,
-             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
-             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
-             ntile(4) OVER (ORDER BY m_cents DESC, o_custkey) AS m_q
+             ntile(4) OVER (ORDER BY last_order DESC NULLS LAST,
+                            o_custkey NULLS LAST) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC NULLS LAST,
+                            o_custkey NULLS LAST) AS f_q,
+             ntile(4) OVER (ORDER BY m_cents DESC NULLS LAST,
+                            o_custkey NULLS LAST) AS m_q
       FROM rfm
     )
     SELECT (r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR) AS segment,
@@ -1280,9 +1294,9 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seg = rfm
     for col, order in [
-        ("r_q", [F.desc("last_order"), F.asc("o_custkey")]),
-        ("f_q", [F.desc("frequency"), F.asc("o_custkey")]),
-        ("m_q", [F.desc("m_cents"), F.asc("o_custkey")]),
+        ("r_q", [F.desc_nulls_last("last_order"), F.asc_nulls_last("o_custkey")]),
+        ("f_q", [F.desc_nulls_last("frequency"), F.asc_nulls_last("o_custkey")]),
+        ("m_q", [F.desc_nulls_last("m_cents"), F.asc_nulls_last("o_custkey")]),
     ]:
         seg = global_ntile(seg, 4, order, out_col=col)
     seg = seg.select(
@@ -1548,7 +1562,9 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT user_id, value, ts,
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
-      FROM events
+      -- time-semantics contract (r13 fuzz): interval durations need a
+      -- known time; unknown-time rows excluded on both engines
+      FROM events WHERE ts IS NOT NULL
     ),
     w AS (
       SELECT user_id, value,
@@ -1562,7 +1578,7 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     o = ev.select(
         "user_id", "value", "ts", F.lead("ts").over(w).alias("next_ts")
@@ -1890,7 +1906,10 @@ def sample_fixed_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT event_type,
              strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
              round(sum(value), 2) AS total
-      FROM events GROUP BY 1, 2
+      -- time-semantics contract (r13 fuzz): a NULL day group would
+      -- sort FIRST in Spark's lag window and LAST in DuckDB's,
+      -- shifting the whole pct_change chain
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT event_type, day, total,
            floor(coalesce((total - lag(total) OVER w) / lag(total) OVER w, 0.0)
@@ -1900,7 +1919,7 @@ def sample_fixed_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def events_percent_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
@@ -2283,12 +2302,20 @@ def customer_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              (date_part('year', o.o_orderdate) * 12
               + date_part('month', o.o_orderdate)) - f.cohort_mi AS months_since,
              sum(floor(o.o_totalprice * 100 + 0.5)::HUGEINT) AS rev_cents
-      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+      -- IS NOT DISTINCT FROM (r13 fuzz): a NULL custkey is a real
+      -- customer group — the Spark side's window partition keeps it,
+      -- so a plain = here would silently drop its revenue
+      FROM orders o JOIN fo f ON o.o_custkey IS NOT DISTINCT FROM f.o_custkey
       GROUP BY 1, 2
     )
     SELECT CAST(cohort_mi AS BIGINT) AS cohort_mi,
            CAST(months_since AS BIGINT) AS months_since,
-           (sum(rev_cents) OVER (PARTITION BY cohort_mi ORDER BY months_since
+           -- NULLS LAST on both engines (r13 differential fuzz): a NULL
+           -- months_since (NULL o_orderdate) sits FIRST under Spark's
+           -- ASC default and LAST under DuckDB's, shifting every
+           -- cumulative value in the partition
+           (sum(rev_cents) OVER (PARTITION BY cohort_mi
+                                 ORDER BY months_since NULLS LAST
                                  ROWS UNBOUNDED PRECEDING))::DOUBLE / 100
              AS cum_revenue
     FROM rev
@@ -2317,7 +2344,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("cohort_mi")
-        .orderBy("months_since")
+        .orderBy(F.asc_nulls_last("months_since"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return rev.select(

@@ -28,10 +28,15 @@ from social_and_media_data_ingestion_spark.plans.tables import (
 
 def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-dedup to one reference row per (user, instant) so the as-of
-    # match is deterministic on BOTH engines (max value wins)
+    # match is deterministic on BOTH engines (max value wins).
+    # ts IS NOT NULL — time-semantics contract (r13 differential fuzz):
+    # an as-of match against an unknown-time row is ill-defined, and the
+    # engines' NULL comparison/sort conventions diverge (the oracle CTEs
+    # carry the same filter).
     return (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
     )
@@ -41,17 +46,32 @@ def _views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "view")
+        .filter(F.col("ts").isNotNull())
         .select("event_id", "user_id", "ts")
     )
 
 
+# uid: NULL user_id coalesced to a LONG_MIN-adjacent sentinel (r13
+# fuzz) — a NULL user is a real group in the operator's carry-forward
+# window, but DuckDB's ASOF equality rejects NULL = NULL (and ASOF
+# accepts coalesce conditions where IS NOT DISTINCT FROM silently
+# fails to match). A real id equal to the sentinel would merge with
+# the NULL group — not a realistic key (the decayed-activity NUL-byte
+# sentinel precedent). vrow: a per-physical-row key so j11's b/f
+# remerge cannot fan out k² under a violated event_id PK; MATERIALIZED
+# pins one row_number evaluation across the CTE's three consumers.
 _ASOF_CTES = """
-    WITH pur AS (
-      SELECT user_id, ts, max(value) AS value
-      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    WITH pur AS MATERIALIZED (
+      SELECT coalesce(user_id, -9223372036854775807) AS uid, ts,
+             max(value) AS value
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      GROUP BY 1, 2
     ),
-    vw AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    vw AS MATERIALIZED (
+      SELECT event_id, coalesce(user_id, -9223372036854775807) AS uid, ts,
+             row_number() OVER (ORDER BY user_id, ts, event_id) AS vrow
+      FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL
     )
 """
 
@@ -71,7 +91,7 @@ _ASOF_CTES = """
            p.ts    AS last_purchase_ts,
            p.value AS last_purchase_value
     FROM vw v ASOF LEFT JOIN pur p
-      ON v.user_id = p.user_id AND v.ts >= p.ts
+      ON v.uid = p.uid AND v.ts >= p.ts
     """,
 )
 def j9_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +127,7 @@ def j9_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN v.ts - p.ts <= INTERVAL 3600 SECOND THEN p.value END
              AS last_purchase_value
     FROM vw v ASOF LEFT JOIN pur p
-      ON v.user_id = p.user_id AND v.ts >= p.ts
+      ON v.uid = p.uid AND v.ts >= p.ts
     """,
 )
 def j10_asof_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,14 +160,14 @@ def j10_asof_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ASOF_CTES
     + """
     , b AS (
-      SELECT v.event_id, p.ts AS bts, p.value AS bval
+      SELECT v.vrow, p.ts AS bts, p.value AS bval
       FROM vw v ASOF LEFT JOIN pur p
-        ON v.user_id = p.user_id AND v.ts >= p.ts
+        ON v.uid = p.uid AND v.ts >= p.ts
     ),
     f AS (
-      SELECT v.event_id, p.ts AS fts, p.value AS fval
+      SELECT v.vrow, p.ts AS fts, p.value AS fval
       FROM vw v ASOF LEFT JOIN pur p
-        ON v.user_id = p.user_id AND v.ts <= p.ts
+        ON v.uid = p.uid AND v.ts <= p.ts
     )
     SELECT v.event_id,
            CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
@@ -159,8 +179,8 @@ def j10_asof_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                        <= epoch_us(fts) - epoch_us(v.ts))
                 THEN bval ELSE fval END AS nearest_purchase_value
     FROM vw v
-    JOIN b USING (event_id)
-    JOIN f USING (event_id)
+    JOIN b USING (vrow)
+    JOIN f USING (vrow)
     """,
 )
 def j11_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,7 +765,9 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH log AS (
       SELECT user_id, ts, event_id, event_type AS state,
              lag(event_type) OVER w AS prev_state
-      FROM events
+      -- time-semantics contract (r13 fuzz): a spell needs a valid_from
+      -- instant; unknown-time rows excluded on both engines
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     changes AS (
@@ -763,7 +785,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     log = ev.select(
         "user_id",

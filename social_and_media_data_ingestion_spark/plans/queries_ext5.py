@@ -1541,21 +1541,25 @@ def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_trigram_paths",
     """
     WITH seq AS (
+      -- time-semantics contract (r13 fuzz): step order over
+      -- unknown-time rows is ill-defined; excluded on both engines
       SELECT user_id, event_type AS e1,
              lead(event_type, 1) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
              lead(event_type, 2) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS e3
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT e1, e2, e3, count(*)::BIGINT AS n
     FROM seq WHERE e3 IS NOT NULL
     GROUP BY 1, 2, 3
-    ORDER BY n DESC, e1, e2, e3 LIMIT 20
+    -- NULLS LAST on the tie-break (a NULL e1/e2 is a real path step
+    -- from a NULL event_type; Spark's ASC default would rank it first)
+    ORDER BY n DESC, e1 NULLS LAST, e2 NULLS LAST, e3 NULLS LAST LIMIT 20
     """,
 )
 def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("e1"),
@@ -1566,7 +1570,12 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("e3").isNotNull())
         .groupBy("e1", "e2", "e3")
         .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .orderBy(
+            F.desc("n"),
+            F.asc_nulls_last("e1"),
+            F.asc_nulls_last("e2"),
+            F.asc_nulls_last("e3"),
+        )
         .limit(20)
     )
 
