@@ -260,8 +260,21 @@ def global_running_sum(
     for row in totals:
         offsets.append((row[pid], acc))
         acc += row["s"] or 0
+    # decimal value columns (the 128-bit quantized-cents sums, r13):
+    # Python Decimal totals past ~1e19 don't survive the plain lit()
+    # py4j path — ship them as string literals cast back to the value
+    # column's own decimal type (bit-exact); other types keep lit()
+    vtype = dict(df.dtypes)[value_col]
+
+    def _vlit(v):
+        return (
+            F.lit(str(v)).cast(vtype)
+            if vtype.startswith("decimal")
+            else F.lit(v)
+        )
+
     off_map = F.create_map(
-        *[F.lit(v) for p, off in offsets for v in (p, off)]
+        *[x for p, off in offsets for x in (F.lit(p), _vlit(off))]
     )
     w = (
         Window.partitionBy(pid)

@@ -26,15 +26,26 @@ from __future__ import annotations
 PRIORITY_HEAD = [
     # ================= round-13 head =================
     # Composition, in rotation-policy order:
-    #   1. every query whose closure changed in r13 — the two
+    #   1. every query whose closure changed in r13 (38): the two
     #      inf-probe oracle-crash repairs (ml_drift_psi's clamped
-    #      bin, agg_linear_regression's explicit moment sums) and
-    #      the five image closures riding the decode_jpeg advice
-    #      fixes (needs_codec routing for non-interleaved/CMYK
-    #      baseline variants, Adobe APP14 transform=0 RGB);
+    #      bin, agg_linear_regression's explicit moment sums), the
+    #      five image closures riding the decode_jpeg advice fixes
+    #      (needs_codec routing for non-interleaved/CMYK baseline
+    #      variants, Adobe APP14 transform=0 RGB), and the ~31
+    #      closures repaired after the differential random-fuzz
+    #      probe (asof struct-carry, NULLS LAST pins, NULL-ts time
+    #      contract, quantize-then-sum cents, null-aware rank
+    #      stats, 128-bit abc_pareto, decimal-safe running-sum
+    #      offsets, sketch-population rank targets);
+    #      ... plus the 4 documents closures from the fuzz's second
+    #      documents wave (URL-safe synthesis + try_parse_url; the
+    #      three oracle join-back de-fanouts under whole-row dups);
     #   2. fill to 50 with the oldest-evidence re-proofs (the 8
-    #      remaining r5 TPC-H rows, all 29 r6 rows, then r7 in
-    #      ledger order).
+    #      remaining r5 TPC-H rows).
+    "scalar_url_components",
+    "text_repetition_signals",
+    "corpus_full_curation",
+    "text_rrf_fusion",
     "ml_drift_psi",
     "agg_linear_regression",
     "multimodal_jpeg_pixel_stats",
@@ -42,6 +53,37 @@ PRIORITY_HEAD = [
     "multimodal_image_profile",
     "multimodal_gif_pixel_stats",
     "multimodal_png_pixel_stats",
+    "agg_mode_event_type",
+    "scd2_user_state_history",
+    "unpivot_price_components",
+    "window_lag_delta",
+    "window_running_revenue",
+    "events_percent_change_daily",
+    "agg_rollup_revenue",
+    "events_session_window",
+    "events_windowed_agg",
+    "agg_approx_stats",
+    "events_max_concurrent",
+    "orders_rfm_segmentation",
+    "scalar_json_extract",
+    "agg_grouping_sets",
+    "events_anomaly_zscore",
+    "events_hopping_window",
+    "events_session_window_streaming",
+    "events_sessionize",
+    "events_time_weighted_avg",
+    "events_transition_matrix",
+    "events_trigram_paths",
+    "j9_asof_view_purchase",
+    "stream_asof_enrich_purchases",
+    "j10_asof_tolerance_1h",
+    "j11_asof_nearest_purchase",
+    "lineitem_abc_pareto",
+    "orders_cohort_ltv",
+    "stats_kruskal_wallis_returnflag",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_status",
+    "stats_spearman_qty_price",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q19_banded_revenue",
@@ -50,41 +92,6 @@ PRIORITY_HEAD = [
     "q12_priority_by_flag",
     "q16_supplier_part_counts",
     "q20_excess_shippers",
-    "dedup_ngram_jaccard",
-    "agg_percentiles",
-    "agg_corr_stats",
-    "agg_collect_sorted",
-    "window_running_revenue",
-    "window_lag_delta",
-    "window_dense_rank_parts",
-    "explode_token_topk",
-    "text_shingles_3gram",
-    "scalar_levenshtein",
-    "scalar_date_arithmetic",
-    "events_daily_active",
-    "sql_passthrough_agg",
-    "events_value_histogram",
-    "window_percentile_standing",
-    "agg_mode_event_type",
-    "unpivot_price_components",
-    "text_boilerplate_fraction",
-    "events_audience_overlap",
-    "docs_topk_per_source",
-    "agg_bitwise_masks",
-    "events_hour_profile",
-    "customer_segment_mix",
-    "orders_size_distribution",
-    "lineitem_ship_latency",
-    "agg_filtered_counts",
-    "events_repeat_runs",
-    "supplier_part_coverage",
-    "scd2_user_state_history",
-    "text_language_id",
-    "dedup_minhash_signatures",
-    "sim_cosine_topk",
-    "emb_vector_stats",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
 ]
 
 

@@ -565,16 +565,24 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice), 2) AS revenue
+           -- quantize-then-sum integer cents (r13 fuzz): the raw
+           -- round(sum(double), 2) spelling flipped a cent whenever the
+           -- float sum straddled a half-cent — which run-to-run partial
+           -- ordering moves across the boundary
+           (sum(floor(l_extendedprice * 100 + 0.5)::HUGEINT))::DOUBLE / 100
+             AS revenue
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .agg((F.sum(cents).cast("double") / 100).alias("revenue"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -1829,9 +1837,15 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
+      -- RANGE, not ROWS (r13 fuzz flake): with duplicate timestamps the
+      -- tie ORDER among ts-peers is engine- and run-arbitrary, and a ROWS
+      -- frame could hand peers of the boundary row the PREVIOUS session's
+      -- id depending on which tied row carried the flag. RANGE sums all
+      -- peers' flags for every peer, so tied rows always share a session
+      -- regardless of tie order — matching session_window's semantics.
       SELECT user_id, ts,
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM g
     )
     SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
@@ -2042,9 +2056,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
+      -- RANGE, not ROWS (r13 fuzz flake): with duplicate timestamps the
+      -- tie ORDER among ts-peers is engine- and run-arbitrary, and a ROWS
+      -- frame could hand peers of the boundary row the PREVIOUS session's
+      -- id depending on which tied row carried the flag. RANGE sums all
+      -- peers' flags for every peer, so tied rows always share a session
+      -- regardless of tie order — matching session_window's semantics.
       SELECT user_id, ts,
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM g
     )
     SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
@@ -2110,6 +2130,11 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = li.agg(
         F.count("*").alias("n_rows"),
+        # the rank targets below must count the values the sketch SAW:
+        # percentile_approx ignores NULL prices, so q*count(*) overshoots
+        # the true rank by the null count (r13 fuzz: 7% null prices blew
+        # the 2-rank slack and flipped the bound booleans)
+        F.count("price").alias("n_vals"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.expr(
@@ -2130,10 +2155,11 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _within(i: int, quantile: float) -> "F.Column":
         # true rank of the sketch value is somewhere in [lt+1, le] (ties
         # widen the interval); the documented contract places the target
-        # rank q*n within n/10000 of it — checked at 10x slack, floor 2
-        slack = F.greatest(F.lit(2.0), F.col("n_rows") / 1000.0)
-        target = F.lit(quantile) * F.col("n_rows")
-        return (F.col("n_rows") == 0) | (
+        # rank q*n within n/10000 of it — checked at 10x slack, floor 2;
+        # n = non-null value count (the sketch's own population)
+        slack = F.greatest(F.lit(2.0), F.col("n_vals") / 1000.0)
+        target = F.lit(quantile) * F.col("n_vals")
+        return (F.col("n_vals") == 0) | (
             (target >= F.col(f"lt{i}") + 1 - slack)
             & (target <= F.col(f"le{i}") + slack)
         )

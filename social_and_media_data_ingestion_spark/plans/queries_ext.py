@@ -225,7 +225,12 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice), 2) AS revenue,
+           -- quantize-then-sum integer cents (r13 fuzz): the raw
+           -- round(sum(double), 2) spelling flipped a cent whenever the
+           -- float sum straddled a half-cent — which run-to-run partial
+           -- ordering moves across the boundary
+           (sum(floor(l_extendedprice * 100 + 0.5)::HUGEINT))::DOUBLE / 100
+             AS revenue,
            count(*)::BIGINT AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -233,6 +238,9 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
     return (
         li.groupingSets(
             [[F.col("l_returnflag")], [F.col("l_linestatus")], []],
@@ -240,7 +248,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linestatus",
         )
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
             F.count("*").alias("n"),
         )
         .select(

@@ -944,7 +944,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_returnflag, component, count(*)::BIGINT AS n,
-           round(sum(amount), 2) AS total
+           -- quantize-then-sum integer cents per component row (r13
+           -- fuzz: round(sum(double),2) flips a cent when the float sum
+           -- straddles a half-cent under run-to-run partial ordering)
+           (sum(floor(amount * 100 + 0.5)::HUGEINT))::DOUBLE / 100 AS total
     FROM comp GROUP BY 1, 2
     """,
 )
@@ -961,8 +964,10 @@ def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     melted = wide.unpivot(
         ["l_returnflag"], ["gross", "discount", "tax"], "component", "amount"
     )
+    cents = F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("decimal(19,0)")
     return melted.groupBy("l_returnflag", "component").agg(
-        F.count("*").alias("n"), F.round(F.sum("amount"), 2).alias("total")
+        F.count("*").alias("n"),
+        (F.sum(cents).cast("double") / 100).alias("total"),
     )
 
 
@@ -1632,6 +1637,7 @@ _FC_OVERLAP = 0.85
     train AS (SELECT * FROM documents WHERE source <> 'src0'),
     feats AS (
       SELECT doc_id, source, n_chars,
+             {_TOKS} AS toks,
              len({_TOKS})::BIGINT AS n_tok,
              {_lang_hits_sql("en")} AS h_en,
              {_lang_hits_sql("de")} AS h_de,
@@ -1646,22 +1652,23 @@ _FC_OVERLAP = 0.85
       FROM train
     ),
     gated AS (
-      SELECT doc_id, source, n_chars, {_CURATE_FP_SQL}::BIGINT AS fp
+      SELECT doc_id, source, n_chars, toks, {_CURATE_FP_SQL}::BIGINT AS fp
       FROM feats
       WHERE greatest(h_en, h_de, h_es, h_fr) > 0
         AND h_en = greatest(h_en, h_de, h_es, h_fr)
         AND n_tok BETWEEN 10 AND 1000
         AND pr <= 0.2
     ),
-    exact AS (
-      SELECT doc_id, source, n_chars FROM (
+    -- the dedup survivor CARRIES its own columns forward — re-joining
+    -- train by doc_id resurrected every physical duplicate of a
+    -- surviving id (r13 fuzz: legal whole-row re-ingest dups fanned the
+    -- survivor set back out; the Spark pipeline carries the deduped
+    -- frame itself and never re-reads the input)
+    surv AS MATERIALIZED (
+      SELECT doc_id, source, n_chars, toks FROM (
         SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         FROM gated
       ) WHERE rn = 1
-    ),
-    surv AS MATERIALIZED (
-      SELECT d.doc_id, d.source, d.n_chars, {_TOKS} AS toks
-      FROM train d JOIN exact e ON d.doc_id = e.doc_id
     ),
     hashed AS (
       -- 3-gram shingles (see pipelines.near_dedup): discriminative at

@@ -1122,25 +1122,36 @@ _DUCK_TRIGRAMS = (
     WITH tk AS (
       SELECT doc_id, source, {_TOKS} AS toks FROM documents
     ),
-    base AS (SELECT * FROM tk WHERE len(toks) >= 3),
+    -- vrow: the signals are PER PHYSICAL DOCUMENT (the Spark twin is a
+    -- map-only per-row plan), so the stat CTEs key on a materialized
+    -- per-row number, never doc_id — a doc_id-keyed join-back fans out
+    -- k^2 under legal whole-row duplicate ingests (r13 fuzz). The
+    -- ORDER BY makes numbering deterministic; fully-identical rows may
+    -- swap numbers, which cannot change any joined result.
+    base AS MATERIALIZED (
+      SELECT row_number() OVER (
+               ORDER BY doc_id, md5(array_to_string(toks, ' '))) AS vrow,
+             source, toks
+      FROM tk WHERE len(toks) >= 3
+    ),
     wc AS (
-      SELECT doc_id, w, count(*)::BIGINT AS c
-      FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2
+      SELECT vrow, w, count(*)::BIGINT AS c
+      FROM (SELECT vrow, unnest(toks) AS w FROM base) GROUP BY 1, 2
     ),
     wstat AS (
-      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_word_frac FROM wc GROUP BY 1
+      SELECT vrow, max(c)::DOUBLE / sum(c) AS top_word_frac FROM wc GROUP BY 1
     ),
     bc AS (
-      SELECT doc_id, b, count(*)::BIGINT AS c
-      FROM (SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS b FROM base) GROUP BY 1, 2
+      SELECT vrow, b, count(*)::BIGINT AS c
+      FROM (SELECT vrow, unnest({_DUCK_BIGRAMS}) AS b FROM base) GROUP BY 1, 2
     ),
     bstat AS (
-      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bc GROUP BY 1
+      SELECT vrow, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bc GROUP BY 1
     ),
     tstat AS (
-      SELECT doc_id,
+      SELECT vrow,
              1.0 - len(list_distinct(tg))::DOUBLE / len(tg) AS dup_trigram_frac
-      FROM (SELECT doc_id, {_DUCK_TRIGRAMS} AS tg FROM base)
+      FROM (SELECT vrow, {_DUCK_TRIGRAMS} AS tg FROM base)
     )
     SELECT b.source,
            floor(avg(w.top_word_frac)   * 1000000 + 0.5) / 1000000 AS avg_top_word_frac,
@@ -1148,9 +1159,9 @@ _DUCK_TRIGRAMS = (
            floor(avg(ts.dup_trigram_frac) * 1000000 + 0.5) / 1000000 AS avg_dup_trigram_frac,
            count(*)::BIGINT AS n_docs
     FROM base b
-    JOIN wstat w USING (doc_id)
-    JOIN bstat bs USING (doc_id)
-    JOIN tstat ts USING (doc_id)
+    JOIN wstat w USING (vrow)
+    JOIN bstat bs USING (vrow)
+    JOIN tstat ts USING (vrow)
     GROUP BY 1
     """,
 )

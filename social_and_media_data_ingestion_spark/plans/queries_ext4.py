@@ -831,14 +831,23 @@ _RRF_TERMS_B = ["merge", "batch"]
     "text_rrf_fusion",
     f"""
     WITH ra AS (
-      SELECT doc_id,
-             row_number() OVER (ORDER BY bm25_r DESC, doc_id) AS rank_a
-      FROM ({_bm25_oracle_sql(_RRF_TERMS_A, "a")})
+      -- rank per physical match row, then collapse to ONE row per
+      -- doc_id (max rank — the Spark twin's union+hash-agg does the
+      -- same), so legal whole-row duplicate ingests cannot fan out the
+      -- fusion join (r13 fuzz). Identical dup rows take consecutive
+      -- ranks (full tie -> adjacent positions), so max is deterministic.
+      SELECT doc_id, max(rank_a) AS rank_a FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25_r DESC, doc_id) AS rank_a
+        FROM ({_bm25_oracle_sql(_RRF_TERMS_A, "a")})
+      ) GROUP BY doc_id
     ),
     rb AS (
-      SELECT doc_id,
-             row_number() OVER (ORDER BY bm25_r DESC, doc_id) AS rank_b
-      FROM ({_bm25_oracle_sql(_RRF_TERMS_B, "b")})
+      SELECT doc_id, max(rank_b) AS rank_b FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25_r DESC, doc_id) AS rank_b
+        FROM ({_bm25_oracle_sql(_RRF_TERMS_B, "b")})
+      ) GROUP BY doc_id
     )
     SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
            ra.rank_a::BIGINT AS rank_a,
@@ -986,43 +995,44 @@ def join_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cumulative revenue share (A: first 80%, B: next 15%, C: tail). The
 # prefix sum runs on operators/scale.py global_running_sum — the
 # distributed spelling, NOT a single-partition window sort (the 100 TB
-# funnel). Revenue is fixed to integer cents per part BEFORE the prefix
-# sum, so the distributed partial-total offsets associate exactly
-# (integer adds) and both engines see identical cumulative values.
+# funnel). Revenue stays an EXACT value·10⁴ integer per part in 128-bit
+# (HUGEINT / decimal(38,0)) through the prefix sum, so the distributed
+# partial-total offsets associate exactly and both engines see
+# identical cumulative values. 128-bit because the int64 forms CRASHED
+# the r13 fuzz at in-quantization-domain extremes: a 2^53-dollar price
+# is legal int64 CENTS but its ·10⁴ row product is ~1.4e20.
 # =============================================================================
 @q(
     "lineitem_abc_pareto",
     """
     WITH rev AS (
-      -- quantize-then-sum: per-row value·10⁴ as a pure-integer
-      -- product (2dp inputs), summed exactly, then rounded to cents
-      -- with integer arithmetic — the old floor(float_sum·100+0.5)
-      -- flipped cents with partial-sum order (r7 duplicate-rows probe)
+      -- per-row value·10⁴ as a pure-integer product (2dp inputs),
+      -- summed exactly — the old floor(float_sum·100+0.5) flipped
+      -- cents with partial-sum order (r7 duplicate-rows probe)
       SELECT l_partkey,
-             (sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
-                  * (100 - floor(l_discount * 100 + 0.5)::BIGINT)) + 50)
-               // 100 AS rev_cents
+             sum(floor(l_extendedprice * 100 + 0.5)::HUGEINT
+                 * (100 - floor(l_discount * 100 + 0.5)::BIGINT)) AS rev4
       FROM lineitem GROUP BY 1
     ),
-    tot AS (SELECT sum(rev_cents)::BIGINT AS t FROM rev),
+    tot AS (SELECT sum(rev4) AS t FROM rev),
     run AS (
-      SELECT l_partkey, rev_cents,
-             sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) AS cum_cents
+      SELECT l_partkey, rev4,
+             sum(rev4) OVER (ORDER BY rev4 DESC, l_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum4
       FROM rev
     ),
     cls AS (
-      SELECT l_partkey, rev_cents,
-             CASE WHEN cum_cents::DOUBLE / t <= 0.80 THEN 'A'
-                  WHEN cum_cents::DOUBLE / t <= 0.95 THEN 'B'
+      SELECT l_partkey, rev4,
+             CASE WHEN cum4::DOUBLE / t <= 0.80 THEN 'A'
+                  WHEN cum4::DOUBLE / t <= 0.95 THEN 'B'
                   ELSE 'C' END AS pareto_class
       FROM run, tot
     )
     SELECT pareto_class,
            count(*)::BIGINT AS n_parts,
-           floor(sum(rev_cents) / 100.0 * 100 + 0.5) / 100 AS revenue_r,
-           floor(sum(rev_cents)::DOUBLE / (SELECT t FROM tot)
+           floor(sum(rev4)::DOUBLE / 10000 * 100 + 0.5) / 100 AS revenue_r,
+           floor(sum(rev4)::DOUBLE / (SELECT t FROM tot)
                  * 1000000 + 0.5) / 1000000 AS revenue_share_r
     FROM cls GROUP BY 1
     """,
@@ -1032,38 +1042,35 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_running_sum,
     )
 
-    # per-row value·10⁴ integers (quantize-then-sum, r7 duplicate-rows
-    # probe); (sum+50) DIV 100 rounds to cents in pure integer math —
-    # revenue is non-negative, so truncating DIV == floor on both
-    # engines
-    rev4 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint") * (
-        100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
-    )
+    # per-row value·10⁴ integers, 128-bit accumulation (header comment)
+    rev4 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    ) * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint"))
     rev = (
         t(spark, sf_dir, "lineitem")
         .select("l_partkey", rev4.alias("rev4"))
         .groupBy("l_partkey")
-        .agg(F.expr("(sum(rev4) + 50) DIV 100").alias("rev_cents"))
+        .agg(F.sum("rev4").cast("decimal(38,0)").alias("rev4"))
     )
     run = global_running_sum(
         rev,
-        order_by=[F.desc("rev_cents"), F.asc("l_partkey")],
-        value_col="rev_cents",
-        out_col="cum_cents",
+        order_by=[F.desc("rev4"), F.asc("l_partkey")],
+        value_col="rev4",
+        out_col="cum4",
     )
-    tot = rev.agg(F.sum("rev_cents").cast("bigint").alias("t"))
+    tot = rev.agg(F.sum("rev4").alias("t"))
     cls = run.crossJoin(F.broadcast(tot)).withColumn(
         "pareto_class",
-        F.when(F.col("cum_cents").cast("double") / F.col("t") <= 0.80, "A")
-        .when(F.col("cum_cents").cast("double") / F.col("t") <= 0.95, "B")
+        F.when(F.col("cum4").cast("double") / F.col("t") <= 0.80, "A")
+        .when(F.col("cum4").cast("double") / F.col("t") <= 0.95, "B")
         .otherwise("C"),
     )
     return cls.groupBy("pareto_class").agg(
         F.count("*").alias("n_parts"),
-        _r(F.sum("rev_cents") / 100.0, 2).alias("revenue_r"),
-        _r(F.sum("rev_cents").cast("double") / F.first("t"), 6).alias(
-            "revenue_share_r"
-        ),
+        _r(F.sum("rev4").cast("double") / 10000, 2).alias("revenue_r"),
+        _r(
+            F.sum("rev4").cast("double") / F.first("t").cast("double"), 6
+        ).alias("revenue_share_r"),
     )
 
 

@@ -2344,9 +2344,16 @@ def dq_reconciliation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(url, '[?&]src=([^&#]*)', 1) AS src_param,
            regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param
     FROM (
+      -- text-derived segments are reduced to URL-safe characters before
+      -- synthesis (r13 fuzz: a lang with spaces/unicode/NULs builds an
+      -- invalid URL that ANSI-crashes java.net.URI — this query's
+      -- contract is URL DECOMPOSITION, so the builder percent-free
+      -- sanitizes like any URL-emitting app would)
       SELECT doc_id,
              'https://media' || (doc_id % 7) || '.example.org/articles/'
-               || lang || '/' || doc_id || '?src=' || source
+               || regexp_replace(lang, '[^A-Za-z0-9._~-]', '', 'g')
+               || '/' || doc_id || '?src='
+               || regexp_replace(source, '[^A-Za-z0-9._~-]', '', 'g')
                || '&page=' || (doc_id % 5) AS url
       FROM documents
     )
@@ -2354,25 +2361,35 @@ def dq_reconciliation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_url_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+
+    def safe(c):
+        return F.regexp_replace(F.col(c), r"[^A-Za-z0-9._~-]", "")
+
     url = F.concat(
         F.lit("https://media"),
         (F.col("doc_id") % 7).cast("string"),
         F.lit(".example.org/articles/"),
-        F.col("lang"),
+        safe("lang"),
         F.lit("/"),
         F.col("doc_id").cast("string"),
         F.lit("?src="),
-        F.col("source"),
+        safe("source"),
         F.lit("&page="),
         (F.col("doc_id") % 5).cast("string"),
     )
     u = docs.select("doc_id", url.alias("url"))
+    # try_parse_url: belt over the sanitize — an unparseable URL yields
+    # NULL components, never a job-killing ANSI error
     return u.select(
         "doc_id",
-        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
-        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
-        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("src")).alias("src_param"),
-        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.try_parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.try_parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.try_parse_url(F.col("url"), F.lit("QUERY"), F.lit("src")).alias(
+            "src_param"
+        ),
+        F.try_parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias(
+            "page_param"
+        ),
     )
 
 
@@ -2698,8 +2715,11 @@ def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_mann_whitney_status",
     """
     WITH base AS (
+      -- observed values only (r13 fuzz): a NULL price is not a rank
+      -- observation, and a NULL-x group would rank FIRST on Spark's
+      -- prefix sum but LAST on DuckDB's window, shifting every rank
       SELECT l_linestatus AS grp, floor(l_extendedprice)::BIGINT AS x
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     per_v AS (
       SELECT x, count(*)::BIGINT AS cnt,
@@ -2736,7 +2756,7 @@ def stats_mann_whitney_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = t(spark, sf_dir, "lineitem")
-    base = li.select(
+    base = li.filter(F.col("l_extendedprice").isNotNull()).select(
         F.col("l_linestatus").alias("grp"),
         F.floor("l_extendedprice").cast("bigint").alias("x"),
     )
@@ -2800,8 +2820,9 @@ def stats_mann_whitney_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_kruskal_wallis_returnflag",
     """
     WITH base AS (
+      -- observed values only (r13 fuzz; see stats_mann_whitney_status)
       SELECT l_returnflag AS grp, floor(l_extendedprice)::BIGINT AS x
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     per_v AS (
       SELECT x, count(*)::BIGINT AS cnt,
@@ -2842,7 +2863,7 @@ def stats_kruskal_wallis_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     li = t(spark, sf_dir, "lineitem")
-    base = li.select(
+    base = li.filter(F.col("l_extendedprice").isNotNull()).select(
         F.col("l_returnflag").alias("grp"),
         F.floor("l_extendedprice").cast("bigint").alias("x"),
     )
@@ -2913,8 +2934,9 @@ def stats_kruskal_wallis_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
     "stats_ks_two_sample",
     """
     WITH base AS (
+      -- observed values only (r13 fuzz; see stats_mann_whitney_status)
       SELECT l_linestatus AS grp, floor(l_extendedprice)::BIGINT AS x
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     per_v AS (
       SELECT x,
@@ -2949,7 +2971,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = t(spark, sf_dir, "lineitem")
-    base = li.select(
+    base = li.filter(F.col("l_extendedprice").isNotNull()).select(
         F.col("l_linestatus").alias("grp"),
         F.floor("l_extendedprice").cast("bigint").alias("x"),
     )

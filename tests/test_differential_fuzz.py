@@ -12,10 +12,15 @@ Generator design (plain seeded numpy PRNG rather than hypothesis's
 session + parquet write per example makes shrinking useless and a
 pinned seed is already a minimal reproducer):
 
-- keys collide (birthday-sampled ids → duplicate PKs), group columns
-  mix the common categories with hostile strings (empty, whitespace,
-  unicode/RTL/emoji, NUL bytes, regex metacharacters, 2 KB tokens) and
-  NULLs,
+- keys collide: events/orders/lineitem ids are birthday-sampled
+  (duplicate PKs with independent payloads — their analytics aggregate
+  streams, so dups are just more rows); documents ids are unique plus
+  ~10% WHOLE-ROW duplicates (the legal re-ingest shape — conflicting
+  payloads per id are the r7 ingestion-gate violation, see
+  _gen_documents); embeddings ids are unique and dims consistent (see
+  _gen_embeddings). Group columns mix the common categories with
+  hostile strings (empty, whitespace, unicode/RTL/emoji, NUL bytes,
+  regex metacharacters, 2 KB tokens) and NULLs,
 - timestamps are mostly a clean sequence (so windows/halves/weeks stay
   non-degenerate) with pre-epoch / epoch-zero / post-2038 / far-future
   edges, NULLs, and duplicates mixed in,
@@ -249,6 +254,13 @@ _WORDS = [
 
 
 def _gen_documents(rng, n):
+    """doc_id is unique over the base rows, then ~10% WHOLE-ROW
+    duplicates are appended — the legal re-ingest dup shape. Conflicting
+    payloads under one doc_id are an ingestion-contract violation
+    (detected by dq_constraint_report, cured by keep-first dedup — the
+    r7 contract), so the per-doc analytics under test are not obligated
+    to them; identical-payload dups ARE legal input every query must
+    survive (they caught 3 oracle join-back fanouts in r13)."""
     rows = []
     for i in range(n):
         u = rng.random_sample()
@@ -261,27 +273,38 @@ def _gen_documents(rng, n):
             text = " ".join(_pick(rng, _WORDS) for _ in range(k))
         rows.append(
             (
-                int(rng.randint(0, n)),
+                i,
                 text,
                 _maybe_hostile(rng, ["en", "de"], p_hostile=0.08),
                 _maybe_hostile(rng, ["src0", "src1", "src2"], p_hostile=0.08),
                 len(text) if text is not None else None,
             )
         )
+    for _ in range(max(1, n // 10)):
+        rows.append(rows[int(rng.randint(0, n))])
     return rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
 
 def _gen_embeddings(rng, n, extreme):
+    """vec_id is UNIQUE and every vector is dim-64 (or null/empty): the
+    embeddings analytics surface is keyed on vec_id end-to-end (seed
+    centroids by id, per-query rank windows, recall joins), so a
+    conflicting-payload dup id makes nearly every query's answer
+    ambiguous by construction — the r7 contract's ingestion-gate
+    violation (dq detect, keep-first cure), not a per-query obligation.
+    Mixed dims likewise: tables.vectors documents the dim contract
+    (emb_dim_audit detects, vectors(dim=) cures) and an unconditional
+    in-query dim filter would cost a dim-discovery pass on every
+    map-only plan. NULL / empty / zero-norm / extreme-component shapes
+    stay — those ARE the valid-vector-frame contract."""
     rows = []
     for i in range(n):
         u = rng.random_sample()
         cls = int(rng.randint(0, 3))
-        if u < 0.04:
+        if u < 0.06:
             vec = None
-        elif u < 0.08:
-            vec = []
         elif u < 0.12:
-            vec = [1.0, 2.0, 3.0]  # wrong dim: the dim-contract gate
+            vec = []
         elif u < 0.16:
             vec = [0.0] * 64  # zero norm
         elif extreme and u < 0.30:
@@ -301,7 +324,7 @@ def _gen_embeddings(rng, n, extreme):
             ]
         rows.append(
             (
-                int(rng.randint(0, n)),
+                i,
                 vec,
                 cls if rng.random_sample() > 0.05 else None,
             )
