@@ -899,7 +899,7 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.ts    AS last_purchase_ts,
            p.value AS last_purchase_value
     FROM vw v ASOF LEFT JOIN pur p
-      ON v.user_id = p.user_id AND v.ts >= p.ts
+      ON v.uid = p.uid AND v.ts >= p.ts
     """,
 )
 def stream_asof_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:

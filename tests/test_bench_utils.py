@@ -234,7 +234,7 @@ def test_repin_entry_rewrites_only_named_entry(monkeypatch, tmp_path, capsys):
     monkeypatch.setattr(
         bench,
         "_preflight_canary",
-        lambda *a: (True, {"canary": bench._CANARY, "canary_ratio": 1.0}),
+        lambda *a, **k: (True, {"canary": bench._CANARY, "canary_ratio": 1.0}),
     )
     bench.main()
     capsys.readouterr()
@@ -256,7 +256,7 @@ def test_repin_entry_accepts_whole_fixed_point_agreement(
 
     _fake_bench_env(monkeypatch, tmp_path)
     monkeypatch.setattr(bench, "_preflight_quiet", lambda: None)
-    monkeypatch.setattr(bench, "_preflight_canary", lambda *a: (True, {}))
+    monkeypatch.setattr(bench, "_preflight_canary", lambda *a, **k: (True, {}))
     heads = [f"q{i}" for i in range(12)]
     monkeypatch.setattr(bench, "HEADLINE", heads)
 
