@@ -39,13 +39,22 @@ PRIORITY_HEAD = [
     #      offsets, sketch-population rank targets);
     #      ... plus the 4 documents closures from the fuzz's second
     #      documents wave (URL-safe synthesis + try_parse_url; the
-    #      three oracle join-back de-fanouts under whole-row dups);
-    #   2. fill to 50 with the oldest-evidence re-proofs (the 8
-    #      remaining r5 TPC-H rows).
+    #      three oracle join-back de-fanouts under whole-row dups),
+    #      and the 6 closures from the off-rotation seed sweep
+    #      (1014/1015/2014/2015): cube/filtered-counts cents, corr's
+    #      try_divide spelling, gini's 128-bit totals, the two 6dp
+    #      free-form value sums, spearman's floor-vs-cast rank key;
+    #   2. fill to 50 with the oldest-evidence re-proofs (r5 TPC-H).
     "scalar_url_components",
     "text_repetition_signals",
     "corpus_full_curation",
     "text_rrf_fusion",
+    "agg_cube_revenue",
+    "agg_filtered_counts",
+    "agg_corr_stats",
+    "supplier_revenue_gini",
+    "events_daily_active",
+    "events_time_bucket_rollup",
     "ml_drift_psi",
     "agg_linear_regression",
     "multimodal_jpeg_pixel_stats",
@@ -86,12 +95,6 @@ PRIORITY_HEAD = [
     "stats_spearman_qty_price",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q19_banded_revenue",
-    "q22_idle_balances",
-    "q11_important_parts",
-    "q12_priority_by_flag",
-    "q16_supplier_part_counts",
-    "q20_excess_shippers",
 ]
 
 

@@ -1341,7 +1341,12 @@ def pivot_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
            coalesce(o_orderpriority, 'ALL') AS orderpriority,
-           round(sum(o_totalprice), 2) AS revenue,
+           -- quantize-then-sum integer cents (r13 fuzz seed 1014): the
+           -- raw round(sum(double), 2) spelling flips a cent whenever
+           -- the float sum straddles a half-cent — which run-to-run
+           -- partial ordering moves across the boundary
+           (sum(floor(o_totalprice * 100 + 0.5)::HUGEINT))::DOUBLE / 100
+             AS revenue,
            count(*)::BIGINT AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -1349,10 +1354,13 @@ def pivot_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
             F.count("*").alias("n"),
         )
         .select(

@@ -302,8 +302,16 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    # corr spelled covar/(sx·sy) with try_divide — the (n-1) factors
+    # cancel so it's the same estimator, but Spark's built-in corr
+    # ANSI-crashes DIVIDE_BY_ZERO on a zero-variance group (r13 fuzz
+    # seed 2014) where DuckDB's corr returns NULL
+    corr = F.try_divide(
+        F.covar_samp("l_quantity", "l_extendedprice"),
+        F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+    )
     return li.groupBy("l_linestatus").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(corr, 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "covar_qty_price"
         ),
@@ -835,18 +843,26 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('day', ts)::TIMESTAMP AS day,
            count(DISTINCT user_id)::BIGINT AS dau,
            count(*)::BIGINT AS n_events,
-           round(sum(value), 2) AS total_value
+           -- 6dp, not 2dp (r13 fuzz seed 1014): value is FREE-FORM (not
+           -- monetary, so quantize-then-sum doesn't apply), and metric
+           -- mixes quantized at <= 4dp put exact sums ON the half-cent
+           -- boundary, where ulp-level cross-engine partial-order noise
+           -- flips a 2dp rounding; the 6dp edge sits a full 0.5 from
+           -- any <= 5dp-exact sum
+           floor(sum(value) * 1000000 + 0.5) / 1000000 AS total_value
     FROM events GROUP BY 1
     """,
 )
 def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import _r
+
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.countDistinct("user_id").cast("long").alias("dau"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _r(F.sum("value"), 6).alias("total_value"),
         )
     )
 

@@ -263,11 +263,16 @@ def agg_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(day_bucket, 'ALL') AS day_bucket,
            coalesce(hour_bucket, 'ALL') AS hour_bucket,
            count(*)::BIGINT AS n_events,
-           round(sum(value), 2) AS total_value
+           -- 6dp, not 2dp (r13 fuzz seed 1014; see events_daily_active:
+           -- free-form metric sums land ON the half-cent boundary and a
+           -- 2dp rounding amplifies ulp noise into a cent flip)
+           floor(sum(value) * 1000000 + 0.5) / 1000000 AS total_value
     FROM b GROUP BY ROLLUP(day_bucket, hour_bucket)
     """,
 )
 def events_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from social_and_media_data_ingestion_spark.plans.queries_ext5 import _r
+
     ev = t(spark, sf_dir, "events")
     b = ev.select(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -282,7 +287,7 @@ def events_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.rollup("day_bucket", "hour_bucket")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _r(F.sum("value"), 6).alias("total_value"),
         )
         .select(
             F.coalesce("day_bucket", F.lit("ALL")).alias("day_bucket"),
@@ -2164,7 +2169,10 @@ def lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS n_finished,
            count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_open,
            count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_pending,
-           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+           -- quantize-then-sum integer cents (r13 fuzz seed 1014): the
+           -- raw round(sum(double), 2) flips a cent on half-cent sums
+           (sum(floor(o_totalprice * 100 + 0.5)::HUGEINT)
+              FILTER (WHERE o_orderstatus = 'F'))::DOUBLE / 100
              AS finished_value
     FROM orders GROUP BY 1
     """,
@@ -2172,11 +2180,14 @@ def lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     st = F.col("o_orderstatus")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.when(st == "F", 1)).alias("n_finished"),
         F.count(F.when(st == "O", 1)).alias("n_open"),
         F.count(F.when(st == "P", 1)).alias("n_pending"),
-        F.round(F.sum(F.when(st == "F", F.col("o_totalprice"))), 2).alias(
+        (F.sum(F.when(st == "F", cents)).cast("double") / 100).alias(
             "finished_value"
         ),
     )

@@ -2195,9 +2195,13 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier_revenue_gini",
     """
     WITH rev AS (
+      -- 128-bit end-to-end (r13 fuzz seed 2015, the abc_pareto
+      -- precedent): per-supplier and corpus cents sums overflow int64
+      -- at in-domain 2^53-dollar prices, and i*cents overflowed
+      -- DuckDB's INT64 multiply — totals report as double DOLLARS
       SELECT l_suppkey,
-             sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)
-               ::BIGINT AS cents
+             sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                 ::HUGEINT) AS cents
       FROM lineitem GROUP BY 1
     ),
     ranked AS (
@@ -2206,8 +2210,8 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev
     )
     SELECT count(*)::BIGINT AS n_suppliers,
-           sum(cents)::BIGINT AS total_cents,
-           floor((2.0 * sum(i * cents) / (count(*) * sum(cents))
+           (sum(cents))::DOUBLE / 100 AS total_revenue,
+           floor((2.0 * sum(i::HUGEINT * cents) / (count(*) * sum(cents))
                   - (count(*) + 1)::DOUBLE / count(*)) * 1000000 + 0.5)
            / 1000000 AS gini
     FROM ranked
@@ -2219,6 +2223,10 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = t(spark, sf_dir, "lineitem")
+    # 128-bit end-to-end (oracle header comment): per-row cents fit
+    # int64, every sum rides decimal — decimal(20)·sum→decimal(30) per
+    # supplier, i as decimal(8) keeps the i·cents product inside
+    # decimal(38) at any supplier count
     rev = (
         li.select(
             "l_suppkey",
@@ -2227,29 +2235,22 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.5)
             )
             .cast("bigint")
+            .cast("decimal(20,0)")
             .alias("cents"),
         )
         .groupBy("l_suppkey")
         .agg(F.sum("cents").alias("cents"))
     )
     ranked = global_row_number(rev, ["cents", "l_suppkey"], out_col="i")
-    # Σ(i·cents) accumulates in DECIMAL(38,0), mirroring DuckDB's
-    # sum(BIGINT) → HUGEINT promotion: at sf≫1 (rank ~1e4 × cents ~1e10
-    # × 1e4 suppliers) a long sum would silently wrap while the oracle
-    # stays exact — int128-wide accumulation keeps both engines exact
-    # at any scale factor
-    s_ix = F.sum(
-        (F.col("i").cast("decimal(38,0)") * F.col("cents")).cast("decimal(38,0)")
-    )
+    s_ix = F.sum(F.col("i").cast("decimal(8,0)") * F.col("cents"))
     return ranked.agg(
         F.count("*").alias("n_suppliers"),
-        F.sum("cents").alias("total_cents"),
+        (F.sum("cents").cast("double") / 100).alias("total_revenue"),
         _r(
             F.lit(2.0)
             * s_ix.cast("double")
             / (
-                F.count("*").cast("decimal(38,0)")
-                * F.sum("cents").cast("decimal(38,0)")
+                F.count("*").cast("decimal(8,0)") * F.sum("cents")
             ).cast("double")
             - (F.count("*") + 1).cast("double") / F.count("*"),
             6,
@@ -3036,8 +3037,16 @@ def _ks_rank_cte(col: str, alias: str) -> str:
     "stats_spearman_qty_price",
     f"""
     WITH base AS (
-      SELECT l_quantity::BIGINT AS q, floor(l_extendedprice)::BIGINT AS p
+      -- floor on BOTH engines (r13 fuzz seed 1015): a bare ::BIGINT of
+      -- a double ROUNDS half-away in DuckDB while Spark's cast
+      -- TRUNCATES — a -42.5 quantity landed in different rank groups.
+      -- Observed pairs only (wave-2 rank-stats convention): a NULL rank
+      -- group sorts FIRST on Spark's prefix sum and LAST on DuckDB's
+      -- window, shifting every Spark rank by its count
+      SELECT floor(l_quantity)::BIGINT AS q,
+             floor(l_extendedprice)::BIGINT AS p
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ),
     {_ks_rank_cte("q", "qq")},
     {_ks_rank_cte("p", "pp")},
@@ -3068,8 +3077,10 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = t(spark, sf_dir, "lineitem")
-    base = li.select(
-        F.col("l_quantity").cast("bigint").alias("q"),
+    base = li.filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).select(
+        F.floor("l_quantity").cast("bigint").alias("q"),
         F.floor("l_extendedprice").cast("bigint").alias("p"),
     )
 

@@ -74,8 +74,16 @@ _EXT_SEEDS = [2000 + _ROUND]
 #   e1.event_id then LEFT-joins back (k duplicate ids -> the merged
 #   per-id sum re-counted k times); the Spark side aggregates the pair
 #   stream straight to event_type and never keys on the violated PK.
+#   events_repeat_runs / events_markov_stationary: SEQUENCE analytics —
+#   run lengths and transition pairs come from ORDER BY (ts, event_id),
+#   and two dup-PK rows tying on BOTH keys with different event_types
+#   make the sequence order itself engine-arbitrary (A B A vs A A B).
+#   On contract data event_id is the unique tiebreak and the order is
+#   total (seed 1014 caught both).
 _PK_AMBIGUOUS = {
     "events_decayed_activity",
+    "events_repeat_runs",
+    "events_markov_stationary",
 }
 
 # Float tolerance: the det mix's value pools mix signs at ~1e4
