@@ -23,6 +23,7 @@ expressions) and RIFF/WAVE PCM audio decode (`decode_wav_pcm`, stdlib
 
 from __future__ import annotations
 
+from array import array
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -706,6 +707,14 @@ _JPEG_ZIGZAG = (
     53, 60, 61, 54, 47, 55, 62, 63,
 )
 
+# natural (row-major) coefficient index -> zigzag scan position; the
+# DQT parse stores quant tables in ZIGZAG order (block() indexes them
+# by scan position k), so the coefficient-store finish — which holds
+# coefficients in NATURAL order — maps back through this to dequantize.
+_JPEG_ZZINV = tuple(
+    _JPEG_ZIGZAG.index(nat) for nat in range(64)
+)
+
 _IDCT_BASIS: list[list[float]] | None = None
 
 
@@ -824,25 +833,34 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 def decode_jpeg(p: bytes) -> tuple[int, int, int, list[int]]:
     """(width, height, channels, flat samples — RGB for 3-component,
-    grayscale for 1) from a BASELINE SEQUENTIAL JPEG (SOF0) — a REAL
-    pixel decode with ZERO third-party dependencies, the codec-one-
-    further step after zlib-PNG and pure-LZW GIF: marker walk, DQT /
-    DHT table parse, Huffman entropy decode (byte unstuffing, restart
-    intervals), dequantize + dezigzag, sparse IDCT, level shift, and
-    chroma upsampling + YCbCr->RGB (JFIF coefficients). Sampling
-    factors up to the spec's 4 are handled generically (4:4:4, 4:2:0,
-    4:2:2 all fall out of the hmax/vmax MCU geometry).
+    grayscale for 1) from a BASELINE SEQUENTIAL (SOF0) or PROGRESSIVE
+    (SOF2, r13) JPEG — a REAL pixel decode with ZERO third-party
+    dependencies, the codec-one-further step after zlib-PNG and
+    pure-LZW GIF: marker walk, DQT / DHT table parse, Huffman entropy
+    decode (byte unstuffing, restart intervals), dequantize +
+    dezigzag, sparse IDCT, level shift, and chroma upsampling +
+    YCbCr->RGB (JFIF coefficients). Sampling factors up to the spec's
+    4 are handled generically (4:4:4, 4:2:0, 4:2:2 all fall out of
+    the hmax/vmax MCU geometry).
+
+    Interleaved single-scan baseline files take the one-pass fast
+    path (_jpeg_decode_scan, no coefficient buffering). Progressive
+    files — spectral selection, successive approximation with DC/AC
+    refinement scans, EOBn runs — and non-interleaved sequential
+    multi-scan files (one SOS per component subset; both were
+    'needs_codec' refusals through r12) accumulate scans into a
+    per-component coefficient store and render at EOI
+    (_jpeg_store_scan / _jpeg_finish_store).
 
     The Adobe APP14 transform flag is honored (r13 advice): transform=0
     on a 3-component frame decodes the planes as plain RGB instead of
     running the JFIF YCbCr matrix.
 
-    Progressive (SOF2), the other non-baseline frame types, arithmetic
-    coding, 12-bit precision, 4-component (CMYK/YCCK) frames, and
-    non-interleaved multi-scan baseline files (an SOS covering a subset
-    of the frame's components) raise NotImplementedError — spec-valid
-    but genuinely a codec library's job, and callers route those rows
-    'needs_codec'. Malformed payloads raise ValueError ('corrupt'): the
+    Hierarchical / lossless / arithmetic-coded frames, 12-bit
+    precision, and 4-component (CMYK/YCCK) frames raise
+    NotImplementedError — spec-valid but genuinely a codec library's
+    job, and callers route those rows 'needs_codec'. Malformed
+    payloads raise ValueError ('corrupt'): the
     two failure classes stay distinguishable, which is the
     status-column contract.
     Zip-bomb geometry is refused before any allocation (the PNG
@@ -856,8 +874,12 @@ def decode_jpeg(p: bytes) -> tuple[int, int, int, list[int]]:
     dc_luts: dict[int, dict] = {}
     ac_luts: dict[int, dict] = {}
     frame = None  # (w, h, [(comp_id, h_i, v_i, tq)])
+    progressive = False
     restart_interval = 0
     adobe_transform = 1  # absent APP14 -> JFIF YCbCr for 3 components
+    store: list[array] | None = None  # coefficient store (multi-scan)
+    comp_q: list[list[int]] | None = None
+    dc_seen: list[bool] | None = None
     i = 2
     while True:
         if i + 2 > len(p):
@@ -873,9 +895,18 @@ def decode_jpeg(p: bytes) -> tuple[int, int, int, list[int]]:
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             continue  # standalone markers
         if m == 0xD9:
+            # EOI closes a multi-scan file once every frame component
+            # has its first DC or full-band scan; AC bands a
+            # progressive file never sent simply stay zero
+            if store is not None and all(dc_seen):
+                return _jpeg_finish_store(
+                    frame, store, comp_q, adobe_transform != 0
+                )
+            if store is not None:
+                raise ValueError("EOI before every component was scanned")
             raise ValueError("EOI before SOS")
-        if m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            # progressive / hierarchical / arithmetic frames: a valid
+        if m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # hierarchical / lossless / arithmetic frames: a valid
             # JPEG this decoder honestly does not cover
             raise NotImplementedError(
                 f"non-baseline JPEG frame (SOF marker 0xff{m:02x}) needs a "
@@ -920,7 +951,10 @@ def decode_jpeg(p: bytes) -> tuple[int, int, int, list[int]]:
                     counts, symbols
                 )
                 j += 17 + nsym
-        elif m in (0xC0, 0xC1):  # baseline / extended sequential SOF
+        elif m in (0xC0, 0xC1, 0xC2):  # sequential / progressive SOF
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
+            progressive = m == 0xC2
             if len(seg) < 6:
                 raise ValueError("truncated SOF")
             prec, h, w, ncomp = seg[0], (seg[1] << 8) | seg[2], (
@@ -969,25 +1003,52 @@ def decode_jpeg(p: bytes) -> tuple[int, int, int, list[int]]:
                 raise ValueError("SOS before SOF")
             w, h, comps = frame
             ns = seg[0] if seg else 0
-            if ns < 1 or ns > len(comps) or len(seg) < 1 + 2 * ns:
+            if ns < 1 or ns > len(comps) or len(seg) < 4 + 2 * ns:
                 raise ValueError("SOS component list mismatch")
-            if ns < len(comps):
-                # spec-legal non-interleaved multi-scan baseline (each
-                # SOS carries a subset of the frame's components) — a
-                # valid file this decoder honestly does not cover (r12
-                # advice: route 'needs_codec', not 'corrupt')
-                raise NotImplementedError(
-                    f"non-interleaved multi-scan baseline JPEG (SOS covers "
-                    f"{ns} of {len(comps)} frame components) needs a codec "
-                    f"library"
+            if not progressive and ns == len(comps) and store is None:
+                # interleaved single-scan baseline: the one-pass fast
+                # path (no coefficient buffering)
+                sel = {}
+                for c in range(len(comps)):
+                    cid, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                    sel[cid] = (tds >> 4, tds & 15)
+                return _jpeg_decode_scan(
+                    p, data_start, w, h, comps, sel, qt, dc_luts, ac_luts,
+                    restart_interval, ycbcr=adobe_transform != 0,
                 )
-            sel = {}
-            for c in range(len(comps)):
+            # multi-scan path: progressive, or sequential scans over
+            # component subsets (one SOS each, r13)
+            cid_to_ci = {c[0]: ci for ci, c in enumerate(comps)}
+            scan = []
+            for c in range(ns):
                 cid, tds = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cid] = (tds >> 4, tds & 15)
-            return _jpeg_decode_scan(
-                p, data_start, w, h, comps, sel, qt, dc_luts, ac_luts,
-                restart_interval, ycbcr=adobe_transform != 0,
+                ci = cid_to_ci.get(cid)
+                if ci is None or any(s[0] == ci for s in scan):
+                    raise ValueError("bad SOS component selector")
+                scan.append((ci, tds >> 4, tds & 15))
+            ss_, se_, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if not progressive and (ss_ != 0 or se_ != 63 or ahal != 0):
+                raise ValueError("bad sequential scan header")
+            if store is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mx = (w + 8 * hmax - 1) // (8 * hmax)
+                my = (h + 8 * vmax - 1) // (8 * vmax)
+                store, comp_q = [], []
+                dc_seen = [False] * len(comps)
+                for cid, h_i, v_i, tq in comps:
+                    if tq not in qt:
+                        raise ValueError(f"missing quant table {tq}")
+                    # ~4 bytes/coefficient; bounded by the 2^24-pixel
+                    # geometry guard above
+                    store.append(
+                        array("i", bytes(256 * mx * h_i * my * v_i))
+                    )
+                    comp_q.append(list(qt[tq]))
+            i = _jpeg_store_scan(
+                p, data_start, w, h, comps, scan, store, dc_luts,
+                ac_luts, restart_interval, ss_, se_, ahal >> 4,
+                ahal & 15, not progressive, dc_seen,
             )
         # all other segments (APPn, COM, ...) are skipped
 
@@ -1072,8 +1133,18 @@ def _jpeg_decode_scan(
                                     0 if v < 0 else (255 if v > 255 else v)
                                 )
             mcu += 1
+    return _jpeg_planes_to_samples(w, h, meta, planes, hmax, vmax, ycbcr)
+
+
+def _jpeg_planes_to_samples(
+    w, h, meta, planes, hmax, vmax, ycbcr
+) -> tuple[int, int, int, list[int]]:
+    """Crop + upsample decoded component planes into the flat sample
+    list (gray for 1 component, RGB for 3): shared tail of the baseline
+    fast path and the coefficient-store (progressive / multi-scan)
+    finish. meta rows start (h_i, v_i, plane_stride, ...)."""
     samples: list[int] = []
-    if len(comps) == 1:
+    if len(meta) == 1:
         stride = meta[0][2]
         for y in range(h):
             samples.extend(planes[0][y * stride : y * stride + w])
@@ -1102,6 +1173,268 @@ def _jpeg_decode_scan(
                 samples.append(planes[1][brow + x * bh // hmax])
                 samples.append(planes[2][rrow + x * rh // hmax])
     return w, h, 3, samples
+
+
+def _jpeg_store_scan(
+    p, start, w, h, comps, scan, store, dc_luts, ac_luts, ri,
+    ss, se, ah, al, seq, dc_seen,
+):
+    """Decode ONE entropy-coded scan into the per-component coefficient
+    store — the path behind progressive (SOF2) and non-interleaved
+    sequential multi-scan files (r13; both previously honest
+    'needs_codec' refusals). T.81 Annex G data flow: DC first scans
+    carry point-transformed predictor diffs, DC refinement one raw bit
+    per block, AC first scans run-length bands with EOBn block runs,
+    AC refinement the correction-bit walk (ZRL skips 16 zero-HISTORY
+    positions; every nonzero-history coefficient passed consumes one
+    correction bit). Sequential scans (seq=True) decode the full band
+    DC+AC per block, baseline-style.
+
+    comps: frame components [(cid, h_i, v_i, tq)]. scan: [(ci, td,
+    ta)] frame-component INDEXES in scan order. store: per-ci
+    array('i'), padded-MCU-grid blocks x 64 coefficients in NATURAL
+    order, dequantization deferred to _jpeg_finish_store. Returns the
+    byte offset just past the scan's entropy data (the marker loop
+    resumes there — progressive files carry many scans per frame)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    if ah > 13 or al > 13:
+        raise ValueError("bad successive-approximation bit position")
+    if ah and ah != al + 1:
+        raise ValueError("bad successive-approximation sequence")
+    if not seq:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("interleaved progressive AC scan")
+        if ss > 63 or se > 63 or (ss > 0 and se < ss):
+            raise ValueError("bad spectral selection")
+    br = _JpegBits(p, start)
+    preds = [0] * len(comps)
+    eobrun = 0
+
+    def dc_first(cb, ci, dcl):
+        s = br.huff(dcl)
+        if s > 11:
+            raise ValueError(f"bad DC magnitude category {s}")
+        preds[ci] += _jpeg_extend(br.bits(s), s)
+        cb[0] = preds[ci] << al
+
+    def dc_refine(cb):
+        # negative DC values OR correctly through two's complement
+        if br.bit():
+            cb[0] |= 1 << al
+
+    def seq_block(cb, dcl, acl, ci):
+        s = br.huff(dcl)
+        if s > 11:
+            raise ValueError(f"bad DC magnitude category {s}")
+        preds[ci] += _jpeg_extend(br.bits(s), s)
+        cb[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = br.huff(acl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            if k > 63:
+                raise ValueError("AC coefficient index past 63")
+            cb[_JPEG_ZIGZAG[k]] = _jpeg_extend(br.bits(s), s)
+            k += 1
+
+    def ac_first(cb, acl):
+        nonlocal eobrun
+        if eobrun:  # inside an EOBn run: whole band stays zero
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.huff(acl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    # EOBn: this block ends; (run - 1) more all-zero
+                    # bands follow
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index past band end")
+            cb[_JPEG_ZIGZAG[k]] = _jpeg_extend(br.bits(s), s) << al
+            k += 1
+
+    def refine_nonzero(cb, z, p1):
+        # correction bit 1 appends this pass's magnitude bit — once
+        # (the p1 check skips coefficients already refined this pass)
+        if br.bit() and not (abs(cb[z]) & p1):
+            cb[z] += p1 if cb[z] > 0 else -p1
+
+    def ac_refine(cb, acl):
+        nonlocal eobrun
+        p1 = 1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.huff(acl)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        # run INCLUDES this block: its tail still
+                        # consumes correction bits below
+                        eobrun = (1 << r) + (br.bits(r) if r else 0)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("bad AC refinement magnitude")
+                    newval = p1 if br.bit() else -p1
+                while k <= se:
+                    z = _JPEG_ZIGZAG[k]
+                    if cb[z]:
+                        refine_nonzero(cb, z, p1)
+                        k += 1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                        k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("AC refinement past band end")
+                    cb[_JPEG_ZIGZAG[k]] = newval
+                k += 1
+        if eobrun:
+            while k <= se:
+                z = _JPEG_ZIGZAG[k]
+                if cb[z]:
+                    refine_nonzero(cb, z, p1)
+                k += 1
+            eobrun -= 1
+
+    ctx = []
+    for ci, td, ta in scan:
+        _, h_i, v_i, _ = comps[ci]
+        dcl = acl = None
+        if seq or (ss == 0 and ah == 0):
+            dcl = dc_luts.get(td)
+            if dcl is None:
+                raise ValueError(f"missing Huffman table DC{td}")
+        if seq or ss > 0:  # AC refinement reads the table too
+            acl = ac_luts.get(ta)
+            if acl is None:
+                raise ValueError(f"missing Huffman table AC{ta}")
+        if not seq and not dc_seen[ci] and (ss > 0 or ah > 0):
+            raise ValueError("AC or refinement scan before first DC scan")
+        ctx.append((ci, h_i, v_i, dcl, acl))
+
+    def unit(ci, dcl, acl, bx, by, bw):
+        off = (by * bw + bx) * 64
+        cb = memoryview(store[ci])[off : off + 64]
+        if seq:
+            seq_block(cb, dcl, acl, ci)
+        elif ss == 0:
+            if ah == 0:
+                dc_first(cb, ci, dcl)
+            else:
+                dc_refine(cb)
+        elif ah == 0:
+            ac_first(cb, acl)
+        else:
+            ac_refine(cb, acl)
+
+    nunits = 0
+    if len(scan) > 1:
+        # interleaved (DC or sequential): MCU order over the frame grid
+        for myi in range(my):
+            for mxi in range(mx):
+                if ri and nunits and nunits % ri == 0:
+                    br.restart()
+                    preds[:] = [0] * len(comps)
+                    eobrun = 0
+                for ci, h_i, v_i, dcl, acl in ctx:
+                    bw = mx * h_i
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            unit(ci, dcl, acl,
+                                 mxi * h_i + bx, myi * v_i + by, bw)
+                nunits += 1
+    else:
+        # single-component scans are ALWAYS non-interleaved (T.81
+        # A.2.2): the data-unit order is the component's own ceil
+        # block grid, NOT the padded MCU grid
+        ci, h_i, v_i, dcl, acl = ctx[0]
+        nbw = ((w * h_i + hmax - 1) // hmax + 7) // 8
+        nbh = ((h * v_i + vmax - 1) // vmax + 7) // 8
+        bw = mx * h_i
+        for by in range(nbh):
+            for bx in range(nbw):
+                if ri and nunits and nunits % ri == 0:
+                    br.restart()
+                    preds[:] = [0] * len(comps)
+                    eobrun = 0
+                unit(ci, dcl, acl, bx, by, bw)
+                nunits += 1
+    if seq or ss == 0:
+        for ci, _, _ in scan:
+            dc_seen[ci] = True
+    return br.i
+
+
+def _jpeg_finish_store(
+    frame, store, comp_q, ycbcr
+) -> tuple[int, int, int, list[int]]:
+    """Dequantize + sparse-IDCT the accumulated coefficient store into
+    component planes (run at EOI, when every scan has landed), then the
+    shared crop/upsample/color tail. Same per-block cost shape as the
+    baseline fast path: 64 x nonzero coefficients."""
+    w, h, comps = frame
+    basis = _jpeg_idct_basis()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    meta = []
+    for ci, (cid, h_i, v_i, tq) in enumerate(comps):
+        stride = mx * h_i * 8
+        plane = bytearray(stride * my * v_i * 8)
+        cst = store[ci]
+        q = comp_q[ci]
+        bw = mx * h_i
+        for by in range(my * v_i):
+            for bx in range(bw):
+                off = (by * bw + bx) * 64
+                f = [0.0] * 64
+                for idx in range(64):
+                    cval = cst[off + idx]
+                    if cval:
+                        d = cval * q[_JPEG_ZZINV[idx]]
+                        b = basis[idx]
+                        for pnt in range(64):
+                            f[pnt] += d * b[pnt]
+                ox, oy = bx * 8, by * 8
+                for r in range(8):
+                    base = (oy + r) * stride + ox
+                    fr = f[r * 8 : r * 8 + 8]
+                    for cx in range(8):
+                        v = int(fr[cx] + 128.5)
+                        plane[base + cx] = (
+                            0 if v < 0 else (255 if v > 255 else v)
+                        )
+        planes.append(plane)
+        meta.append((h_i, v_i, stride))
+    return _jpeg_planes_to_samples(w, h, meta, planes, hmax, vmax, ycbcr)
 
 
 PIXEL_STATS_SCHEMA = T.StructType(

@@ -3993,11 +3993,11 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     png_trunc = F.concat(
         sig, chunk(b"IHDR", ihdr_payload), chunk(b"IDAT", ztrunc), iend
     )
-    # progressive-JPEG (SOF2) prefix: since r12 baseline JPEG decodes
-    # for real, so the needs_codec class must be a frame type that
-    # GENUINELY needs a codec — decode_jpeg raises NotImplementedError
-    # on the 0xffc2 marker
-    jpeg = F.lit(b"\xff\xd8\xff\xc2")
+    # lossless-JPEG (SOF3) prefix: baseline decodes for real since
+    # r12 and progressive since r13, so the needs_codec class must be
+    # a frame type that GENUINELY needs a codec — decode_jpeg raises
+    # NotImplementedError on the 0xffc3 marker
+    jpeg = F.lit(b"\xff\xd8\xff\xc3")
     payload = (
         F.when(did % 7 == 3, jpeg)
         .when(did % 5 == 0, png_trunc)
@@ -4128,11 +4128,11 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pixels 3,3,3 -> codes [clear,3,130,end]: 130 arrives one step
     # BEFORE the decoder defines it (the KwKwK case)
     gif_kwkwk = F.lit(const_gif(3, 1, bytes([0x80, 3, 0x82, 0x81]), [4]))
-    # progressive-JPEG (SOF2) prefix: since r12 baseline JPEG decodes
-    # for real, so the needs_codec class must be a frame type that
-    # GENUINELY needs a codec — decode_jpeg raises NotImplementedError
-    # on the 0xffc2 marker
-    jpeg = F.lit(b"\xff\xd8\xff\xc2")
+    # lossless-JPEG (SOF3) prefix: baseline decodes for real since
+    # r12 and progressive since r13, so the needs_codec class must be
+    # a frame type that GENUINELY needs a codec — decode_jpeg raises
+    # NotImplementedError on the 0xffc3 marker
+    jpeg = F.lit(b"\xff\xd8\xff\xc3")
     payload = (
         F.when(did % 7 == 3, jpeg)
         .when(did % 5 == 0, gif_trunc)
@@ -4158,15 +4158,23 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dequantized coefficient 8V divided by 8), so the channel means have
 # closed forms the oracle computes without parsing a byte: gray
 # 128+vy; color floor-rounded JFIF YCbCr->RGB of (128+vy, 128+vcb,
-# 128+vcr). Three real-decode classes: 4:4:4 color up to 2x2 MCUs
+# 128+vcr). FOUR real-decode classes: 4:4:4 color up to 2x2 MCUs
 # (multi-MCU scan walk: later MCUs are all-cat-0 diffs), grayscale
-# (%7==5), and 4:2:0 single-MCU (%7==1: four Y blocks + subsampled
-# chroma, exercising the hmax/vmax upsampling). doc_id%7==3 rows carry
-# a progressive SOF2 prefix (status='needs_codec'), doc_id%5==0 rows
-# declare a 2-MCU geometry but ship one MCU (premature EOI inside the
-# entropy stream -> status='corrupt'), NULL ids a NULL payload.
-# The AC/run-length/restart surface the flat fixtures cannot reach is
-# pinned by the test-side encoder roundtrips (test_multimodal.py).
+# (%7==5), 4:2:0 single-MCU (%7==1: four Y blocks + subsampled
+# chroma, exercising the hmax/vmax upsampling), and — r13 —
+# PROGRESSIVE SOF2 single-MCU color (%7==3): a single DC scan against
+# a second DC table whose cat-6 code is the 2-bit '00', so each
+# component's scan byte IS its 6 extra bits; this drives the
+# coefficient-store path (_jpeg_store_scan/_jpeg_finish_store) end to
+# end with the same closed-form means as the 4:4:4 class. doc_id%5==0
+# rows declare a 2-MCU geometry but ship one MCU (premature EOI
+# inside the entropy stream -> status='corrupt'), doc_id%11==7 rows
+# carry a lossless SOF3 prefix (the honest 'needs_codec' class now
+# that progressive decodes), NULL ids a NULL payload.
+# The AC/run-length/restart/refinement surface the flat fixtures
+# cannot reach is pinned by the test-side encoder roundtrips
+# (test_multimodal.py: baseline, progressive spectral/successive-
+# approximation, sequential multi-scan).
 # =============================================================================
 @q(
     "multimodal_jpeg_pixel_stats",
@@ -4180,14 +4188,15 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), c AS (
       SELECT doc_id, vy, vcb, vcr,
              CASE WHEN doc_id IS NULL THEN 'null_payload'
-                  WHEN doc_id % 7 = 3 THEN 'needs_codec'
+                  WHEN doc_id % 7 = 3 THEN 'ok'
                   WHEN doc_id % 5 = 0 THEN 'corrupt'
+                  WHEN doc_id % 11 = 7 THEN 'needs_codec'
                   ELSE 'ok' END AS status,
              doc_id % 7 = 5 AS is_gray,
-             CASE WHEN doc_id % 7 = 5 THEN doc_id % 8 + 1
+             CASE WHEN doc_id % 7 IN (5, 3) THEN doc_id % 8 + 1
                   WHEN doc_id % 7 = 1 THEN doc_id % 16 + 1
                   ELSE doc_id % 9 + 1 END AS w2,
-             CASE WHEN doc_id % 7 = 5 THEN (doc_id // 8) % 8 + 1
+             CASE WHEN doc_id % 7 IN (5, 3) THEN (doc_id // 8) % 8 + 1
                   WHEN doc_id % 7 = 1 THEN (doc_id // 16) % 16 + 1
                   ELSE doc_id % 11 + 1 END AS h2
       FROM m
@@ -4239,19 +4248,29 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + b"\xff\xc4" + struct.pack(">H", 20) + b"\x10"
         + bytes([0, 0, 0, 0, 0, 1] + [0] * 10) + bytes([0x00])
     )
+    # second DC table (id 1) for the progressive class: ONE 2-bit code
+    # ('00') mapping category 6, so a DC-scan block is the single byte
+    # 0b00eeeeee — the 6 extra bits verbatim
+    dht_dc1 = (
+        b"\xff\xc4" + struct.pack(">H", 20) + b"\x01"
+        + bytes([0, 1] + [0] * 14) + bytes([0x06])
+    )
     head = F.lit(b"\xff\xd8" + dqt + dht)
+    head_prog = F.lit(b"\xff\xd8" + dqt + dht + dht_dc1)
     sos3 = b"\xff\xda\x00\x0c\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
     sos1 = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    # progressive DC scan: Td=1 per component, Ss=Se=0, Ah=Al=0
+    sos_p = b"\xff\xda\x00\x0c\x03\x01\x10\x02\x10\x03\x10\x00\x00\x00"
     eoi = F.lit(b"\xff\xd9")
 
-    def sof(ncomp: int, y_samp: int, w, h):
+    def sof(ncomp: int, y_samp: int, w, h, marker: bytes = b"\xc0"):
         if ncomp == 1:
             return F.concat(
-                F.lit(b"\xff\xc0\x00\x0b\x08"), be2(h), be2(w),
+                F.lit(b"\xff" + marker + b"\x00\x0b\x08"), be2(h), be2(w),
                 F.lit(b"\x01\x01\x11\x00"),
             )
         return F.concat(
-            F.lit(b"\xff\xc0\x00\x11\x08"), be2(h), be2(w),
+            F.lit(b"\xff" + marker + b"\x00\x11\x08"), be2(h), be2(w),
             F.lit(bytes([3, 1, y_samp, 0, 2, 0x11, 0, 3, 0x11, 0])),
         )
 
@@ -4281,10 +4300,21 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = F.concat(
         head, sof(3, 0x11, F.lit(16), F.lit(8)), F.lit(sos3), mcu1, eoi
     )
-    prog = F.lit(b"\xff\xd8\xff\xc2")  # needs_codec: progressive SOF2
+    # r13: REAL progressive SOF2, single-MCU 4:4:4 — one DC scan whose
+    # three bytes are each component's 6 extra bits against table 1
+    def byte1(e):
+        return F.unhex(F.lpad(F.hex(e.cast("int")), 2, "0"))
+
+    prog = F.concat(
+        head_prog, sof(3, 0x11, wg, hg, marker=b"\xc2"), F.lit(sos_p),
+        byte1(vy), byte1(e_cb), byte1(e_cr), eoi,
+    )
+    # needs_codec: lossless SOF3 prefix (progressive decodes now)
+    lossless = F.lit(b"\xff\xd8\xff\xc3")
     payload = (
         F.when(did % 7 == 3, prog)
         .when(did % 5 == 0, trunc)
+        .when(did % 11 == 7, lossless)
         .when(did % 7 == 5, gray)
         .when(did % 7 == 1, j420)
         .otherwise(color)

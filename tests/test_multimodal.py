@@ -434,11 +434,13 @@ def test_decode_images_real_path_routes_by_magic(spark):
     got_j = {r.media_id: (r.width, r.height, r.channels)
              for r in MM.decode_images(jpg, fake=False).collect()}
     assert got_j[9] == (None, None, None)
-    prog = spark.createDataFrame(
-        [(9, bytearray(b"\xff\xd8\xff\xc2"))], "media_id long, payload binary"
+    # r13: progressive is a real decode now; lossless (SOF3) is the
+    # genuinely-needs-codec frame that still raises the stub
+    lossless = spark.createDataFrame(
+        [(9, bytearray(b"\xff\xd8\xff\xc3"))], "media_id long, payload binary"
     )
     with pytest.raises(Exception, match="codec"):
-        MM.decode_images(prog, fake=False).collect()
+        MM.decode_images(lossless, fake=False).collect()
 
 
 def test_sniff_image_dims_native(spark):
@@ -538,12 +540,12 @@ def test_image_pixel_stats_operator(spark):
         # status='needs_codec', NOT blend into the corrupt class; a
         # PNG with no IDAT is decodable-format-but-corrupt (PNG is a
         # REAL stdlib decode since round 11), and since r12 so is a
-        # baseline-JPEG header with a truncated SOF (6) — only the
-        # genuinely-needs-codec progressive frame (10) stays
-        # needs_codec
+        # baseline-JPEG header with a truncated SOF (6) — the
+        # genuinely-needs-codec frame (10) is lossless SOF3 since r13
+        # (progressive SOF2 decodes for real now)
         (5, bytearray(_png_bytes(4, 4))),  # IHDR only, no IDAT
         (6, bytearray(_jpeg_bytes(8, 8))),
-        (10, bytearray(b"\xff\xd8\xff\xc2")),
+        (10, bytearray(b"\xff\xd8\xff\xc3")),
         (7, bytearray(_webp_bytes(3, 3, "vp8l"))),
         (8, bytearray(b"\x00\x01not an image")),
         (9, bytearray(_png_full(2, 2, [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]))),
@@ -1460,21 +1462,12 @@ def _jpeg_fdct_quant(block, q):
     return out
 
 
-def _jpeg_encode(w, h, raster, subsample=(1, 1), q=1, restart=0):
-    """Minimal spec-correct baseline encoder: `raster` is a flat list —
-    RGB triples (3-component) or gray samples (1-component, pass
-    subsample=None). subsample=(2,2) makes Y 2x2 vs 1x1 chroma
-    (4:2:0); (2,1) gives 4:2:2. One DC and one AC Huffman table serve
-    all components, built canonically from the symbols the image
-    actually uses (all at fixed code lengths — legal, if suboptimal)."""
-    import struct
-
-    from social_and_media_data_ingestion_spark.operators.multimodal import (
-        _JPEG_ZIGZAG,
-    )
-
+def _jpeg_subsampled_planes(w, h, raster, subsample):
+    """RGB->YCbCr (or gray), box-average subsample, pad to the MCU
+    grid by replication. -> (comps [(cid, ch, cv)], 2-D planes, mx,
+    my, per-comp ceil block grids (nbw, nbh)). Shared by the baseline,
+    progressive, and sequential-multi-scan encoders."""
     gray = subsample is None
-    qtab = [q] * 64
     if gray:
         comps = [(1, 1, 1)]
         planes_in = [list(raster)]
@@ -1496,6 +1489,7 @@ def _jpeg_encode(w, h, raster, subsample=(1, 1), q=1, restart=0):
     my = (h + 8 * vmax - 1) // (8 * vmax)
     # component planes: subsample by box-averaging, pad by replication
     planes = []
+    grids = []
     for (cid, ch, cv), pin in zip(comps, planes_in):
         pw, ph = mx * ch * 8, my * cv * 8
         sw = (w * ch + hmax - 1) // hmax  # true subsampled extent
@@ -1516,6 +1510,27 @@ def _jpeg_encode(w, h, raster, subsample=(1, 1), q=1, restart=0):
                         cnt += 1
                 plane[yy][xx] = int(acc / cnt + 0.5)
         planes.append(plane)
+        grids.append(((sw + 7) // 8, (sh_ + 7) // 8))
+    return comps, planes, mx, my, grids
+
+
+def _jpeg_encode(w, h, raster, subsample=(1, 1), q=1, restart=0):
+    """Minimal spec-correct baseline encoder: `raster` is a flat list —
+    RGB triples (3-component) or gray samples (1-component, pass
+    subsample=None). subsample=(2,2) makes Y 2x2 vs 1x1 chroma
+    (4:2:0); (2,1) gives 4:2:2. One DC and one AC Huffman table serve
+    all components, built canonically from the symbols the image
+    actually uses (all at fixed code lengths — legal, if suboptimal)."""
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    qtab = [q] * 64
+    comps, planes, mx, my, _ = _jpeg_subsampled_planes(
+        w, h, raster, subsample
+    )
     # entropy-encode twice: pass 1 collects symbols, pass 2 emits
     for collect_only in (True, False):
         dc_syms, ac_syms = set(), set()
@@ -1620,6 +1635,346 @@ def _jpeg_encode(w, h, raster, subsample=(1, 1), q=1, restart=0):
     return out
 
 
+def _jpeg_coef_blocks(w, h, raster, subsample, q):
+    """FDCT+quantize every padded-grid block. -> (comps, per-comp
+    {(bx, by): 64 natural-order coefs}, ceil grids, mx, my, qtab)."""
+    qtab = [q] * 64
+    comps, planes, mx, my, grids = _jpeg_subsampled_planes(
+        w, h, raster, subsample
+    )
+    blocks = []
+    for ci, (cid, ch, cv) in enumerate(comps):
+        cmap = {}
+        for by in range(my * cv):
+            for bx in range(mx * ch):
+                block = [
+                    planes[ci][by * 8 + yy][bx * 8 + xx]
+                    for yy in range(8)
+                    for xx in range(8)
+                ]
+                cmap[(bx, by)] = _jpeg_fdct_quant(block, qtab)
+        blocks.append(cmap)
+    return comps, blocks, grids, mx, my, qtab
+
+
+def _jpeg_scan_payload(emit):
+    """Run `emit(put_sym, put_bits, put_rst)` twice: pass 1 collects
+    the Huffman symbols each table id (0=DC, 1=AC) needs, pass 2
+    writes the entropy bits with canonical fixed-length tables.
+    -> ({tc: (code_len, symbols)}, payload bytes)."""
+    syms = {0: set(), 1: set()}
+    emit(lambda tc, s: syms[tc].add(s), lambda v, n: None, lambda n: None)
+    tables = {}
+    for tc in (0, 1):
+        sl = sorted(syms[tc]) or [0]
+        ln = 4 if len(sl) < 15 else 8
+        tables[tc] = (ln, sl, {s: i for i, s in enumerate(sl)})
+    bw = _JpegBitWriter()
+
+    def put_sym(tc, s):
+        ln, _, code = tables[tc]
+        bw.put(code[s], ln)
+
+    def put_rst(n):
+        bw.flush()
+        bw.out += bytes([0xFF, 0xD0 + n % 8])
+
+    emit(put_sym, bw.put, put_rst)
+    bw.flush()
+    return {tc: tables[tc][:2] for tc in tables}, bytes(bw.out)
+
+
+def _jpeg_headers(marker, w, h, comps, qtab, restart):
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        [qtab[_JPEG_ZIGZAG[k]] for k in range(64)]
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, ch, cv in comps:
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += marker + struct.pack(">H", 2 + len(sof)) + sof
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart)
+    return out
+
+
+def _jpeg_dht(tc, th, ln, symbols):
+    import struct
+
+    counts = [0] * 16
+    counts[ln - 1] = len(symbols)
+    body = bytes([(tc << 4) | th]) + bytes(counts) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _jpeg_encode_progressive(w, h, raster, subsample=None, q=1,
+                             script="sa", restart=0, eobn=False):
+    """Spec-correct progressive (SOF2) encoder, the multi-scan mirror
+    of _jpeg_encode — proves decode_jpeg's coefficient-store path by
+    differential roundtrip (same quantized coefficients as a baseline
+    encode of the same raster, so decoded pixels must match exactly).
+
+    script='spectral': DC scan (Al=0), then one full AC band per
+    component (spectral selection only). script='sa': successive
+    approximation — DC first at Al=1 + DC refinement, per-component
+    split AC bands (1..5, 6..63) at Al=1 + AC refinement passes to
+    Al=0 (the correction-bit surface). eobn=True accumulates
+    cross-block EOBn runs in AC-first scans. restart=N emits RSTn
+    every N MCUs / blocks, resetting predictors and EOB runs."""
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    ZZ = _JPEG_ZIGZAG
+    comps, blocks, grids, mx, my, qtab = _jpeg_coef_blocks(
+        w, h, raster, subsample, q
+    )
+    ncomp = len(comps)
+
+    def mcu_groups():
+        # one yielded list per MCU: [(ci, (bx, by)), ...]
+        for myi in range(my):
+            for mxi in range(mx):
+                g = []
+                for ci, (cid, ch, cv) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            g.append((ci, (mxi * ch + bx, myi * cv + by)))
+                yield g
+
+    def comp_order(ci):
+        nbw, nbh = grids[ci]
+        for by in range(nbh):
+            for bx in range(nbw):
+                yield (bx, by)
+
+    def dc_first_emit(al):
+        def emit(put_sym, put_bits, put_rst):
+            preds = [0] * ncomp
+            rstn = 0
+            for mcu, group in enumerate(mcu_groups()):
+                if restart and mcu and mcu % restart == 0:
+                    put_rst(rstn)
+                    rstn += 1
+                    preds = [0] * ncomp
+                for ci, key in group:
+                    v = blocks[ci][key][0] >> al  # arithmetic shift
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = _jpeg_cat(diff)
+                    put_sym(0, s)
+                    if s:
+                        put_bits(
+                            diff if diff > 0 else diff + (1 << s) - 1, s
+                        )
+        return emit
+
+    def dc_refine_emit(al):
+        def emit(put_sym, put_bits, put_rst):
+            rstn = 0
+            for mcu, group in enumerate(mcu_groups()):
+                if restart and mcu and mcu % restart == 0:
+                    put_rst(rstn)
+                    rstn += 1
+                for ci, key in group:
+                    put_bits((blocks[ci][key][0] >> al) & 1, 1)
+        return emit
+
+    def ac_first_emit(ci, ss, se, al):
+        def emit(put_sym, put_bits, put_rst):
+            pend_eob = 0
+            rstn = 0
+
+            def flush_eob():
+                nonlocal pend_eob
+                if pend_eob:
+                    r = pend_eob.bit_length() - 1
+                    put_sym(1, r << 4)
+                    if r:
+                        put_bits(pend_eob - (1 << r), r)
+                    pend_eob = 0
+
+            for unit, key in enumerate(comp_order(ci)):
+                if restart and unit and unit % restart == 0:
+                    flush_eob()
+                    put_rst(rstn)
+                    rstn += 1
+                C = blocks[ci][key]
+                # AC point transform divides MAGNITUDE (unlike DC)
+                vals = [
+                    (abs(C[ZZ[k]]) >> al) * (1 if C[ZZ[k]] > 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                if not any(vals):
+                    pend_eob += 1
+                    if pend_eob == (32767 if eobn else 1):
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                last_nz = max(i for i, v in enumerate(vals) if v)
+                for v in vals[: last_nz + 1]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put_sym(1, 0xF0)
+                        run -= 16
+                    s = _jpeg_cat(v)
+                    put_sym(1, (run << 4) | s)
+                    put_bits(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < len(vals) - 1:
+                    pend_eob += 1  # EOB run INCLUDES this block
+                    if not eobn:
+                        flush_eob()
+            flush_eob()
+        return emit
+
+    def ac_refine_emit(ci, ss, se, al):
+        def emit(put_sym, put_bits, put_rst):
+            rstn = 0
+            for unit, key in enumerate(comp_order(ci)):
+                if restart and unit and unit % restart == 0:
+                    put_rst(rstn)
+                    rstn += 1
+                C = blocks[ci][key]
+                idxs = list(range(ss, se + 1))
+                # t==0: zero history; t==1: newly nonzero this pass;
+                # t>1: history nonzero -> correction bit (t & 1)
+                ts = [abs(C[ZZ[k]]) >> al for k in idxs]
+                newly = [i for i, t in enumerate(ts) if t == 1]
+                pos = 0
+                for target in newly:
+                    run = sum(1 for j in range(pos, target) if ts[j] == 0)
+                    while run > 15:
+                        # ZRL skips 16 zero-history positions; the
+                        # correction bits of history coefficients ride
+                        # along in positional order
+                        put_sym(1, 0xF0)
+                        zeros = 0
+                        while zeros < 16:
+                            if ts[pos] == 0:
+                                zeros += 1
+                            elif ts[pos] > 1:
+                                put_bits(ts[pos] & 1, 1)
+                            pos += 1
+                        run -= 16
+                    put_sym(1, (run << 4) | 1)
+                    put_bits(1 if C[ZZ[idxs[target]]] > 0 else 0, 1)
+                    while pos < target:
+                        if ts[pos] > 1:
+                            put_bits(ts[pos] & 1, 1)
+                        pos += 1
+                    pos = target + 1
+                if pos < len(idxs):
+                    # decoder reads another symbol whenever k <= Se:
+                    # close the block with EOB0 + tail correction bits
+                    put_sym(1, 0x00)
+                    for j in range(pos, len(idxs)):
+                        if ts[j] > 1:
+                            put_bits(ts[j] & 1, 1)
+        return emit
+
+    scans = []  # (scan component indexes, ss, se, ah, al, emit)
+    if script == "spectral":
+        scans.append((list(range(ncomp)), 0, 0, 0, 0, dc_first_emit(0)))
+        for ci in range(ncomp):
+            scans.append(([ci], 1, 63, 0, 0, ac_first_emit(ci, 1, 63, 0)))
+    else:
+        scans.append((list(range(ncomp)), 0, 0, 0, 1, dc_first_emit(1)))
+        for ci in range(ncomp):
+            scans.append(([ci], 1, 5, 0, 1, ac_first_emit(ci, 1, 5, 1)))
+            scans.append(([ci], 6, 63, 0, 1, ac_first_emit(ci, 6, 63, 1)))
+        scans.append((list(range(ncomp)), 0, 0, 1, 0, dc_refine_emit(0)))
+        for ci in range(ncomp):
+            scans.append(([ci], 1, 5, 1, 0, ac_refine_emit(ci, 1, 5, 0)))
+            scans.append(([ci], 6, 63, 1, 0, ac_refine_emit(ci, 6, 63, 0)))
+
+    import struct as _st
+
+    out = _jpeg_headers(b"\xff\xc2", w, h, comps, qtab, restart)
+    for scan_cis, ss, se, ah, al, emit in scans:
+        tables, payload = _jpeg_scan_payload(emit)
+        if ss == 0 and ah == 0:
+            ln, sl = tables[0]
+            out += _jpeg_dht(0, 0, ln, sl)
+        if ss > 0:
+            ln, sl = tables[1]
+            out += _jpeg_dht(1, 0, ln, sl)
+        sos = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            sos += bytes([comps[ci][0], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + _st.pack(">H", 2 + len(sos)) + sos + payload
+    return out + b"\xff\xd9"
+
+
+def _jpeg_encode_seq_multiscan(w, h, raster, subsample=None, q=1):
+    """Sequential (SOF0) encoder with ONE full-band SOS per component —
+    the spec-legal non-interleaved multi-scan baseline layout
+    decode_jpeg routed 'needs_codec' through r12 and now decodes."""
+    import struct
+
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    ZZ = _JPEG_ZIGZAG
+    comps, blocks, grids, mx, my, qtab = _jpeg_coef_blocks(
+        w, h, raster, subsample, q
+    )
+
+    out = _jpeg_headers(b"\xff\xc0", w, h, comps, qtab, 0)
+    for ci in range(len(comps)):
+        def emit(put_sym, put_bits, put_rst, ci=ci):
+            nbw, nbh = grids[ci]
+            pred = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    C = blocks[ci][(bx, by)]
+                    diff = C[0] - pred
+                    pred = C[0]
+                    s = _jpeg_cat(diff)
+                    put_sym(0, s)
+                    if s:
+                        put_bits(
+                            diff if diff > 0 else diff + (1 << s) - 1, s
+                        )
+                    zz = [C[ZZ[k]] for k in range(64)]
+                    run = 0
+                    for k in range(1, 64):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            put_sym(1, 0xF0)
+                            run -= 16
+                        s = _jpeg_cat(zz[k])
+                        put_sym(1, (run << 4) | s)
+                        put_bits(
+                            zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s
+                        )
+                        run = 0
+                    if run:
+                        put_sym(1, 0x00)
+        tables, payload = _jpeg_scan_payload(emit)
+        ln0, sl0 = tables[0]
+        ln1, sl1 = tables[1]
+        out += _jpeg_dht(0, 0, ln0, sl0) + _jpeg_dht(1, 0, ln1, sl1)
+        sos = bytes([1, comps[ci][0], 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos + payload
+    return out + b"\xff\xd9"
+
+
 def _rand_raster(n, seed=1234):
     # deterministic LCG so the fuzz/roundtrip fixtures never depend on
     # the environment
@@ -1716,10 +2071,14 @@ def test_decode_jpeg_error_taxonomy():
     )
 
     base = _jpeg_encode(8, 8, _rand_raster(8 * 8 * 3), subsample=(1, 1))
-    # needs_codec: progressive, arithmetic, hierarchical, 12-bit
-    for sof in (0xC2, 0xC3, 0xC5, 0xC9, 0xCA, 0xCE):
+    # needs_codec: lossless, arithmetic, hierarchical, 12-bit
+    # (progressive SOF2 is a REAL decode since r13 — a bare C2 prefix
+    # is now a TRUNCATED progressive file, i.e. corrupt, tested below)
+    for sof in (0xC3, 0xC5, 0xC9, 0xCA, 0xCE):
         with pytest.raises(NotImplementedError):
             decode_jpeg(b"\xff\xd8\xff" + bytes([sof]))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc2")
     twelve = base.replace(
         b"\xff\xc0\x00\x11\x08", b"\xff\xc0\x00\x11\x0c", 1
     )
@@ -1742,21 +2101,22 @@ def test_decode_jpeg_error_taxonomy():
         decode_jpeg(bomb)
 
 
-def test_decode_jpeg_spec_valid_variants_route_needs_codec():
-    """r12 ADVICE: spec-LEGAL baseline variants this decoder does not
-    cover must raise NotImplementedError (-> status 'needs_codec'),
-    not ValueError (-> 'corrupt'): non-interleaved multi-scan files
-    (SOS covering a subset of the frame components) and 4-component
-    CMYK/YCCK frames."""
+def test_decode_jpeg_spec_valid_variants():
+    """r12 ADVICE refined by r13: non-interleaved multi-scan baseline
+    files are a REAL decode now (the coefficient-store path), so the
+    needs_codec split moves — a COMPLETE multi-scan file decodes, a
+    file whose scans never cover every frame component is malformed
+    ('corrupt'), and 4-component CMYK/YCCK frames stay
+    NotImplementedError (-> 'needs_codec')."""
     import struct
 
     from social_and_media_data_ingestion_spark.operators.multimodal import (
         decode_jpeg,
     )
 
-    # non-interleaved: rewrite the 3-component SOS to cover only
-    # component 1 (spec-legal; the other components would follow in
-    # later scans)
+    # a single SOS covering only component 1 of 3, then EOI: scans
+    # never cover components 2/3 -> corrupt (incomplete file), not a
+    # crash and not needs_codec
     base = _jpeg_encode(8, 8, _rand_raster(8 * 8 * 3), subsample=(1, 1))
     full_sos = (
         b"\xff\xda" + struct.pack(">H", 12)
@@ -1766,7 +2126,7 @@ def test_decode_jpeg_spec_valid_variants_route_needs_codec():
     single_sos = (
         b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(base.replace(full_sos, single_sos, 1))
     # an SOS claiming MORE components than the frame stays corrupt
     over_sos = (
@@ -1775,6 +2135,10 @@ def test_decode_jpeg_spec_valid_variants_route_needs_codec():
     )
     with pytest.raises(ValueError):
         decode_jpeg(base.replace(full_sos, over_sos, 1))
+    # two SOF markers in one frame: corrupt
+    sof = base[base.index(b"\xff\xc0") : base.index(b"\xff\xc0") + 19]
+    with pytest.raises(ValueError):
+        decode_jpeg(base[:2] + sof + base[2:])
 
     # 4-component (CMYK/YCCK) SOF0
     sof4 = bytes([8, 0, 8, 0, 8, 4]) + bytes(
@@ -1785,6 +2149,136 @@ def test_decode_jpeg_spec_valid_variants_route_needs_codec():
     )
     with pytest.raises(NotImplementedError):
         decode_jpeg(cmyk)
+
+
+def test_decode_jpeg_progressive_roundtrip():
+    """The r13 coefficient-store path, proven differentially: a
+    progressive encode of a raster carries EXACTLY the same quantized
+    coefficients as the baseline encode (shared FDCT pipeline), so
+    decode_jpeg must return byte-identical pixels for both files —
+    across gray/4:4:4/4:2:0/4:2:2, spectral-selection-only scripts,
+    and full successive approximation (DC+AC refinement scans)."""
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    for name, w, h, sub, q, script in [
+        ("gray-spectral", 16, 10, None, 1, "spectral"),
+        ("gray-sa", 16, 10, None, 4, "sa"),
+        ("c444-sa", 13, 9, (1, 1), 2, "sa"),
+        ("c420-spectral", 21, 15, (2, 2), 3, "spectral"),
+        ("c420-sa", 21, 15, (2, 2), 3, "sa"),
+        ("c422-sa", 18, 11, (2, 1), 2, "sa"),
+    ]:
+        n = w * h * (1 if sub is None else 3)
+        raster = _rand_raster(n, seed=hash(name) % (1 << 30))
+        want = decode_jpeg(_jpeg_encode(w, h, raster, subsample=sub, q=q))
+        got = decode_jpeg(
+            _jpeg_encode_progressive(
+                w, h, raster, subsample=sub, q=q, script=script
+            )
+        )
+        assert got == want, name
+
+
+def test_decode_jpeg_progressive_restart_and_eobn():
+    """Restart intervals inside progressive scans (predictors AND EOB
+    runs reset at every RSTn) and cross-block EOBn runs decode to the
+    same pixels as the baseline encode."""
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    for name, w, h, sub, q, script, restart, eobn in [
+        ("rst2-gray-sa", 24, 17, None, 2, "sa", 2, False),
+        ("rst3-420-sa", 21, 15, (2, 2), 3, "sa", 3, True),
+        ("eobn-444-spectral", 13, 9, (1, 1), 2, "spectral", 0, True),
+        ("rst2-444-spectral", 13, 9, (1, 1), 2, "spectral", 2, True),
+    ]:
+        n = w * h * (1 if sub is None else 3)
+        raster = _rand_raster(n, seed=hash(name) % (1 << 30))
+        want = decode_jpeg(_jpeg_encode(w, h, raster, subsample=sub, q=q))
+        got = decode_jpeg(
+            _jpeg_encode_progressive(
+                w, h, raster, subsample=sub, q=q, script=script,
+                restart=restart, eobn=eobn,
+            )
+        )
+        assert got == want, name
+
+
+def test_decode_jpeg_sequential_multiscan_roundtrip():
+    """Non-interleaved sequential multi-scan files (one full-band SOS
+    per component) decode identically to the interleaved single-scan
+    baseline encode of the same raster."""
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    for name, w, h, sub, q in [
+        ("seq-gray", 16, 10, None, 1),
+        ("seq-420", 21, 15, (2, 2), 3),
+        ("seq-422", 18, 11, (2, 1), 2),
+    ]:
+        n = w * h * (1 if sub is None else 3)
+        raster = _rand_raster(n, seed=hash(name) % (1 << 30))
+        want = decode_jpeg(_jpeg_encode(w, h, raster, subsample=sub, q=q))
+        got = decode_jpeg(
+            _jpeg_encode_seq_multiscan(w, h, raster, subsample=sub, q=q)
+        )
+        assert got == want, name
+
+
+def test_decode_jpeg_progressive_error_taxonomy():
+    """Hostile progressive structure is data-level corruption
+    (ValueError), never a crash or a needs_codec mislabel: AC scans
+    before the DC scan, interleaved AC scans, bad successive-
+    approximation sequences, truncated scan data, and scans past the
+    band end."""
+    from social_and_media_data_ingestion_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    raster = _rand_raster(13 * 9 * 3, seed=99)
+    good = _jpeg_encode_progressive(
+        13, 9, raster, subsample=(1, 1), q=2, script="spectral"
+    )
+    assert decode_jpeg(good)[0] == 13
+
+    # drop the DC scan (DHT + SOS + payload): the first AC scan then
+    # arrives with no DC history -> corrupt (entropy data is
+    # FF-stuffed, so marker searches cannot false-hit inside payloads)
+    dc_dht = good.index(b"\xff\xc4")
+    dc_sos = good.index(b"\xff\xda")
+    ac_dht = good.index(b"\xff\xc4", dc_sos)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:dc_dht] + good[ac_dht:])
+
+    # interleaved AC scan: rewrite an AC SOS to claim 3 components
+    with pytest.raises(ValueError):
+        import struct
+
+        first_ac_sos = good.index(b"\xff\xda", dc_sos + 2)
+        bad = good[:first_ac_sos] + (
+            b"\xff\xda" + struct.pack(">H", 12)
+            + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 1, 63, 0])
+        ) + good[first_ac_sos + 10 :]
+        decode_jpeg(bad)
+
+    # truncated mid-scan
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) * 2 // 3])
+
+    # bad successive approximation: Ah=2 with Al=0 (must be Al=Ah-1)
+    sa = _jpeg_encode_progressive(
+        8, 8, _rand_raster(64, seed=7), subsample=None, q=1, script="sa"
+    )
+    refine_sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x00\x10"
+    pos = sa.index(refine_sos)  # the gray DC refinement SOS
+    with pytest.raises(ValueError):
+        decode_jpeg(
+            sa[:pos] + refine_sos[:-1] + b"\x20" + sa[pos + len(refine_sos):]
+        )
 
 
 def test_decode_jpeg_adobe_app14_rgb_transform():
@@ -1837,21 +2331,28 @@ def test_decode_jpeg_mutation_fuzz_never_crashes():
         decode_jpeg,
     )
 
-    base = _jpeg_encode(
-        10, 7, _rand_raster(10 * 7 * 3, seed=9), subsample=(2, 2), q=2
-    )
     muts = []
-    for i in range(0, len(base), 3):
-        b = bytearray(base)
-        b[i] ^= 0xFF
-        muts.append(bytes(b))
-    muts += [base[:i] for i in range(2, len(base), 5)]
-    lcg = 424242
-    for _ in range(60):
-        lcg = (lcg * 1103515245 + 12345) % (1 << 31)
-        b = bytearray(base)
-        b[lcg % len(b)] = (lcg >> 8) % 256
-        muts.append(bytes(b))
+    for base in (
+        _jpeg_encode(
+            10, 7, _rand_raster(10 * 7 * 3, seed=9), subsample=(2, 2), q=2
+        ),
+        # r13: the progressive multi-scan surface fuzzes too
+        _jpeg_encode_progressive(
+            10, 7, _rand_raster(10 * 7 * 3, seed=9), subsample=(2, 2),
+            q=2, script="sa",
+        ),
+    ):
+        for i in range(0, len(base), 3):
+            b = bytearray(base)
+            b[i] ^= 0xFF
+            muts.append(bytes(b))
+        muts += [base[:i] for i in range(2, len(base), 5)]
+        lcg = 424242
+        for _ in range(60):
+            lcg = (lcg * 1103515245 + 12345) % (1 << 31)
+            b = bytearray(base)
+            b[lcg % len(b)] = (lcg >> 8) % 256
+            muts.append(bytes(b))
     decoded = failed = 0
     for m in muts:
         try:
@@ -1867,7 +2368,10 @@ def _jpeg_dc_bytes(w, h, vy, vcb=None, vcr=None, mode="444"):
     """The DC-only closed-form fixture the oracle query synthesizes in
     SQL, built here in Python: flat blocks, 2-symbol DC table (cat 0 at
     '00', cat 6 at '0100'), 1-symbol AC table (EOB at '000000'), quant
-    all 8s — every block byte-aligned by construction."""
+    all 8s — every block byte-aligned by construction. mode='prog' is
+    the r13 progressive twin: SOF2 + a single DC scan against a
+    1-symbol table 1 (cat 6 at the 2-bit '00'), so each component's
+    scan byte IS its 6 extra bits — one byte per block, single MCU."""
     import struct
 
     def cat6(V):
@@ -1881,6 +2385,23 @@ def _jpeg_dc_bytes(w, h, vy, vcb=None, vcr=None, mode="444"):
     ac = b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" + bytes(
         [0, 0, 0, 0, 0, 1] + [0] * 10
     ) + bytes([0x00])
+    if mode == "prog":
+        dc1 = b"\xff\xc4" + struct.pack(">H", 20) + b"\x01" + bytes(
+            [0, 1] + [0] * 14
+        ) + bytes([0x06])
+        sof = b"\xff\xc2" + struct.pack(">H", 17) + bytes([8]) + struct.pack(
+            ">HH", h, w
+        ) + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+        sos = b"\xff\xda" + struct.pack(">H", 12) + bytes(
+            [3, 1, 0x10, 2, 0x10, 3, 0x10, 0, 0, 0]
+        )
+        scan = bytes(
+            [v if v >= 0 else v + 63 for v in (vy, vcb, vcr)]
+        )
+        return (
+            b"\xff\xd8" + dqt + dc + ac + dc1 + sof + sos + scan
+            + b"\xff\xd9"
+        )
     if mode == "gray":
         sof = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(
             ">HH", h, w
@@ -1906,11 +2427,11 @@ def _jpeg_dc_bytes(w, h, vy, vcb=None, vcr=None, mode="444"):
 
 
 def test_image_pixel_stats_jpeg_real_decode(spark):
-    """End-to-end through the stats UDF: baseline JPEGs decode to
-    status='ok' with the closed-form channel means (quant 8 x cat-6
-    DC V -> flat plane 128+V; JFIF YCbCr->RGB with floor(x+0.5));
-    progressive reports needs_codec; a truncated scan reports
-    corrupt."""
+    """End-to-end through the stats UDF: baseline AND progressive
+    (r13) JPEGs decode to status='ok' with the closed-form channel
+    means (quant 8 x cat-6 DC V -> flat plane 128+V; JFIF YCbCr->RGB
+    with floor(x+0.5)); lossless SOF3 reports needs_codec; truncated
+    scans — baseline or progressive — report corrupt."""
     import math
 
     import social_and_media_data_ingestion_spark.operators.multimodal as MM
@@ -1923,8 +2444,10 @@ def test_image_pixel_stats_jpeg_real_decode(spark):
         (1, bytearray(_jpeg_dc_bytes(10, 9, vy, vcb, vcr))),
         (2, bytearray(_jpeg_dc_bytes(5, 7, 33, mode="gray"))),
         (3, bytearray(_jpeg_dc_bytes(13, 11, vy, vcb, vcr, mode="420"))),
-        (4, bytearray(b"\xff\xd8\xff\xc2")),
+        (4, bytearray(b"\xff\xd8\xff\xc3")),
         (5, bytearray(_jpeg_dc_bytes(10, 9, vy, vcb, vcr)[:-12])),
+        (6, bytearray(_jpeg_dc_bytes(7, 6, vy, vcb, vcr, mode="prog"))),
+        (7, bytearray(_jpeg_dc_bytes(7, 6, vy, vcb, vcr, mode="prog")[:-4])),
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {
@@ -1936,14 +2459,18 @@ def test_image_pixel_stats_jpeg_real_decode(spark):
     assert got[3] == (13, 11, float(exp_r), float(exp_g), float(exp_b), "ok")
     assert got[4] == (None, None, None, None, None, "needs_codec")
     assert got[5] == (None, None, None, None, None, "corrupt")
+    assert got[6] == (7, 6, float(exp_r), float(exp_g), float(exp_b), "ok")
+    assert got[7] == (None, None, None, None, None, "corrupt")
 
 
 def test_jpeg_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
     """multimodal_jpeg_pixel_stats vs its closed-form oracle on NULL
     and 10-digit doc_ids, plus ids hitting every class and precedence
     branch: 0/5/15/40 (corrupt, incl. %7-class collisions), 3/10
-    (needs_codec, incl. the %5 collision at 10), 12/26 (grayscale),
-    8/22 (4:2:0), 2/4/6/11/13 (4:4:4 incl. multi-MCU geometries)."""
+    (REAL progressive since r13, incl. the %5 collision at 10 — the
+    %7==3 branch wins), 18/51 (needs_codec lossless via %11==7),
+    12/26 (grayscale), 8/22 (4:2:0), 2/4/6/11/13 (4:4:4 incl.
+    multi-MCU geometries)."""
     import duckdb
 
     from social_and_media_data_ingestion_spark.plans.queries import registry
@@ -1951,7 +2478,8 @@ def test_jpeg_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
         multimodal_jpeg_pixel_stats,
     )
 
-    ids = (0, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 15, 22, 26, 40, 9999999999)
+    ids = (0, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 15, 18, 22, 26, 40, 51,
+           9999999999)
     rows = [(i, "s", "x") for i in ids]
     rows.append((None, "s", "x"))
     spark.createDataFrame(
@@ -1977,7 +2505,9 @@ def test_jpeg_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
     assert got.astype(str).equals(want.astype(str))
     by_id = {r.media_id: r.status for _, r in got.iterrows()}
     assert by_id[12] == "ok" and by_id[8] == "ok" and by_id[2] == "ok"
-    assert by_id[10] == "needs_codec" and by_id[40] == "corrupt"
+    assert by_id[3] == "ok" and by_id[10] == "ok"  # progressive (r13)
+    assert by_id[18] == "needs_codec" and by_id[51] == "needs_codec"
+    assert by_id[40] == "corrupt"
 
 
 def test_decode_jpeg_table_and_header_edges():
