@@ -417,13 +417,19 @@ def decode_ppm(p: bytes) -> tuple[int, int, int, list[int]]:
 
 
 def decode_png(p: bytes) -> tuple[int, int, int, list[int]]:
-    """(width, height, channels, flat top-down samples) from an 8-bit
-    non-interlaced PNG (grayscale, RGB, or RGBA) — a REAL pixel decode
-    with ZERO third-party dependencies: IDAT is a zlib stream of
-    per-scanline-filtered rows, `zlib` is stdlib, and filters 0-4
-    (None/Sub/Up/Average/Paeth) are ~30 lines. The remaining PNG
-    surface (bit depths != 8, palettes, interlacing) raises ValueError
-    — a real codec library's job.
+    """(width, height, channels, flat top-down samples) from a
+    non-interlaced PNG — a REAL pixel decode with ZERO third-party
+    dependencies: IDAT is a zlib stream of per-scanline-filtered rows,
+    `zlib` is stdlib, and filters 0-4 (None/Sub/Up/Average/Paeth) are
+    ~30 lines. Covers 8-bit gray / RGB / RGBA / gray+alpha, PALETTE
+    color at bit depths 1/2/4/8 (r13 — the web's second-most-common
+    PNG layout was a 'corrupt' mislabel through r12), and 1/2/4-bit
+    grayscale (samples rescaled to 0..255 per the spec's
+    max-intensity mapping). Palette images decode to RGB; a tRNS
+    chunk (palette transparency) is ignored — transparent pixels
+    contribute their palette color. 16-bit depth and Adam7 interlace
+    raise NotImplementedError ('needs_codec'): spec-valid layouts
+    this decoder honestly does not cover.
 
     Deliberately LENIENT where strictness buys nothing at crawl scale:
     chunk CRC32s and the zlib adler32 are not verified (the stream is
@@ -446,17 +452,30 @@ def decode_png(p: bytes) -> tuple[int, int, int, list[int]]:
     )
     if w < 1 or h < 1 or w * h > 1 << 24:
         raise ValueError(f"bad PNG geometry {w}x{h}")
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype not in (
-        0,
-        2,
-        6,
-    ):
+    if comp != 0 or filt != 0:
         raise ValueError(
-            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
-            f"(depth {depth}, color type {ctype}, interlace {interlace})"
+            f"bad PNG compression/filter method {comp}/{filt}"
         )
-    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    if interlace == 1:
+        raise NotImplementedError(
+            "Adam7-interlaced PNG needs a codec library"
+        )
+    if interlace != 0:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if depth == 16 and ctype in (0, 2, 4, 6):
+        raise NotImplementedError("16-bit PNG needs a codec library")
+    # samples per pixel and legal depths per color type (T the spec's
+    # table 11.1); depth 8 only for multi-channel types
+    spec = {0: (1, (1, 2, 4, 8)), 2: (3, (8,)), 3: (1, (1, 2, 4, 8)),
+            4: (2, (8,)), 6: (4, (8,))}
+    if ctype not in spec or depth not in spec[ctype][1]:
+        raise ValueError(
+            f"bad PNG depth/color-type combination "
+            f"(depth {depth}, color type {ctype})"
+        )
+    nch_raw = spec[ctype][0]
     idat = bytearray()
+    plte: bytes | None = None
     off = 33  # first chunk after IHDR(13) + its CRC
     while off + 8 <= len(p):
         (ln,) = _struct.unpack_from(">I", p, off)
@@ -468,12 +487,21 @@ def decode_png(p: bytes) -> tuple[int, int, int, list[int]]:
             if len(seg) < ln:
                 raise ValueError("truncated IDAT chunk")
             idat += seg
+        elif tag == b"PLTE":
+            plte = p[off + 8 : off + 8 + ln]
+            if len(plte) < ln or ln % 3 or not 3 <= ln <= 768:
+                raise ValueError("bad PLTE chunk")
         off += 12 + ln
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
     if len(idat) < 3:
         raise ValueError("no IDAT data")
     if idat[0] & 0x0F != 8:
         raise ValueError("bad zlib header in IDAT")
-    stride = w * nch
+    # filtering operates on the PACKED row bytes; the filter's left-
+    # neighbour unit is one byte when a pixel packs under a byte
+    stride = (w * depth * nch_raw + 7) // 8
+    bpp = max(1, (depth * nch_raw) // 8)
     need = (stride + 1) * h
     try:
         raw = _zlib.decompressobj(wbits=-15).decompress(bytes(idat[2:]), need)
@@ -491,20 +519,20 @@ def decode_png(p: bytes) -> tuple[int, int, int, list[int]]:
         if ft == 0:
             pass
         elif ft == 1:  # Sub: left neighbour, bpp bytes back
-            for i in range(nch, stride):
-                row[i] = (row[i] + row[i - nch]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ft == 2:  # Up
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ft == 3:  # Average: floor((left + up) / 2)
             for i in range(stride):
-                a = row[i - nch] if i >= nch else 0
+                a = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
         elif ft == 4:  # Paeth predictor
             for i in range(stride):
-                a = row[i - nch] if i >= nch else 0
+                a = row[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - nch] if i >= nch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 pa = abs(b - c)
                 pb = abs(a - c)
                 pc = abs(a + b - 2 * c)
@@ -513,7 +541,36 @@ def decode_png(p: bytes) -> tuple[int, int, int, list[int]]:
         else:
             raise ValueError(f"bad PNG filter type {ft} on row {r}")
         out[r * stride : (r + 1) * stride] = row
-    return w, h, nch, list(out)
+    if depth == 8 and ctype != 3:
+        return w, h, nch_raw, list(out)
+    # unpack sub-byte samples (MSB first) / resolve the palette
+    if depth < 8:
+        mask = (1 << depth) - 1
+        per_byte = 8 // depth
+        vals: list[int] = []
+        for r in range(h):
+            rowb = out[r * stride : (r + 1) * stride]
+            cnt = 0
+            for byte in rowb:
+                for k in range(per_byte - 1, -1, -1):
+                    if cnt >= w:
+                        break
+                    vals.append((byte >> (k * depth)) & mask)
+                    cnt += 1
+    else:
+        vals = list(out)
+    if ctype == 0:
+        scale = 255 // ((1 << depth) - 1)
+        return w, h, 1, [v * scale for v in vals]
+    ncolors = len(plte) // 3
+    samples: list[int] = []
+    for v in vals:
+        if v >= ncolors:
+            raise ValueError(
+                f"palette index {v} outside {ncolors}-entry PLTE"
+            )
+        samples.extend(plte[3 * v : 3 * v + 3])
+    return w, h, 3, samples
 
 
 def decode_bmp(p: bytes) -> tuple[int, int, int, list[int]]:
@@ -610,10 +667,13 @@ def decode_gif(p: bytes) -> tuple[int, int, int, list[int]]:
     one codec further). Extension blocks (graphics control, comments,
     application — the animation machinery) are skipped, so animated
     GIFs yield their first frame; a local color table overrides the
-    global one for the frame. Interlaced frames raise ValueError —
-    the per-channel-mean oracle cannot distinguish a correct
-    de-interlace from a wrong one, so claiming support would be
-    unverified (documented limit, like palette PNGs). Any pixel index
+    global one for the frame. Interlaced frames decode for REAL
+    (r13): the LZW stream carries rows in the spec's four-pass order
+    (rows 0,8,16.. then 4,12.. then 2,6,10.. then 1,3,5..), so
+    de-interlacing is a pure row permutation — verified
+    differentially against the non-interlaced encode of the same
+    raster, with per-row sentinel colors pinning the permutation
+    itself. Any pixel index
     outside the active color table, a truncated sub-block chain, or a
     frame larger than the logical screen raises ValueError so callers
     route hostile rows as 'corrupt' data, not job failures."""
@@ -658,8 +718,7 @@ def decode_gif(p: bytes) -> tuple[int, int, int, list[int]]:
     off += 9
     if w < 1 or h < 1 or w > sw or h > sh:
         raise ValueError(f"bad GIF frame geometry {w}x{h} in {sw}x{sh}")
-    if ipacked & 0x40:
-        raise ValueError("interlaced GIF not supported without a codec")
+    interlaced = bool(ipacked & 0x40)
     if ipacked & 0x80:  # local color table overrides the global one
         n = 3 * (2 << (ipacked & 0x07))
         gct = p[off : off + n]
@@ -686,6 +745,16 @@ def decode_gif(p: bytes) -> tuple[int, int, int, list[int]]:
         data += seg
         off += n
     idx = _lzw_decode(mcs, bytes(data), w * h)
+    if interlaced:
+        # the stream's rows arrive pass-by-pass; permute them home
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        deint = [0] * (w * h)
+        for src, dst in enumerate(order):
+            deint[dst * w : (dst + 1) * w] = idx[src * w : (src + 1) * w]
+        idx = deint
     ncolors = len(gct) // 3
     samples: list[int] = []
     for i in idx:
@@ -1473,9 +1542,10 @@ _NEEDS_CODEC_MAGICS: tuple[tuple[bytes, int], ...] = (
 
 def _channel_means(s: list[int], n: int, nch: int) -> list[float]:
     """Per-channel means from a flat interleaved sample list: grayscale
-    reports its single channel three times; RGBA means ignore alpha."""
-    if nch == 1:
-        m = sum(s) / n
+    (with or without an alpha channel) reports its single luminance
+    channel three times; RGBA means ignore alpha."""
+    if nch in (1, 2):
+        m = sum(s[::nch]) / n
         return [m, m, m]
     return [sum(s[c::nch]) / n for c in range(3)]
 

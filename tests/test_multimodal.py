@@ -284,27 +284,50 @@ def _png_bytes(w, h):
     )
 
 
-def _png_full(w, h, samples, ctype=2, filters=None, split_idat=False):
+def _png_full(w, h, samples, ctype=2, filters=None, split_idat=False,
+              depth=8, palette=None):
     """A complete, spec-valid PNG (real zlib IDAT, real CRCs) built
-    with stdlib only: `samples` is the flat top-down raster, `filters`
-    the per-row filter type (default all 0) — rows are ENCODED with
-    that filter so decode_png must invert it."""
+    with stdlib only: `samples` is the flat top-down raster (palette
+    INDICES for ctype 3, raw gray values for low-depth ctype 0),
+    `filters` the per-row filter type (default all 0) — rows are
+    ENCODED with that filter so decode_png must invert it. depth<8
+    packs samples MSB-first; `palette` emits a PLTE chunk of (r,g,b)
+    tuples (r13: the palette/low-depth surface decode_png now
+    covers)."""
     import struct
     import zlib
 
-    nch = {0: 1, 2: 3, 6: 4}[ctype]
-    stride = w * nch
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    # pack each row to its byte form first; filters run on the packed
+    # bytes with a one-byte left-neighbour unit when depth < 8
+    spp = w * nch
+    stride = (w * depth * nch + 7) // 8
+    bpp = max(1, (depth * nch) // 8)
+    packed_rows = []
+    for r in range(h):
+        row = list(samples[r * spp : (r + 1) * spp])
+        if depth == 8:
+            packed_rows.append(bytes(row))
+            continue
+        per_byte = 8 // depth
+        rb = bytearray(stride)
+        for i, v in enumerate(row):
+            byte_i, slot = divmod(i, per_byte)
+            rb[byte_i] |= (v & ((1 << depth) - 1)) << (
+                (per_byte - 1 - slot) * depth
+            )
+        packed_rows.append(bytes(rb))
     filters = filters or [0] * h
     raw = bytearray()
+    prev = bytes(stride)
     for r in range(h):
-        row = list(samples[r * stride : (r + 1) * stride])
-        prev = samples[(r - 1) * stride : r * stride] if r else [0] * stride
+        row = packed_rows[r]
         ft = filters[r]
-        enc = list(row)
+        enc = bytearray(row)
         for i in range(stride):
-            a = row[i - nch] if i >= nch else 0
+            a = row[i - bpp] if i >= bpp else 0
             b = prev[i]
-            c = prev[i - nch] if i >= nch else 0
+            c = prev[i - bpp] if i >= bpp else 0
             if ft == 1:
                 enc[i] = (row[i] - a) & 0xFF
             elif ft == 2:
@@ -316,6 +339,7 @@ def _png_full(w, h, samples, ctype=2, filters=None, split_idat=False):
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 enc[i] = (row[i] - pred) & 0xFF
         raw += bytes([ft]) + bytes(enc)
+        prev = row
 
     def chunk(tag, payload):
         return (
@@ -325,7 +349,10 @@ def _png_full(w, h, samples, ctype=2, filters=None, split_idat=False):
             + struct.pack(">I", zlib.crc32(tag + payload))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    plte = b""
+    if palette is not None:
+        plte = chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
     z = zlib.compress(bytes(raw))
     if split_idat:
         mid = len(z) // 2
@@ -335,6 +362,7 @@ def _png_full(w, h, samples, ctype=2, filters=None, split_idat=False):
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + idat
         + chunk(b"IEND", b"")
     )
@@ -592,11 +620,89 @@ def test_decode_png_all_filters_and_color_types():
     assert MM.decode_png(png) == (w, h, 3, samples)
 
 
+def test_decode_png_palette_and_low_depths():
+    """r13: palette color (ctype 3) at bit depths 1/2/4/8 and
+    low-depth grayscale decode for REAL — indices resolve through
+    PLTE, sub-byte samples unpack MSB-first (odd widths exercise the
+    partial final byte), filters invert over the PACKED bytes with a
+    one-byte left unit, and gray samples rescale by the spec's
+    255/(2^depth-1) mapping."""
+    import random
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    rng = random.Random(77)
+    palette = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(16)]
+    for depth in (1, 2, 4, 8):
+        ncol = min(len(palette), 1 << depth)
+        for w, h in ((7, 5), (8, 3), (1, 4)):
+            idx = [rng.randrange(ncol) for _ in range(w * h)]
+            for ft in (0, 1, 2, 3, 4):
+                png = _png_full(
+                    w, h, idx, ctype=3, depth=depth,
+                    palette=palette[:ncol], filters=[ft] * h,
+                )
+                want = [c for v in idx for c in palette[v]]
+                assert MM.decode_png(png) == (w, h, 3, want), (depth, w, ft)
+    # low-depth grayscale: 2-bit sample v decodes to v*85, 4-bit v*17,
+    # 1-bit v*255
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        w, h = 9, 4
+        vals = [rng.randrange(1 << depth) for _ in range(w * h)]
+        png = _png_full(w, h, vals, ctype=0, depth=depth, filters=[2] * h)
+        assert MM.decode_png(png) == (w, h, 1, [v * scale for v in vals])
+    # gray+alpha (ctype 4): both channels come back; the stats means
+    # use luminance only
+    w, h = 5, 3
+    ga = [rng.randrange(256) for _ in range(w * h * 2)]
+    png = _png_full(w, h, ga, ctype=4, filters=[4] * h)
+    assert MM.decode_png(png) == (w, h, 2, ga)
+    assert MM._channel_means(ga, w * h, 2) == [sum(ga[::2]) / (w * h)] * 3
+    # palette index past the PLTE: corrupt, not garbage pixels
+    import pytest
+
+    short = _png_full(2, 2, [0, 1, 2, 3], ctype=3, depth=8,
+                      palette=palette[:3])
+    with pytest.raises(ValueError):
+        MM.decode_png(short)
+
+
+def test_decode_gif_interlaced_roundtrip():
+    """r13: interlaced GIFs decode for REAL. The encoder writes rows
+    in the four-pass order and sets the flag; decode must return
+    exactly the non-interlaced decode of the same raster. Per-row
+    sentinel indices pin the permutation row by row (a wrong pass
+    boundary cannot cancel out), across heights hitting every pass-
+    count edge (1..13 incl. h<5 where later passes are empty)."""
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    palette = [(i, 255 - i, i ^ 0x55) for i in range(16)]
+    w = 6
+    for h in (1, 2, 3, 4, 5, 8, 9, 13):
+        # row y filled with index y%16: decoded row r must hold
+        # palette[r%16]
+        pixels = [y % 16 for y in range(h) for _ in range(w)]
+        plain = MM.decode_gif(
+            _gif_full(w, h, pixels, palette, mcs=4)
+        )
+        inter = MM.decode_gif(
+            _gif_full(w, h, pixels, palette, mcs=4, interlace=True)
+        )
+        assert inter == plain, h
+        _, _, _, s = inter
+        for y in range(h):
+            row = s[y * w * 3 : (y + 1) * w * 3]
+            assert row == list(palette[y % 16]) * w, (h, y)
+
+
 def test_decode_png_hostile_payloads():
     """Hostile PNGs raise ValueError (never crash, never garbage):
-    truncated IDAT, bad filter byte, unsupported shapes (16-bit,
-    palette, interlaced), zip-bomb geometry declared in IHDR, and a
-    zero dimension."""
+    truncated IDAT, bad filter byte, a palette image with no PLTE,
+    zip-bomb geometry declared in IHDR, and a zero dimension —
+    while the spec-valid layouts the decoder honestly does not cover
+    (16-bit, Adam7 interlace) raise NotImplementedError
+    ('needs_codec', the r13 taxonomy split)."""
     import struct
     import zlib
 
@@ -619,15 +725,18 @@ def test_decode_png_hostile_payloads():
 
     cases = [
         good[: len(good) - 20],  # truncated inside IDAT
-        mutated_ihdr(depth=16),
-        mutated_ihdr(ctype=3),  # palette
-        mutated_ihdr(inter=1),  # Adam7
+        mutated_ihdr(ctype=3),  # palette claimed but no PLTE chunk
+        mutated_ihdr(ctype=2, depth=4),  # illegal depth for RGB
         mutated_ihdr(w=0),
         mutated_ihdr(w=1 << 23, h=1 << 23),  # bomb geometry: reject pre-alloc
         b"\x89PNG\r\n\x1a\n" + b"\x00" * 10,  # no IHDR
     ]
     for p in cases:
         with pytest.raises(ValueError):
+            MM.decode_png(bytes(p))
+    # spec-valid but genuinely uncovered: needs_codec, not corrupt
+    for p in (mutated_ihdr(depth=16), mutated_ihdr(inter=1)):
+        with pytest.raises(NotImplementedError):
             MM.decode_png(bytes(p))
     # bad filter byte: re-compress a raster whose first row claims
     # filter 9 — must be a clean ValueError, not an IndexError
@@ -977,7 +1086,10 @@ def _lzw_pack(codes, mcs):
 def _gif_full(w, h, pixels, palette, mcs, sub_size=255, extensions=b"",
               interlace=False, animated_second_frame=False):
     """A spec-shaped GIF89a from pixel indices + an RGB palette list
-    (padded to the next power-of-two size the header can declare)."""
+    (padded to the next power-of-two size the header can declare).
+    interlace=True stores the rows in the spec's four-pass order
+    (0,8,16.. / 4,12.. / 2,6,10.. / 1,3,5..) and sets the flag, so
+    decode_gif must permute them home."""
     import struct
 
     n = len(palette)
@@ -994,6 +1106,12 @@ def _gif_full(w, h, pixels, palette, mcs, sub_size=255, extensions=b"",
     p += extensions
     p += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
     p += bytes([mcs])
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        pixels = [v for y in order for v in pixels[y * w : (y + 1) * w]]
     data = _lzw_pack(_lzw_codes(mcs, pixels), mcs)
     for i in range(0, len(data), sub_size):
         seg = data[i : i + sub_size]
@@ -1127,9 +1245,10 @@ def test_decode_gif_container_features():
 
 def test_decode_gif_hostile_payloads():
     """Hostile GIFs raise ValueError (never crash, never garbage):
-    truncated everywhere a length is declared, interlace flag, pixel
-    index outside the palette, trailer before any frame, unknown block
-    tag, bomb geometry, and an LZW code outside the table."""
+    truncated everywhere a length is declared, pixel index outside
+    the palette, trailer before any frame, unknown block tag, bomb
+    geometry, and an LZW code outside the table. (Interlaced frames
+    decode for real since r13 — see the interlace roundtrip test.)"""
     import struct
 
     import pytest
@@ -1147,8 +1266,6 @@ def test_decode_gif_hostile_payloads():
         good[:hdr_len] + b"\xaa" + good[hdr_len + 1 :],  # unknown tag
         good[: hdr_len + 5],  # truncated image descriptor
         good[:-3],  # sub-block chain never terminated
-        _gif_full(3, 2, [0, 1, 0, 1, 0, 1], palette, mcs=2,
-                  interlace=True),
         # frame larger than the logical screen
         good[:hdr_len] + b"\x2c"
         + struct.pack("<HHHHB", 0, 0, 9, 9, 0) + good[hdr_len + 10 :],
