@@ -3877,11 +3877,15 @@ def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the first pixel) — and all three decode to the SAME arithmetic
 # raster (byte i = i), so the per-channel means have one closed form
 # the oracle computes without parsing a byte: agreement proves the
-# stored-block inflate AND the Up/Sub defilter arithmetic. doc_id%7==3
-# rows carry a progressive-JPEG SOF2 prefix (status='needs_codec' —
-# baseline JPEG decodes for real since r12), doc_id%5==0 rows a
-# stored block that declares more scanline bytes than it ships
-# (status='corrupt'), NULL ids a NULL payload.
+# stored-block inflate AND the Up/Sub defilter arithmetic. r13 adds a
+# 4-bit PALETTE class (doc_id%7==2): all pixels are index doc_id%16,
+# a packed byte holds the index in both nibbles, and the means are
+# EXACTLY the PLTE entry — proving palette resolution + sub-byte
+# unpacking at scale. doc_id%7==3 rows carry a lossless-JPEG SOF3
+# prefix (status='needs_codec' — baseline JPEG decodes for real since
+# r12, progressive since r13), doc_id%5==0 rows a stored block that
+# declares more scanline bytes than it ships (status='corrupt'),
+# NULL ids a NULL payload.
 # =============================================================================
 @q(
     "multimodal_png_pixel_stats",
@@ -3889,25 +3893,31 @@ def multimodal_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              doc_id % 4 + 1 AS w,
-             doc_id % 3 + 1 AS h
+             doc_id % 3 + 1 AS h,
+             doc_id % 16 AS v
       FROM documents
     ), s AS (
-      SELECT doc_id, w, h,
-             CASE WHEN doc_id IS NULL OR doc_id % 7 = 3 OR doc_id % 5 = 0
-                  THEN NULL
-                  ELSE 3.0 * (w * h - 1) / 2.0 END AS base
+      SELECT doc_id, w, h, v,
+             CASE WHEN doc_id IS NULL THEN 'null_payload'
+                  WHEN doc_id % 7 = 3 THEN 'needs_codec'
+                  WHEN doc_id % 5 = 0 THEN 'corrupt'
+                  WHEN doc_id % 7 = 2 THEN 'pal'
+                  ELSE 'rgb' END AS cls
       FROM m
     )
     SELECT doc_id AS media_id,
-           (CASE WHEN base IS NULL THEN NULL ELSE w END)::INTEGER AS width,
-           (CASE WHEN base IS NULL THEN NULL ELSE h END)::INTEGER AS height,
-           base AS mean_r,
-           base + 1 AS mean_g,
-           base + 2 AS mean_b,
-           CASE WHEN doc_id IS NULL THEN 'null_payload'
-                WHEN doc_id % 7 = 3 THEN 'needs_codec'
-                WHEN doc_id % 5 = 0 THEN 'corrupt'
-                ELSE 'ok' END AS status
+           (CASE WHEN cls IN ('rgb', 'pal') THEN w END)::INTEGER AS width,
+           (CASE WHEN cls IN ('rgb', 'pal') THEN h END)::INTEGER AS height,
+           CASE WHEN cls = 'rgb' THEN 3.0 * (w * h - 1) / 2.0
+                WHEN cls = 'pal' THEN ((v * 5) % 256)::DOUBLE
+                END AS mean_r,
+           CASE WHEN cls = 'rgb' THEN 3.0 * (w * h - 1) / 2.0 + 1
+                WHEN cls = 'pal' THEN ((v * 7 + 1) % 256)::DOUBLE
+                END AS mean_g,
+           CASE WHEN cls = 'rgb' THEN 3.0 * (w * h - 1) / 2.0 + 2
+                WHEN cls = 'pal' THEN ((v * 11 + 2) % 256)::DOUBLE
+                END AS mean_b,
+           CASE WHEN cls IN ('rgb', 'pal') THEN 'ok' ELSE cls END AS status
     FROM s
     """,
 )
@@ -3993,6 +4003,40 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     png_trunc = F.concat(
         sig, chunk(b"IHDR", ihdr_payload), chunk(b"IDAT", ztrunc), iend
     )
+    # r13: 4-bit PALETTE class (%7==2) — every pixel is index v =
+    # doc_id%16, so a packed byte is v*17 (v in both nibbles), each
+    # row is filter-None + that byte repeated, and the means are
+    # EXACTLY the PLTE entry: proves PLTE resolution + sub-byte
+    # unpacking at scale with a zero-arithmetic oracle
+    v = (did % 16).cast("int")
+    plte_tab = bytes(
+        c for i in range(16)
+        for c in ((i * 5) % 256, (i * 7 + 1) % 256, (i * 11 + 2) % 256)
+    )
+    pstride = F.expr("(_w + 1) div 2").cast("int")
+    pal_scan = F.unhex(
+        F.repeat(
+            F.concat(
+                F.lit("00"),
+                F.repeat(F.lpad(F.hex(v * 17), 2, "0"), pstride),
+            ),
+            F.col("_h"),
+        )
+    )
+    n_pal = (pstride + 1) * F.col("_h")
+    z_pal = F.concat(
+        F.lit(b"\x78\x01\x01"), le16(n_pal), le16(F.lit(65535) - n_pal),
+        pal_scan, F.lit(b"\x00\x00\x00\x00"),
+    )
+    ihdr_pal = F.concat(
+        be32(F.col("_w").cast("bigint")),
+        be32(F.col("_h").cast("bigint")),
+        F.lit(b"\x04\x03\x00\x00\x00"),  # 4-bit, palette
+    )
+    png_pal = F.concat(
+        sig, chunk(b"IHDR", ihdr_pal), chunk(b"PLTE", F.lit(plte_tab)),
+        chunk(b"IDAT", z_pal), iend,
+    )
     # lossless-JPEG (SOF3) prefix: baseline decodes for real since
     # r12 and progressive since r13, so the needs_codec class must be
     # a frame type that GENUINELY needs a codec — decode_jpeg raises
@@ -4001,6 +4045,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = (
         F.when(did % 7 == 3, jpeg)
         .when(did % 5 == 0, png_trunc)
+        .when(did % 7 == 2, png_pal)
         .otherwise(png)
     )
     media = base.withColumn("_scan", scanlines).select(
@@ -4026,8 +4071,11 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # code 130 twice (a plain dict hit, split across TWO sub-blocks so
 # reassembly is load-bearing); doc_id%7==1 is a 3x1 frame whose stream
 # emits code 130 BEFORE the decoder defines it (the KwKwK case).
-# doc_id%7==3 rows carry a progressive-JPEG SOF2 prefix
-# (status='needs_codec' — baseline JPEG decodes for real since r12),
+# doc_id%7==3 rows carry a lossless-JPEG SOF3 prefix
+# (status='needs_codec' — baseline JPEG decodes for real since r12,
+# progressive since r13; interlaced GIFs also decode for real since
+# r13, proven by the test-side sentinel-row roundtrips — channel
+# means are permutation-invariant, so the oracle cannot see them),
 # doc_id%5==0 rows declare a 10-byte sub-block and ship none
 # (status='corrupt'), NULL ids a NULL payload.
 # =============================================================================

@@ -823,9 +823,10 @@ def test_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
 def test_png_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
     """multimodal_png_pixel_stats vs its closed-form oracle on NULL
     and 10-digit doc_ids, plus ids hitting every (filter-class,
-    corrupt, needs_codec) branch: 0 (corrupt), 3 (needs_codec), 7/14
-    (Up/Sub filter classes), 10 (%5 and... %7 precedence), 21 (Sub +
-    needs_codec precedence)."""
+    corrupt, needs_codec, palette) branch: 0 (corrupt), 3
+    (needs_codec), 7/14 (Up/Sub filter classes), 10 (%5 and... %7
+    precedence), 21 (Sub + needs_codec precedence), 2/9/16/23 (r13
+    4-bit palette incl. v=0 and v=9), 30 (corrupt beats palette)."""
     import duckdb
 
     from social_and_media_data_ingestion_spark.plans.queries import registry
@@ -833,7 +834,7 @@ def test_png_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
         multimodal_png_pixel_stats,
     )
 
-    ids = (0, 1, 2, 3, 5, 7, 10, 14, 17, 21, 23, 9999999999)
+    ids = (0, 1, 2, 3, 5, 7, 9, 10, 14, 16, 17, 21, 23, 30, 9999999999)
     rows = [(i, "s", "x") for i in ids]
     rows.append((None, "s", "x"))
     spark.createDataFrame(
@@ -857,6 +858,10 @@ def test_png_pixel_stats_query_hostile_ids_vs_oracle(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.astype(str).equals(want.astype(str))
+    by_id = {r.media_id: (r.status, r.mean_r) for _, r in got.iterrows()}
+    assert by_id[16] == ("ok", 0.0)          # palette v=0 -> PLTE[0]
+    assert by_id[9] == ("ok", 45.0)          # palette v=9 -> 9*5
+    assert by_id[30][0] == "corrupt"         # %5 beats the palette class
 
 
 def test_sniff_image_dims_never_errors_property(spark):
