@@ -417,19 +417,22 @@ def decode_ppm(p: bytes) -> tuple[int, int, int, list[int]]:
 
 
 def decode_png(p: bytes) -> tuple[int, int, int, list[int]]:
-    """(width, height, channels, flat top-down samples) from a
-    non-interlaced PNG — a REAL pixel decode with ZERO third-party
-    dependencies: IDAT is a zlib stream of per-scanline-filtered rows,
-    `zlib` is stdlib, and filters 0-4 (None/Sub/Up/Average/Paeth) are
-    ~30 lines. Covers 8-bit gray / RGB / RGBA / gray+alpha, PALETTE
-    color at bit depths 1/2/4/8 (r13 — the web's second-most-common
-    PNG layout was a 'corrupt' mislabel through r12), and 1/2/4-bit
-    grayscale (samples rescaled to 0..255 per the spec's
-    max-intensity mapping). Palette images decode to RGB; a tRNS
-    chunk (palette transparency) is ignored — transparent pixels
-    contribute their palette color. 16-bit depth and Adam7 interlace
-    raise NotImplementedError ('needs_codec'): spec-valid layouts
-    this decoder honestly does not cover.
+    """(width, height, channels, flat top-down samples) from a PNG —
+    a REAL pixel decode with ZERO third-party dependencies: IDAT is a
+    zlib stream of per-scanline-filtered rows, `zlib` is stdlib, and
+    filters 0-4 (None/Sub/Up/Average/Paeth) are ~30 lines. Covers the
+    FULL spec surface (r13): gray / RGB / RGBA / gray+alpha at 8-bit,
+    PALETTE color at bit depths 1/2/4/8 (the web's second-most-common
+    PNG layout was a 'corrupt' mislabel through r12), 1/2/4-bit
+    grayscale (samples rescaled by the spec's 255/(2^depth-1)
+    max-intensity mapping), 16-bit samples (reduced to 8 bits via the
+    spec's round(v*255/65535) — the high byte ±1), and ADAM7
+    interlacing: each of the seven passes is an independently
+    filtered sub-image (filters reference the previous row OF THE
+    SAME PASS; empty passes contribute no bytes at all), whose pixels
+    scatter home through the (x0, y0, dx, dy) grid. Palette images
+    decode to RGB; a tRNS chunk (palette transparency) is ignored —
+    transparent pixels contribute their palette color.
 
     Deliberately LENIENT where strictness buys nothing at crawl scale:
     chunk CRC32s and the zlib adler32 are not verified (the stream is
@@ -456,18 +459,12 @@ def decode_png(p: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError(
             f"bad PNG compression/filter method {comp}/{filt}"
         )
-    if interlace == 1:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG needs a codec library"
-        )
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
-    if depth == 16 and ctype in (0, 2, 4, 6):
-        raise NotImplementedError("16-bit PNG needs a codec library")
-    # samples per pixel and legal depths per color type (T the spec's
-    # table 11.1); depth 8 only for multi-channel types
-    spec = {0: (1, (1, 2, 4, 8)), 2: (3, (8,)), 3: (1, (1, 2, 4, 8)),
-            4: (2, (8,)), 6: (4, (8,))}
+    # samples per pixel and legal depths per color type (the spec's
+    # table 11.1)
+    spec = {0: (1, (1, 2, 4, 8, 16)), 2: (3, (8, 16)),
+            3: (1, (1, 2, 4, 8)), 4: (2, (8, 16)), 6: (4, (8, 16))}
     if ctype not in spec or depth not in spec[ctype][1]:
         raise ValueError(
             f"bad PNG depth/color-type combination "
@@ -498,67 +495,100 @@ def decode_png(p: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError("no IDAT data")
     if idat[0] & 0x0F != 8:
         raise ValueError("bad zlib header in IDAT")
-    # filtering operates on the PACKED row bytes; the filter's left-
-    # neighbour unit is one byte when a pixel packs under a byte
-    stride = (w * depth * nch_raw + 7) // 8
+    # one (x0, y0, dx, dy) pass for sequential files, the spec's seven
+    # for Adam7; each pass is an independently filtered sub-image
+    passes = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    )
+    geo = []  # (x0, y0, dx, dy, wp, hp, stride) for non-empty passes
+    need = 0
+    for x0, y0, dx, dy in passes:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue  # empty pass: not even filter bytes
+        stride = (wp * depth * nch_raw + 7) // 8
+        geo.append((x0, y0, dx, dy, wp, hp, stride))
+        need += (stride + 1) * hp
     bpp = max(1, (depth * nch_raw) // 8)
-    need = (stride + 1) * h
     try:
         raw = _zlib.decompressobj(wbits=-15).decompress(bytes(idat[2:]), need)
     except _zlib.error as exc:
         raise ValueError(f"bad IDAT stream: {exc}") from None
     if len(raw) < need:
         raise ValueError(f"truncated PNG raster: {len(raw)} < {need}")
-    out = bytearray(stride * h)
-    zero = bytes(stride)
-    for r in range(h):
-        base = r * (stride + 1)
-        ft = raw[base]
-        row = bytearray(raw[base + 1 : base + 1 + stride])
-        prev = bytes(out[(r - 1) * stride : r * stride]) if r else zero
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub: left neighbour, bpp bytes back
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average: floor((left + up) / 2)
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
-        elif ft == 4:  # Paeth predictor
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                pa = abs(b - c)
-                pb = abs(a - c)
-                pc = abs(a + b - 2 * c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                row[i] = (row[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ft} on row {r}")
-        out[r * stride : (r + 1) * stride] = row
-    if depth == 8 and ctype != 3:
-        return w, h, nch_raw, list(out)
-    # unpack sub-byte samples (MSB first) / resolve the palette
-    if depth < 8:
-        mask = (1 << depth) - 1
-        per_byte = 8 // depth
-        vals: list[int] = []
-        for r in range(h):
+    vals = [0] * (w * h * nch_raw)  # 8-bit samples, pixel-interleaved
+    mask = (1 << depth) - 1
+    off = 0
+    for x0, y0, dx, dy, wp, hp, stride in geo:
+        out = bytearray(stride * hp)
+        zero = bytes(stride)
+        for r in range(hp):
+            base = off + r * (stride + 1)
+            ft = raw[base]
+            row = bytearray(raw[base + 1 : base + 1 + stride])
+            prev = bytes(out[(r - 1) * stride : r * stride]) if r else zero
+            if ft == 0:
+                pass
+            elif ft == 1:  # Sub: left neighbour, bpp bytes back
+                for i in range(bpp, stride):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average: floor((left + up) / 2)
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+            elif ft == 4:  # Paeth predictor
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pa = abs(b - c)
+                    pb = abs(a - c)
+                    pc = abs(a + b - 2 * c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                    row[i] = (row[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {ft} on row {r}")
+            out[r * stride : (r + 1) * stride] = row
+        off += (stride + 1) * hp
+        # scatter this pass's samples home (the sequential single pass
+        # is the identity scatter)
+        if interlace == 0 and depth == 8:
+            vals = list(out)
+            break
+        for r in range(hp):
             rowb = out[r * stride : (r + 1) * stride]
-            cnt = 0
-            for byte in rowb:
-                for k in range(per_byte - 1, -1, -1):
-                    if cnt >= w:
-                        break
-                    vals.append((byte >> (k * depth)) & mask)
-                    cnt += 1
-    else:
-        vals = list(out)
+            y = y0 + r * dy
+            if depth == 8:
+                for i in range(wp):
+                    px = (y * w + x0 + i * dx) * nch_raw
+                    for c in range(nch_raw):
+                        vals[px + c] = rowb[i * nch_raw + c]
+            elif depth == 16:
+                # spec 16->8 reduction: round(v * 255 / 65535)
+                for i in range(wp):
+                    px = (y * w + x0 + i * dx) * nch_raw
+                    for c in range(nch_raw):
+                        j = (i * nch_raw + c) * 2
+                        v16 = (rowb[j] << 8) | rowb[j + 1]
+                        vals[px + c] = (v16 * 255 + 32767) // 65535
+            else:
+                per_byte = 8 // depth
+                for i in range(wp):
+                    byte_i, slot = divmod(i, per_byte)
+                    vals[y * w + x0 + i * dx] = (
+                        rowb[byte_i] >> ((per_byte - 1 - slot) * depth)
+                    ) & mask
+    if depth in (8, 16) and ctype != 3:
+        return w, h, nch_raw, vals
     if ctype == 0:
         scale = 255 // ((1 << depth) - 1)
         return w, h, 1, [v * scale for v in vals]

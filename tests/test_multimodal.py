@@ -285,61 +285,91 @@ def _png_bytes(w, h):
 
 
 def _png_full(w, h, samples, ctype=2, filters=None, split_idat=False,
-              depth=8, palette=None):
+              depth=8, palette=None, interlace=False):
     """A complete, spec-valid PNG (real zlib IDAT, real CRCs) built
     with stdlib only: `samples` is the flat top-down raster (palette
-    INDICES for ctype 3, raw gray values for low-depth ctype 0),
-    `filters` the per-row filter type (default all 0) — rows are
-    ENCODED with that filter so decode_png must invert it. depth<8
-    packs samples MSB-first; `palette` emits a PLTE chunk of (r,g,b)
-    tuples (r13: the palette/low-depth surface decode_png now
-    covers)."""
+    INDICES for ctype 3, raw gray values for low-depth ctype 0,
+    16-bit values for depth 16), `filters` the per-row filter type
+    (default all 0) — rows are ENCODED with that filter so decode_png
+    must invert it. depth<8 packs samples MSB-first; depth 16 writes
+    big-endian pairs; `palette` emits a PLTE chunk of (r,g,b) tuples;
+    interlace=True splits the raster into the seven Adam7 passes,
+    each independently filtered (r13: the surface decode_png now
+    covers in full)."""
     import struct
     import zlib
 
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    # pack each row to its byte form first; filters run on the packed
-    # bytes with a one-byte left-neighbour unit when depth < 8
     spp = w * nch
-    stride = (w * depth * nch + 7) // 8
     bpp = max(1, (depth * nch) // 8)
-    packed_rows = []
-    for r in range(h):
-        row = list(samples[r * spp : (r + 1) * spp])
-        if depth == 8:
-            packed_rows.append(bytes(row))
-            continue
-        per_byte = 8 // depth
-        rb = bytearray(stride)
-        for i, v in enumerate(row):
-            byte_i, slot = divmod(i, per_byte)
-            rb[byte_i] |= (v & ((1 << depth) - 1)) << (
-                (per_byte - 1 - slot) * depth
-            )
-        packed_rows.append(bytes(rb))
-    filters = filters or [0] * h
+    sub_images = []  # (wp, hp, per-pass pixel-sample rows)
+    if not interlace:
+        sub_images.append(
+            (w, h, [samples[r * spp : (r + 1) * spp] for r in range(h)])
+        )
+    else:
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            rows = []
+            for r in range(hp):
+                y = y0 + r * dy
+                row = []
+                for i in range(wp):
+                    px = (y * w + x0 + i * dx) * nch
+                    row.extend(samples[px : px + nch])
+                rows.append(row)
+            sub_images.append((wp, hp, rows))
     raw = bytearray()
-    prev = bytes(stride)
-    for r in range(h):
-        row = packed_rows[r]
-        ft = filters[r]
-        enc = bytearray(row)
-        for i in range(stride):
-            a = row[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ft == 1:
-                enc[i] = (row[i] - a) & 0xFF
-            elif ft == 2:
-                enc[i] = (row[i] - b) & 0xFF
-            elif ft == 3:
-                enc[i] = (row[i] - (a + b) // 2) & 0xFF
-            elif ft == 4:
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                enc[i] = (row[i] - pred) & 0xFF
-        raw += bytes([ft]) + bytes(enc)
-        prev = row
+    fi = 0
+    filters = filters or [0] * sum(hp for _, hp, _ in sub_images)
+    for wp, hp, rows in sub_images:
+        stride = (wp * depth * nch + 7) // 8
+        packed_rows = []
+        for row in rows:
+            if depth == 8:
+                packed_rows.append(bytes(row))
+            elif depth == 16:
+                rb = bytearray()
+                for v in row:
+                    rb += struct.pack(">H", v)
+                packed_rows.append(bytes(rb))
+            else:
+                per_byte = 8 // depth
+                rb = bytearray(stride)
+                for i, v in enumerate(row):
+                    byte_i, slot = divmod(i, per_byte)
+                    rb[byte_i] |= (v & ((1 << depth) - 1)) << (
+                        (per_byte - 1 - slot) * depth
+                    )
+                packed_rows.append(bytes(rb))
+        prev = bytes(stride)
+        for row in packed_rows:
+            ft = filters[fi]
+            fi += 1
+            enc = bytearray(row)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    enc[i] = (row[i] - a) & 0xFF
+                elif ft == 2:
+                    enc[i] = (row[i] - b) & 0xFF
+                elif ft == 3:
+                    enc[i] = (row[i] - (a + b) // 2) & 0xFF
+                elif ft == 4:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                    enc[i] = (row[i] - pred) & 0xFF
+            raw += bytes([ft]) + bytes(enc)
+            prev = row
 
     def chunk(tag, payload):
         return (
@@ -349,7 +379,9 @@ def _png_full(w, h, samples, ctype=2, filters=None, split_idat=False,
             + struct.pack(">I", zlib.crc32(tag + payload))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0
+    )
     plte = b""
     if palette is not None:
         plte = chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
@@ -668,6 +700,76 @@ def test_decode_png_palette_and_low_depths():
         MM.decode_png(short)
 
 
+def test_decode_png_adam7_roundtrip():
+    """r13: Adam7-interlaced PNGs decode for REAL. The encoder splits
+    the raster into the seven passes (each independently filtered);
+    decode must return exactly the sequential decode of the same
+    raster. Distinct per-pixel values make any scatter error visible;
+    tiny geometries (1x1..5x5) exercise absent passes, and the
+    filter rotation crosses pass boundaries so per-pass filter state
+    is load-bearing."""
+    import random
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    rng = random.Random(31)
+    palette = [(i * 3 % 256, i * 7 % 256, i * 11 % 256) for i in range(16)]
+    for ctype, depth, pal in (
+        (2, 8, None), (0, 8, None), (6, 8, None), (4, 8, None),
+        (3, 4, palette), (0, 2, None), (2, 16, None),
+    ):
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        top = {8: 256, 16: 65536}.get(depth, 1 << depth)
+        if ctype == 3:
+            top = len(pal)
+        for w, h in ((1, 1), (2, 2), (3, 5), (5, 3), (9, 10), (16, 9)):
+            samples = [rng.randrange(top) for _ in range(w * h * nch)]
+            nrows_adam7 = sum(
+                max(0, (h - y0 + dy - 1) // dy)
+                for x0, y0, dx, dy in (
+                    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+                )
+                if (w - x0 + dx - 1) // dx > 0
+            )
+            filters = [(0, 1, 2, 3, 4)[i % 5] for i in range(nrows_adam7)]
+            plain = MM.decode_png(
+                _png_full(w, h, samples, ctype=ctype, depth=depth,
+                          palette=pal)
+            )
+            inter = MM.decode_png(
+                _png_full(w, h, samples, ctype=ctype, depth=depth,
+                          palette=pal, interlace=True, filters=filters)
+            )
+            assert inter == plain, (ctype, depth, w, h)
+
+
+def test_decode_png_16bit_reduction():
+    """r13: 16-bit samples decode through the spec's
+    round(v*255/65535) reduction — pinned by closed-form pairs
+    (0->0, 65535->255, 257->1, 128->0, 129->1, 32896->128) and a
+    filtered roundtrip against the 8-bit encode of the reduced
+    raster."""
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    vals16 = [0, 65535, 257, 128, 129, 32896, 65278, 514, 771]
+    png = _png_full(3, 3, vals16, ctype=0, depth=16, filters=[2, 4, 1])
+    want = [(v * 255 + 32767) // 65535 for v in vals16]
+    assert MM.decode_png(png) == (3, 3, 1, want)
+    assert want[:6] == [0, 255, 1, 0, 1, 128]
+    # RGB 16-bit: reduce then compare against the 8-bit decode path
+    import random
+
+    rng = random.Random(5)
+    w, h = 4, 5
+    v16 = [rng.randrange(65536) for _ in range(w * h * 3)]
+    v8 = [(v * 255 + 32767) // 65535 for v in v16]
+    got = MM.decode_png(
+        _png_full(w, h, v16, ctype=2, depth=16, filters=[3] * h)
+    )
+    assert got == (w, h, 3, v8)
+
+
 def test_decode_gif_interlaced_roundtrip():
     """r13: interlaced GIFs decode for REAL. The encoder writes rows
     in the four-pass order and sets the flag; decode must return
@@ -699,10 +801,9 @@ def test_decode_gif_interlaced_roundtrip():
 def test_decode_png_hostile_payloads():
     """Hostile PNGs raise ValueError (never crash, never garbage):
     truncated IDAT, bad filter byte, a palette image with no PLTE,
-    zip-bomb geometry declared in IHDR, and a zero dimension —
-    while the spec-valid layouts the decoder honestly does not cover
-    (16-bit, Adam7 interlace) raise NotImplementedError
-    ('needs_codec', the r13 taxonomy split)."""
+    an IHDR lying about the layout (depth/interlace flags demanding
+    more raster bytes than the stream holds), zip-bomb geometry, and
+    a zero dimension."""
     import struct
     import zlib
 
@@ -727,16 +828,14 @@ def test_decode_png_hostile_payloads():
         good[: len(good) - 20],  # truncated inside IDAT
         mutated_ihdr(ctype=3),  # palette claimed but no PLTE chunk
         mutated_ihdr(ctype=2, depth=4),  # illegal depth for RGB
+        mutated_ihdr(depth=16),  # 16-bit claim doubles the needed bytes
+        mutated_ihdr(inter=1),  # Adam7 claim re-shapes the pass layout
         mutated_ihdr(w=0),
         mutated_ihdr(w=1 << 23, h=1 << 23),  # bomb geometry: reject pre-alloc
         b"\x89PNG\r\n\x1a\n" + b"\x00" * 10,  # no IHDR
     ]
     for p in cases:
         with pytest.raises(ValueError):
-            MM.decode_png(bytes(p))
-    # spec-valid but genuinely uncovered: needs_codec, not corrupt
-    for p in (mutated_ihdr(depth=16), mutated_ihdr(inter=1)):
-        with pytest.raises(NotImplementedError):
             MM.decode_png(bytes(p))
     # bad filter byte: re-compress a raster whose first row claims
     # filter 9 — must be a clean ValueError, not an IndexError
