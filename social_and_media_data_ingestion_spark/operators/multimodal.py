@@ -605,11 +605,19 @@ def decode_png(p: bytes) -> tuple[int, int, int, list[int]]:
 
 def decode_bmp(p: bytes) -> tuple[int, int, int, list[int]]:
     """(width, height, channels, flat BGR->RGB samples in top-down row
-    order) from an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB).
-    Pure stdlib `struct` parsing: rows are 4-byte aligned and stored
-    bottom-up unless height is negative (top-down); both normalize to
-    top-down RGB here. Anything else (palettes, compression, other bit
-    depths) raises ValueError — a real codec library's job."""
+    order) from a BITMAPINFOHEADER BMP. Pure stdlib `struct` parsing:
+    rows are 4-byte aligned and stored bottom-up unless height is
+    negative (top-down); both normalize to top-down RGB here. Covers
+    (r13, previously 24-bit-only with everything else a 'corrupt'
+    mislabel): 24- and 32-bit BI_RGB (the X byte ignored), 16-bit
+    BI_RGB (XRGB555, channels rescaled by 255/31), PALETTE images at
+    1/4/8 bpp (BGRX color table, MSB-first sub-byte indices), and
+    RLE8 runs (encoded, absolute with word padding, EOL / delta /
+    EOS; untouched pixels default to palette 0, the de-facto
+    behavior). BI_BITFIELDS / RLE4 / embedded JPEG-PNG raise
+    NotImplementedError -> 'needs_codec'; malformed files (truncated
+    raster or palette, RLE escaping the grid, top-down RLE, palette
+    index past the table) raise ValueError -> 'corrupt'."""
     import struct as _struct
 
     if p[:2] != b"BM" or len(p) < 54:
@@ -617,24 +625,118 @@ def decode_bmp(p: bytes) -> tuple[int, int, int, list[int]]:
     (data_off,) = _struct.unpack_from("<I", p, 10)
     hdr_size, w, h_raw = _struct.unpack_from("<Iii", p, 14)
     planes, bpp, compression = _struct.unpack_from("<HHI", p, 26)
-    if hdr_size < 40 or bpp != 24 or compression != 0:
-        raise ValueError(
-            f"only uncompressed 24-bit BMP supported "
-            f"(header {hdr_size}, {bpp} bpp, compression {compression})"
+    (clr_used,) = _struct.unpack_from("<I", p, 46)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if compression in (3, 6):
+        raise NotImplementedError("BI_BITFIELDS BMP needs a codec library")
+    if compression == 2:
+        raise NotImplementedError("RLE4 BMP needs a codec library")
+    if compression in (4, 5):
+        raise NotImplementedError(
+            "BMP with embedded JPEG/PNG needs a codec library"
         )
-    if w < 1 or h_raw == 0:
+    if compression not in (0, 1):
+        raise ValueError(f"bad BMP compression {compression}")
+    if compression == 1 and bpp != 8:
+        raise ValueError(f"RLE8 with {bpp} bpp")
+    if bpp not in (1, 4, 8, 16, 24, 32):
+        raise ValueError(f"bad BMP bit depth {bpp}")
+    if w < 1 or h_raw == 0 or w * abs(h_raw) > 1 << 24:
         raise ValueError(f"bad BMP geometry {w}x{h_raw}")
     h = abs(h_raw)
-    stride = (w * 3 + 3) // 4 * 4
+    palette: list[tuple[int, int, int]] | None = None
+    if bpp <= 8:
+        ncol = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        if ncol > 1 << bpp or pal_off + 4 * ncol > min(len(p), data_off):
+            raise ValueError("truncated BMP palette")
+        palette = [
+            (p[pal_off + 4 * i + 2], p[pal_off + 4 * i + 1],
+             p[pal_off + 4 * i])
+            for i in range(ncol)
+        ]
+    samples: list[int] = []
+    if compression == 1:
+        # RLE8: decoded into the bottom-up index grid
+        if h_raw < 0:
+            raise ValueError("top-down RLE BMP is not spec-legal")
+        idx = [0] * (w * h)
+        x = y = 0
+        i = data_off
+        while True:
+            if i + 2 > len(p):
+                raise ValueError("truncated BMP RLE stream")
+            a, b = p[i], p[i + 1]
+            i += 2
+            if a > 0:  # encoded run
+                if y >= h or x + a > w:
+                    raise ValueError("BMP RLE run escapes the pixel grid")
+                for k in range(a):
+                    idx[y * w + x + k] = b
+                x += a
+            elif b == 0:  # end of line
+                x, y = 0, y + 1
+            elif b == 1:  # end of stream
+                break
+            elif b == 2:  # delta
+                if i + 2 > len(p):
+                    raise ValueError("truncated BMP RLE delta")
+                x += p[i]
+                y += p[i + 1]
+                i += 2
+                if x > w or y > h:
+                    raise ValueError("BMP RLE delta escapes the pixel grid")
+            else:  # absolute mode: b literal indices, word-padded
+                if y >= h or x + b > w or i + b > len(p):
+                    raise ValueError("BMP RLE absolute run escapes the grid")
+                for k in range(b):
+                    idx[y * w + x + k] = p[i + k]
+                x += b
+                i += b + (b & 1)
+        ncolors = len(palette)
+        for r in range(h - 1, -1, -1):
+            for v in idx[r * w : (r + 1) * w]:
+                if v >= ncolors:
+                    raise ValueError(
+                        f"BMP palette index {v} outside {ncolors} entries"
+                    )
+                samples.extend(palette[v])
+        return w, h, 3, samples
+    stride = (w * bpp + 31) // 32 * 4
     if len(p) < data_off + stride * h:
         raise ValueError("truncated BMP raster")
-    samples: list[int] = []
     rows = range(h) if h_raw < 0 else range(h - 1, -1, -1)
     for r in rows:
         base = data_off + r * stride
-        for c in range(w):
-            b, g, rr = p[base + 3 * c : base + 3 * c + 3]
-            samples.extend((rr, g, b))
+        if bpp == 24:
+            for c in range(w):
+                b, g, rr = p[base + 3 * c : base + 3 * c + 3]
+                samples.extend((rr, g, b))
+        elif bpp == 32:
+            for c in range(w):
+                b, g, rr = p[base + 4 * c : base + 4 * c + 3]
+                samples.extend((rr, g, b))
+        elif bpp == 16:  # BI_RGB 16-bit is XRGB555
+            for c in range(w):
+                (v,) = _struct.unpack_from("<H", p, base + 2 * c)
+                samples.extend((
+                    (v >> 10 & 31) * 255 // 31,
+                    (v >> 5 & 31) * 255 // 31,
+                    (v & 31) * 255 // 31,
+                ))
+        else:  # 1 / 4 / 8 bpp palette, MSB-first within each byte
+            per_byte = 8 // bpp
+            mask = (1 << bpp) - 1
+            ncolors = len(palette)
+            for c in range(w):
+                byte_i, slot = divmod(c, per_byte)
+                v = (p[base + byte_i] >> ((per_byte - 1 - slot) * bpp)) & mask
+                if v >= ncolors:
+                    raise ValueError(
+                        f"BMP palette index {v} outside {ncolors} entries"
+                    )
+                samples.extend(palette[v])
     return w, h, 3, samples
 
 
@@ -1865,11 +1967,13 @@ def decode_wav_pcm(p: bytes) -> tuple[int, list[float]]:
     decode with ZERO third-party dependencies: the stdlib `wave` module
     parses the RIFF container and `array` unpacks the PCM frames (WAV
     is little-endian; byteswapped on big-endian hosts). 8-bit PCM is
-    unsigned (centered by -128), 16-bit is signed; multi-channel audio
-    mixes down by per-frame arithmetic mean (the standard mono mixdown,
-    deterministic). Raises wave.Error on a non-WAV payload — sniff
-    first (`sniff_format` detects RIFF/WAVE natively) and route
-    non-WAV rows to the stub-gated codec paths."""
+    unsigned (centered by -128); 16-, 24- (r13) and 32-bit (r13) are
+    signed; multi-channel audio mixes down by per-frame arithmetic
+    mean (the standard mono mixdown, deterministic). Raises
+    wave.Error on a non-WAV payload — sniff first (`sniff_format`
+    detects RIFF/WAVE natively) and route non-WAV rows to the
+    stub-gated codec paths. (IEEE-float WAV is format tag 3, which
+    stdlib `wave` itself rejects before the width branch.)"""
     import array
     import io
     import sys as _sys
@@ -1893,6 +1997,19 @@ def decode_wav_pcm(p: bytes) -> tuple[int, list[float]]:
         if _sys.byteorder == "big":
             arr.byteswap()
         samples = list(arr)
+    elif sw == 3:
+        # 24-bit signed little-endian (r13): studio-common, no array
+        # typecode — 3-byte windows through int.from_bytes
+        samples = [
+            int.from_bytes(raw[i : i + 3], "little", signed=True)
+            for i in range(0, len(raw) - len(raw) % 3, 3)
+        ]
+    elif sw == 4:
+        # 32-bit signed integer PCM (r13)
+        arr32 = array.array("i", raw[: len(raw) - len(raw) % 4])
+        if _sys.byteorder == "big":
+            arr32.byteswap()
+        samples = list(arr32)
     else:
         raise NotImplementedError(
             f"{8 * sw}-bit PCM needs a real codec library (not installed)"

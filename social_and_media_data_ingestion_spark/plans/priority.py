@@ -94,7 +94,10 @@ PRIORITY_HEAD = [
     "stats_mann_whitney_status",
     "stats_spearman_qty_price",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
+    # -- swapped in late-r13: decode_wav_pcm gained 24/32-bit PCM,
+    #    staling the audio closure (changed-closure beats the second
+    #    oldest-evidence re-proof, q17_small_quantity_revenue)
+    "multimodal_audio_chunks",
 ]
 
 

@@ -132,6 +132,44 @@ def test_decode_wav_pcm_8bit_unsigned_centering():
     assert samples == [0, 10, -10]
 
 
+def test_decode_wav_pcm_24_and_32_bit():
+    """r13: 24-bit (3-byte signed LE, the studio-common width) and
+    32-bit integer PCM decode for real — exact signed values incl.
+    the type extremes, stereo mixdown intact. Unreachable widths
+    still raise (wave itself rejects float WAV before the width
+    branch)."""
+    import io
+    import struct
+    import wave
+
+    def wav(sw, frames, nch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sw)
+            w.setframerate(44100)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    vals24 = [0, 1, -1, 8388607, -8388608, -40000]
+    raw24 = b"".join(
+        v.to_bytes(3, "little", signed=True) for v in vals24
+    )
+    rate, samples = MM.decode_wav_pcm(wav(3, raw24))
+    assert rate == 44100 and samples == vals24
+
+    vals32 = [0, 2147483647, -2147483648, 123456789, -987654321, 7]
+    raw32 = struct.pack("<6i", *vals32)
+    rate, samples = MM.decode_wav_pcm(wav(4, raw32))
+    assert rate == 44100 and samples == vals32
+
+    # stereo 24-bit mixdown: per-frame mean
+    st = [100, 300, -500, 700]
+    raw = b"".join(v.to_bytes(3, "little", signed=True) for v in st)
+    _, mixed = MM.decode_wav_pcm(wav(3, raw, nch=2))
+    assert mixed == [200, 100]
+
+
 def test_sniff_format_magic_bytes(spark):
     """Magic-byte detection: every signature resolves, RIFF without a
     WAVE form-type stays unknown (it could be AVI), payloads shorter
@@ -445,9 +483,133 @@ def test_decode_bmp_pixels_and_orientation():
     with pytest.raises(ValueError, match="truncated"):
         MM.decode_bmp(_bmp_bytes(3, 2, px)[:-4])
     bad_bpp = bytearray(_bmp_bytes(1, 1))
-    bad_bpp[28] = 8  # palette BMP: stdlib refuses, a codec's job
-    with pytest.raises(ValueError, match="24-bit"):
+    # claiming 8 bpp makes the (absent) 256-entry palette truncated
+    bad_bpp[28] = 8
+    with pytest.raises(ValueError, match="palette"):
         MM.decode_bmp(bytes(bad_bpp))
+
+
+def _bmp_ext(w, h, bpp, raster_rows, palette=None, compression=0,
+             rle=None, clr_used=0):
+    """A BITMAPINFOHEADER BMP at any bit depth: `raster_rows` are
+    BOTTOM-UP storage rows of raw bytes (already packed/padded), or
+    pass `rle` as the raw RLE8 byte stream. `palette` is (r,g,b)
+    tuples stored BGRX."""
+    import struct
+
+    pal = b""
+    if palette is not None:
+        pal = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    data = rle if rle is not None else b"".join(raster_rows)
+    data_off = 54 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0,
+                                 data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                       len(data), 2835, 2835, clr_used, 0)
+    return header + info + pal + data
+
+
+def test_decode_bmp_extended_depths_and_palette():
+    """r13: 32-bit BI_RGB (X byte ignored), 16-bit XRGB555 (255/31
+    rescale), and 1/4/8-bpp palette BMPs decode for REAL — pinned
+    against the 24-bit decode of the same raster / closed-form
+    channel values, with MSB-first sub-byte indices and 4-byte row
+    padding exercised by odd widths."""
+    import struct
+
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    # 32-bit vs 24-bit: same colors, X byte varies and must be ignored
+    px = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+          [(10, 11, 12), (13, 14, 15), (250, 251, 252)]]
+    want = MM.decode_bmp(_bmp_bytes(3, 2, px))
+    rows32 = []
+    for ri in range(1, -1, -1):  # bottom-up
+        row = b"".join(
+            bytes((b, g, r, 0xAA)) for r, g, b in px[ri]
+        )
+        rows32.append(row)
+    assert MM.decode_bmp(_bmp_ext(3, 2, 32, rows32)) == want
+
+    # 16-bit XRGB555 closed form
+    v = (20 << 10) | (7 << 5) | 31  # r=20, g=7, b=31 in 5-bit
+    row16 = struct.pack("<HH", v, 0)  # w=1 padded to 4 bytes
+    got = MM.decode_bmp(_bmp_ext(1, 1, 16, [row16]))
+    assert got == (1, 1, 3, [20 * 255 // 31, 7 * 255 // 31, 255])
+
+    # 8-bpp palette, w=3 (stride pads to 4)
+    palette = [(i * 3 % 256, i * 5 % 256, i * 7 % 256) for i in range(16)]
+    rows8 = [bytes([4, 9, 2, 0]), bytes([1, 0, 15, 0])]  # bottom-up
+    got = MM.decode_bmp(_bmp_ext(3, 2, 8, rows8, palette=palette,
+                                 clr_used=16))
+    flat = [c for i in (1, 0, 15, 4, 9, 2) for c in palette[i]]
+    assert got == (3, 2, 3, flat)
+
+    # 4-bpp: indices pack two per byte MSB-first; w=3 leaves a pad
+    # nibble; stride pads to 4 bytes
+    rows4 = [bytes([0x49, 0x20, 0, 0]), bytes([0x10, 0xF0, 0, 0])]
+    got4 = MM.decode_bmp(_bmp_ext(3, 2, 4, rows4, palette=palette,
+                                  clr_used=16))
+    assert got4 == (3, 2, 3, flat)
+
+    # 1-bpp: w=9 spans two bytes per row
+    pal2 = [(0, 0, 0), (255, 255, 255)]
+    bits = [1, 0, 1, 1, 0, 0, 1, 0, 1]
+    packed = bytes([0b10110010, 0b10000000, 0, 0])
+    got1 = MM.decode_bmp(_bmp_ext(9, 1, 1, [packed], palette=pal2))
+    assert got1 == (9, 1, 3, [c for b in bits for c in pal2[b]])
+
+    # palette index past a short table: corrupt
+    with pytest.raises(ValueError, match="palette index"):
+        MM.decode_bmp(_bmp_ext(3, 2, 8, rows8, palette=palette[:9],
+                               clr_used=9))
+
+
+def test_decode_bmp_rle8_and_needs_codec():
+    """r13: RLE8 decodes for REAL — encoded runs, absolute mode with
+    word padding, EOL, delta (skipped pixels default to palette 0),
+    EOS — pinned against the uncompressed 8-bpp decode of the same
+    grid; hostile RLE escaping the grid or top-down RLE is corrupt;
+    BI_BITFIELDS / RLE4 / embedded JPEG report needs_codec."""
+    import social_and_media_data_ingestion_spark.operators.multimodal as MM
+
+    palette = [(i, 2 * i, 3 * i) for i in range(64)]
+    # target 5x3 grid (storage bottom-up). Absolute mode needs n >= 3
+    # (n=0/1/2 are the EOL/EOS/delta escapes) and pads to a word
+    # boundary. Bottom row: run 2x7, absolute [7,9,8]+pad, EOL.
+    # Middle row: delta (1,0) skips one pixel (palette 0), runs
+    # 2x5 1x6 1x6, EOL. Top row: run 5x1, EOS.
+    rle = bytes(
+        [2, 7, 0, 3, 7, 9, 8, 0, 0, 0,          # run, absolute(3)+pad, EOL
+         0, 2, 1, 0, 2, 5, 1, 6, 1, 6, 0, 0,    # delta, runs, EOL
+         5, 1, 0, 1]                             # run, EOS
+    )
+    bottom = [7, 7, 7, 9, 8]
+    middle = [0, 5, 5, 6, 6]
+    top = [1, 1, 1, 1, 1]
+    rows8 = [bytes(bottom + [0, 0, 0]), bytes(middle + [0, 0, 0]),
+             bytes(top + [0, 0, 0])]
+    want = MM.decode_bmp(_bmp_ext(5, 3, 8, rows8, palette=palette,
+                                  clr_used=64))
+    got = MM.decode_bmp(_bmp_ext(5, 3, 8, None, palette=palette,
+                                 compression=1, rle=rle, clr_used=64))
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="escapes"):
+        MM.decode_bmp(_bmp_ext(5, 3, 8, None, palette=palette,
+                               compression=1, rle=bytes([9, 1, 0, 1]),
+                               clr_used=64))
+    with pytest.raises(ValueError, match="top-down"):
+        MM.decode_bmp(_bmp_ext(5, -3, 8, None, palette=palette,
+                               compression=1, rle=rle, clr_used=64))
+    with pytest.raises(NotImplementedError):
+        MM.decode_bmp(_bmp_ext(2, 2, 16, [bytes(8), bytes(8)],
+                               compression=3))
+    with pytest.raises(NotImplementedError):
+        MM.decode_bmp(_bmp_ext(2, 2, 4, None, palette=palette[:16],
+                               compression=2, rle=b"\x00\x01"))
 
 
 def test_decode_ppm_variants():
