@@ -93,7 +93,10 @@ PRIORITY_HEAD = [
     "stats_ks_two_sample",
     "stats_mann_whitney_status",
     "stats_spearman_qty_price",
-    "q15_top_supplier",
+    # -- swapped in late-r13: the off-rotation fuzz (seed 1016) fixed
+    #    lineitem_anova's NULL-group poisoning, staling its closure
+    #    (displaces the first oldest-evidence re-proof, q15)
+    "lineitem_anova_returnflag",
     # -- swapped in late-r13: decode_wav_pcm gained 24/32-bit PCM,
     #    staling the audio closure (changed-closure beats the second
     #    oldest-evidence re-proof, q17_small_quantity_revenue)

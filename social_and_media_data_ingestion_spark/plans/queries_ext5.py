@@ -2632,11 +2632,16 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_anova_returnflag",
     """
     WITH g AS (
+      -- observed values only (r13 off-rotation fuzz, seed 1016): a
+      -- NULL price is not an observation, and an ALL-NULL group must
+      -- vanish from the stats on BOTH engines (Spark's collect_list
+      -- drops the group's NULL term while DuckDB's list() keeps it
+      -- and poisons the reduce)
       SELECT l_returnflag, count(*)::BIGINT AS n,
              sum(floor(l_extendedprice)::HUGEINT) AS s,
              sum(floor(l_extendedprice)::HUGEINT
                  * floor(l_extendedprice)::BIGINT) AS ss
-      FROM lineitem GROUP BY 1
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
     ),
     agg AS (
       SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
@@ -2657,7 +2662,8 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    g = li.select(
+    # observed values only — see the oracle's g-CTE comment
+    g = li.where(F.col("l_extendedprice").isNotNull()).select(
         "l_returnflag",
         # decimal(19,0) factors -> decimal(38,0) products/sums: the
         # 128-bit twin of the oracle's HUGEINT (see header comment)
