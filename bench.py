@@ -618,7 +618,12 @@ def main() -> None:
             if q in runs and min(runs[q]) > 0
             and max(runs[q]) / min(runs[q]) > 1.10
         }
-        if reruns or not quiet or spread_bad:
+        # the spread gate is PER ENTRY (r13): one entry's transient
+        # spike must not veto pinning the entries whose own 3 runs
+        # were tight — quiet windows are the scarce resource, and the
+        # global gates (canary/total/reruns) already attest the run
+        eligible = [q for q in repin if q not in spread_bad]
+        if reruns or not quiet or not eligible:
             print(
                 f"# repin-entry NOT written: run not uniformly quiet "
                 f"(canary_ratio={cr}, vs_anchor_total={vat}, "
@@ -629,13 +634,19 @@ def main() -> None:
         else:
             with open(ANCHOR_PATH) as fh:
                 cur = json.load(fh)
-            for q in repin:
+            for q in eligible:
                 cur["queries"][q] = times[q]
             with open(ANCHOR_PATH, "w") as fh:
                 json.dump(cur, fh, indent=1)
             print(
-                f"# anchor entries re-pinned {sorted(repin)} "
-                f"(canary {cr}, vs_anchor_total {vat}): {ANCHOR_PATH}",
+                f"# anchor entries re-pinned {sorted(eligible)} "
+                f"(canary {cr}, vs_anchor_total {vat}"
+                + (
+                    f"; skipped, own-spread>1.10: {spread_bad}"
+                    if spread_bad
+                    else ""
+                )
+                + f"): {ANCHOR_PATH}",
                 file=sys.stderr,
             )
     # Compact final stdout line: best-only per query, 3 dp. One scalar

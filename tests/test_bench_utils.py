@@ -293,3 +293,67 @@ def test_repin_entry_accepts_whole_fixed_point_agreement(
     anchor = _json.loads((tmp_path / "BENCH_ANCHOR.json").read_text())
     assert anchor["queries"]["q0"] == 0.05  # refreshed from this run
     assert anchor["queries"]["q1"] == 0.05  # untouched era fixed point
+
+
+def test_repin_entry_spread_gate_is_per_entry(monkeypatch, tmp_path, capsys):
+    """r13: one repinned entry's loose own-spread must not veto the
+    entries whose 3 runs were tight — quiet windows are scarce, and
+    the global gates already attest the run. The loose entry is
+    skipped (and named in the report); the tight one pins."""
+    import json as _json
+    import os
+
+    _fake_bench_env(monkeypatch, tmp_path)
+    monkeypatch.setattr(bench, "_preflight_quiet", lambda: None)
+    monkeypatch.setattr(bench, "_preflight_canary", lambda *a, **k: (True, {}))
+    heads = [f"q{i}" for i in range(12)]
+    monkeypatch.setattr(bench, "HEADLINE", heads)
+    tick = [0.0]
+
+    class FakeQuery:
+        def __init__(self, name):
+            self.name = name
+            self.calls = 0
+
+        def spark(self, spark, sf_dir):
+            q = self
+
+            class _DF:
+                def count(self):
+                    q.calls += 1
+                    # q0's LAST timed run (call 5 = warmup + priming
+                    # + 3 timed) hits a transient spike: +20% — above
+                    # the 1.10 repin bar, below the rescue trigger
+                    if q.name == "q0" and q.calls == 5:
+                        tick[0] += 0.01
+                    return 1
+
+            return _DF()
+
+    monkeypatch.setattr(
+        bench, "registry", lambda: {h: FakeQuery(h) for h in heads}
+    )
+
+    def fake_time():
+        tick[0] += 0.05
+        return tick[0]
+
+    monkeypatch.setattr(bench.time, "time", fake_time)
+    anchor_q = {h: 0.05 for h in heads}
+    anchor_q["q0"] = 0.0500001
+    anchor_q["q1"] = 0.0500001
+    (tmp_path / "BENCH_ANCHOR.json").write_text(
+        _json.dumps(
+            {"queries": anchor_q, "sf": 0.1, "machine": {"cpus": os.cpu_count()}}
+        )
+    )
+    monkeypatch.setattr(
+        bench.sys, "argv",
+        ["bench.py", "--repin-entry", "q0", "--repin-entry", "q1"],
+    )
+    bench.main()
+    err = capsys.readouterr().err
+    anchor = _json.loads((tmp_path / "BENCH_ANCHOR.json").read_text())
+    assert anchor["queries"]["q1"] == 0.05  # tight entry pinned
+    assert anchor["queries"]["q0"] == 0.0500001  # loose entry skipped
+    assert "skipped, own-spread>1.10" in err and "q0" in err
