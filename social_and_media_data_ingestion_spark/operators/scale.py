@@ -213,9 +213,224 @@ def global_row_number(
 ) -> DataFrame:
     """Exact global row_number over `order_by` with no global-sort funnel
     (see :func:`_global_rank`). `order_by` must be a total order
-    (include a unique tie-break column) for deterministic output."""
-    out, _ = _global_rank(df, order_by, out_col, num_partitions)
-    return out
+    (include a unique tie-break column) for deterministic output.
+
+    r13 opt round: same one-shuffle shape as :func:`global_running_sum`
+    — the sort rides the range shuffle, the per-partition COUNTS are a
+    bounded collect, and the rank column is a map-only Arrow pass
+    (offset + position within the pre-sorted pinned partition) instead
+    of a Window.partitionBy(pid) that re-exchanged the whole frame."""
+    from pyspark.sql import types as T
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    spark = df.sparkSession
+    n_parts = num_partitions or _default_partitions(spark)
+    pid = "__rn_pid"
+    ranged = _ranged_sorted_pin(df, cols, n_parts, pid)
+    counts = sorted(
+        ranged.groupBy(pid).count().collect(), key=lambda r: r[pid]
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in counts:
+        offsets[row[pid]] = acc
+        acc += row["count"]
+    base_fields = [f for f in ranged.schema.fields if f.name != pid]
+    out_schema = T.StructType(
+        base_fields + [T.StructField(out_col, T.LongType())]
+    )
+    names_in = [f.name for f in ranged.schema.fields]
+    keep_idx = [i for i, n in enumerate(names_in) if n != pid]
+    pid_idx = names_in.index(pid)
+    names_out = [names_in[i] for i in keep_idx] + [out_col]
+
+    def _rank(it):
+        import pyarrow as pa
+
+        pos = None  # next 1-based rank within this partition's order
+        for rb in it:
+            if rb.num_rows == 0:
+                continue
+            if pos is None:
+                pos = offsets.get(rb.column(pid_idx)[0].as_py(), 0) + 1
+            rn = pa.array(range(pos, pos + rb.num_rows), type=pa.int64())
+            pos += rb.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in keep_idx] + [rn], names=names_out
+            )
+
+    return ranged.mapInArrow(_rank, out_schema)
+
+
+def _ranged_sorted_pin(
+    df: DataFrame, cols: Sequence[Column], n_parts: int, pid: str
+) -> DataFrame:
+    """Range-partition on the sort key, SORT WITHIN each partition, tag
+    the partition id, and pin via lazy localCheckpoint. Shared by the
+    prefix-pass primitives below (r13 opt round): with the sort done
+    BEFORE the pin, the second job can compute per-partition prefixes
+    with a map-only pass over the pinned blocks — the old spelling left
+    the sort to a Window.partitionBy(pid), and because a checkpointed
+    frame reports UnknownPartitioning, Catalyst inserted a SECOND full
+    Exchange (hash on pid) plus the sort into the downstream job. One
+    full-data shuffle per call instead of two (guide §2.4)."""
+    return (
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+
+def _sum_out_type(dt: "types.DataType") -> "types.DataType":
+    """Result type of Spark's SUM over a column of type `dt` (what the
+    old window spelling produced for the running column — kept so the
+    map-only spelling is schema-identical)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return T.DecimalType(min(dt.precision + 10, 38), dt.scale)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return T.DoubleType()
+    return T.LongType()
+
+
+def _prefix_sum_batches(
+    it, keep_idx, names, val_idx, out_types, offsets, pid_idx
+):
+    """mapInArrow body shared by the running-sum primitives: sequential
+    (left-to-right) prefix sums over the pre-sorted partition, one
+    running value per requested column, plus the partition's offset.
+
+    Exactness contract (bit-compatible with the Window spelling it
+    replaced): values accumulate one row at a time in input order —
+    the same association order as the ROWS-frame incremental window —
+    and the offset is added LAST, per row, exactly as `sum OVER w +
+    element_at(off_map, pid)` did. NULL values are skipped (the
+    running value stays whatever it was) and the output is NULL until
+    the first non-NULL value, matching F.sum's frame semantics.
+    Integers ride Python ints and decimals Python Decimals (both
+    exact); doubles reproduce the window's sequential IEEE adds.
+    Null-free integer batches take a vectorized numpy cumsum (exact in
+    int64) behind a conservative magnitude guard; everything else falls
+    back to the per-row exact loop."""
+    import numpy as np
+    import pyarrow as pa
+
+    runs = [None] * len(val_idx)  # local prefix per value column
+    offs = None  # this partition's offsets, resolved from the pid col
+    for rb in it:
+        if rb.num_rows == 0:
+            continue
+        if offs is None:
+            p = rb.column(pid_idx)[0].as_py()
+            offs = [o.get(p) for o in offsets]
+        outs = []
+        for k, vi in enumerate(val_idx):
+            arr = rb.column(vi)
+            run = runs[k]
+            off = offs[k]
+            if (
+                pa.types.is_integer(arr.type)
+                and arr.null_count == 0
+                and isinstance(off, int)
+                and (run is None or isinstance(run, int))
+            ):
+                v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+                # guard: every intermediate |prefix + offset| is bounded
+                # by |carry| + |offset| + sum|values| — well under 2^62
+                # means the int64 cumsum cannot wrap
+                bound = (
+                    abs(run or 0)
+                    + abs(off)
+                    + float(np.abs(v.astype(np.float64)).sum())
+                )
+                if bound < float(2**62):
+                    c = np.cumsum(v) + (run or 0)
+                    runs[k] = int(c[-1])
+                    outs.append(pa.array(c + off, type=out_types[k]))
+                    continue
+            vals = arr.to_pylist()
+            out = []
+            for v in vals:
+                if v is not None:
+                    run = v if run is None else run + v
+                out.append(None if run is None else run + off)
+            runs[k] = run
+            outs.append(pa.array(out, type=out_types[k]))
+        yield pa.RecordBatch.from_arrays(
+            [rb.column(i) for i in keep_idx] + outs, names=names
+        )
+
+
+def _running_sums_impl(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    value_cols: Sequence[str],
+    out_cols: Sequence[str],
+    num_partitions: int | None,
+    pid: str,
+) -> DataFrame:
+    """Shared engine of :func:`global_running_sum` /
+    :func:`global_running_sums`: ONE range shuffle + in-shuffle sort +
+    pin, one bounded per-partition-totals collect (O(partitions) driver
+    state), then a MAP-ONLY Arrow pass adds every prefix column — no
+    second exchange, no window (see :func:`_ranged_sorted_pin`)."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    spark = df.sparkSession
+    n_parts = num_partitions or _default_partitions(spark)
+    ranged = _ranged_sorted_pin(df, cols, n_parts, pid)
+    totals = sorted(
+        ranged.groupBy(pid)
+        .agg(*[F.sum(v).alias(f"__s{i}") for i, v in enumerate(value_cols)])
+        .collect(),
+        key=lambda r: r[pid],
+    )
+    # per-column {pid -> sum of all PRECEDING partitions}, as native
+    # Python values (int / Decimal / float — all exact for their type;
+    # the old literal-map spelling needed a string-cast workaround for
+    # decimals past ~1e19, which plain Python Decimals don't)
+    offsets: list[dict[int, object]] = []
+    in_types = [df.schema[v].dataType for v in value_cols]
+    for i, dt in enumerate(in_types):
+        acc = Decimal(0) if isinstance(dt, T.DecimalType) else 0
+        per: dict[int, object] = {}
+        for row in totals:
+            per[row[pid]] = acc
+            acc += row[f"__s{i}"] or 0
+        offsets.append(per)
+    out_dts = [_sum_out_type(dt) for dt in in_types]
+    base_fields = [f for f in ranged.schema.fields if f.name != pid]
+    out_schema = T.StructType(
+        base_fields + [T.StructField(oc, dt) for oc, dt in zip(out_cols, out_dts)]
+    )
+    names_in = [f.name for f in ranged.schema.fields]
+    keep_idx = [i for i, n in enumerate(names_in) if n != pid]
+    pid_idx = names_in.index(pid)
+    val_idx = [names_in.index(v) for v in value_cols]
+    names_out = [names_in[i] for i in keep_idx] + list(out_cols)
+
+    def _to_arrow(dt):
+        import pyarrow as pa
+
+        if isinstance(dt, T.DecimalType):
+            return pa.decimal128(dt.precision, dt.scale)
+        if isinstance(dt, T.DoubleType):
+            return pa.float64()
+        return pa.int64()
+
+    out_types = [_to_arrow(dt) for dt in out_dts]
+
+    def _run(it):
+        yield from _prefix_sum_batches(
+            it, keep_idx, names_out, val_idx, out_types, offsets, pid_idx
+        )
+
+    return ranged.mapInArrow(_run, out_schema)
 
 
 def global_running_sum(
@@ -229,63 +444,25 @@ def global_running_sum(
     WITHOUT a single-partition window (the sweep-line primitive:
     concurrency counting, running balances, cumulative distributions).
 
-    Same two-job shape as :func:`_global_rank`: range-partition on the
-    sort key, collect per-partition TOTALS (bounded O(partitions) driver
-    state), then each partition computes a local ROWS-frame prefix sum
-    plus its predecessors' total as an offset. `order_by` should be a
-    total order for fully deterministic per-row output (with ties the
-    intra-tie prefixes depend on tie order, as with any ROWS frame).
+    Two jobs, ONE full-data shuffle (r13 opt round): range-partition on
+    the sort key with the sort folded into the shuffle, pin, collect
+    per-partition TOTALS (bounded O(partitions) driver state), then a
+    map-only Arrow pass emits each partition's sequential prefix sum
+    plus its predecessors' total — bit-compatible with the
+    `sum OVER (ROWS UNBOUNDED PRECEDING..CURRENT)` + offset spelling it
+    replaced (see :func:`_prefix_sum_batches` for the exactness
+    contract), but without the second Exchange that the checkpointed
+    frame's UnknownPartitioning forced under Window.partitionBy(pid).
+    `order_by` should be a total order for fully deterministic per-row
+    output (with ties the intra-tie prefixes depend on tie order, as
+    with any ROWS frame).
 
     The ranged frame is localCheckpoint-materialized (lazily — the
     totals job materializes as it aggregates, see :func:`_global_rank`)
     so the totals job and the prefix-sum job see the SAME partitioning
     (range boundaries are sampled and not replay-stable)."""
-    from pyspark.sql import Window
-
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    spark = df.sparkSession
-    n_parts = num_partitions or _default_partitions(spark)
-    pid = "__rsum_pid"
-    ranged = (
-        df.repartitionByRange(n_parts, *cols)
-        .withColumn(pid, F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    totals = sorted(
-        ranged.groupBy(pid).agg(F.sum(value_col).alias("s")).collect(),
-        key=lambda r: r[pid],
-    )
-    offsets: list[tuple[int, float]] = []
-    acc = 0
-    for row in totals:
-        offsets.append((row[pid], acc))
-        acc += row["s"] or 0
-    # decimal value columns (the 128-bit quantized-cents sums, r13):
-    # Python Decimal totals past ~1e19 don't survive the plain lit()
-    # py4j path — ship them as string literals cast back to the value
-    # column's own decimal type (bit-exact); other types keep lit()
-    vtype = dict(df.dtypes)[value_col]
-
-    def _vlit(v):
-        return (
-            F.lit(str(v)).cast(vtype)
-            if vtype.startswith("decimal")
-            else F.lit(v)
-        )
-
-    off_map = F.create_map(
-        *[x for p, off in offsets for x in (F.lit(p), _vlit(off))]
-    )
-    w = (
-        Window.partitionBy(pid)
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        ranged.withColumn(
-            out_col, F.sum(value_col).over(w) + F.element_at(off_map, F.col(pid))
-        )
-        .drop(pid)
+    return _running_sums_impl(
+        df, order_by, [value_col], [out_col], num_partitions, "__rsum_pid"
     )
 
 
@@ -404,41 +581,15 @@ def global_running_sums(
     materialization serves all columns; calling the single-column
     helper k times would range-partition and checkpoint k times and,
     worse, could sample DIFFERENT range boundaries per call. Each
-    value column `v` gains `v + out_suffix`."""
-    from pyspark.sql import Window
-
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    spark = df.sparkSession
-    n_parts = num_partitions or _default_partitions(spark)
-    pid = "__rsums_pid"
-    ranged = (
-        df.repartitionByRange(n_parts, *cols)
-        .withColumn(pid, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    value column `v` gains `v + out_suffix`. Like
+    :func:`global_running_sum` this is ONE full-data shuffle (sort
+    folded in) + a map-only Arrow prefix pass — no per-column windows,
+    no second exchange (r13 opt round)."""
+    return _running_sums_impl(
+        df,
+        order_by,
+        list(value_cols),
+        [v + out_suffix for v in value_cols],
+        num_partitions,
+        "__rsums_pid",
     )
-    totals = sorted(
-        ranged.groupBy(pid)
-        .agg(*[F.sum(v).alias(v) for v in value_cols])
-        .collect(),
-        key=lambda r: r[pid],
-    )
-    w = (
-        Window.partitionBy(pid)
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = ranged
-    for v in value_cols:
-        offsets = []
-        acc = 0
-        for row in totals:
-            offsets.append((row[pid], acc))
-            acc += row[v] or 0
-        off_map = F.create_map(
-            *[F.lit(x) for p, off in offsets for x in (p, off)]
-        )
-        out = out.withColumn(
-            v + out_suffix,
-            F.sum(v).over(w) + F.element_at(off_map, F.col(pid)),
-        )
-    return out.drop(pid)

@@ -1058,7 +1058,13 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="rev4",
         out_col="cum4",
     )
-    tot = rev.agg(F.sum("rev4").alias("t"))
+    # grand total from the prefix-sum's pinned frame, NOT from `rev`:
+    # `rev`'s lineage re-scans and re-aggregates lineitem (a second full
+    # pass over the fact table at 100 TB), while `run` reads the
+    # localCheckpoint blocks global_running_sum already materialized —
+    # same exact decimal(38,0) sum, one scan fewer (r13 opt round,
+    # guide §2.4)
+    tot = run.agg(F.sum("rev4").alias("t"))
     cls = run.crossJoin(F.broadcast(tot)).withColumn(
         "pareto_class",
         F.when(F.col("cum4").cast("double") / F.col("t") <= 0.80, "A")

@@ -4278,6 +4278,18 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_and_media_data_ingestion_spark.operators import multimodal as MM
 
     docs = t(spark, sf_dir, "documents")
+    # This query's cost is the Python-side Huffman+IDCT decode inside
+    # image_pixel_stats' mapInPandas (~1.2 s single-threaded for the
+    # sf0.1 fixture, measured r13 opt round), and documents at the bench
+    # SFs is ONE parquet row group = one scan split, so the whole decode
+    # would run serially on one core (guide §2.5: unsplittable input ->
+    # repartition right after the read). Shuffle ONLY doc_id (8 bytes/
+    # row) BEFORE the payload synthesis so the synthesized JPEG bytes
+    # never cross the exchange (guide §2.3); skipped when the scan
+    # already parallelizes (a real multi-file image corpus).
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.select("doc_id").repartition(par)
     did = F.col("doc_id")
     vy = (did % 32 + 32).cast("int")  # DC category 6, positive
     e_cb = (31 - did % 16).cast("int")  # extra bits of vcb = -(32+d%16)

@@ -68,10 +68,21 @@ def test_knn_audit_probes_broadcast(spark):
 def test_abc_pareto_distributed_prefix_sum(spark):
     # the cumulative-revenue ranking rides global_running_sum (range
     # partition + per-partition offsets over a checkpointed frame), not
-    # a single-partition window sort. The scalar total is a broadcast.
+    # a single-partition window sort. Since the r13 opt round the
+    # prefix is a MAP-ONLY Arrow pass over the pre-sorted pinned frame:
+    # no window node at all, and no re-exchange of the frame by the
+    # partition id. The scalar total is a broadcast, and it reads the
+    # SAME pinned frame (the old spelling re-scanned lineitem).
     plan = _plan(spark, "lineitem_abc_pareto")
     assert "ExistingRDD" in plan
-    assert "windowspecdefinition(__rsum_pid" in plan
+    assert "MapInArrow" in plan
+    assert "windowspecdefinition" not in plan
+    assert "hashpartitioning(__rsum_pid" not in plan
+    # BOTH consumers (prefix pass and scalar total) read the pinned
+    # frame: the one lineitem scan lives in the pin-materialization job,
+    # so the final plan re-scans nothing (pre-r13 the total branch
+    # re-scanned and re-aggregated lineitem)
+    assert plan.count("Scan parquet") == 0
 
 
 def test_bloom_audit_all_probes_broadcast(spark):

@@ -447,9 +447,12 @@ def test_forecast_backtest_broadcast_stats(spark):
 def test_gini_uses_distributed_rank(spark):
     plan = _plan(spark, "supplier_revenue_gini")
     # the rank must come from the range-partitioned distributed
-    # row-number, not an empty-partition global window
-    assert "windowspecdefinition(__rank_pid" in plan
-    assert "windowspecdefinition(cents" not in plan
+    # row-number — since the r13 opt round a map-only Arrow pass over
+    # the pre-sorted pinned frame (no window node, no pid re-exchange),
+    # never an empty-partition global window
+    assert "MapInArrow" in plan
+    assert "windowspecdefinition" not in plan
+    assert "hashpartitioning(__rn_pid" not in plan
 
 
 def test_reconciliation_single_pass_reduction(spark):
@@ -483,33 +486,41 @@ def test_novelty_single_shingle_shuffle(spark):
 
 def test_mann_whitney_uses_distributed_prefix_sum(spark):
     plan = _plan(spark, "stats_mann_whitney_status")
-    # the rank prefix sum must be partitioned on the range-partition id,
-    # never an empty-partition global window over the value frame
-    assert "windowspecdefinition(__rsum_pid" in plan
-    assert "windowspecdefinition(x#" not in plan
+    # the rank prefix sum must ride the distributed global_running_sum —
+    # since the r13 opt round a map-only Arrow pass over the pre-sorted
+    # pinned frame (no window node, no pid re-exchange), never an
+    # empty-partition global window over the value frame
+    assert "MapInArrow" in plan
+    assert "windowspecdefinition" not in plan
+    assert "hashpartitioning(__rsum_pid" not in plan
 
 
 def test_kruskal_wallis_uses_distributed_prefix_sum(spark):
     plan = _plan(spark, "stats_kruskal_wallis_returnflag")
-    assert "windowspecdefinition(__rsum_pid" in plan
-    assert "windowspecdefinition(x#" not in plan
+    assert "MapInArrow" in plan
+    assert "windowspecdefinition" not in plan
+    assert "hashpartitioning(__rsum_pid" not in plan
 
 
 def test_ks_shared_prefix_sum_single_ranged_pass(spark):
     plan = _plan(spark, "stats_ks_two_sample")
-    # both ECDFs ride ONE range-partitioned window pass (the
-    # multi-column prefix sum) — a single __rsums_pid window spec, no
-    # empty-partition global window
-    assert "windowspecdefinition(__rsums_pid" in plan
-    assert "windowspecdefinition(x#" not in plan
+    # both ECDFs ride ONE ranged prefix pass (the multi-column running
+    # sum) — since the r13 opt round a single map-only Arrow pass over
+    # the pre-sorted pinned frame; no window node, no pid re-exchange,
+    # no empty-partition global window
+    assert plan.count("MapInArrow") == 1
+    assert "windowspecdefinition" not in plan
+    assert "hashpartitioning(__rsums_pid" not in plan
 
 
 def test_spearman_ranks_from_distributed_prefix_sum(spark):
     plan = _plan(spark, "stats_spearman_qty_price")
-    # both variables' rank frames come from range-partitioned prefix
-    # sums, never an empty-partition global window
-    assert "windowspecdefinition(__rsum_pid" in plan
-    assert "windowspecdefinition(v#" not in plan
+    # both variables' rank frames come from the distributed prefix sum
+    # (map-only Arrow passes since the r13 opt round), never an
+    # empty-partition global window
+    assert "MapInArrow" in plan
+    assert "windowspecdefinition" not in plan
+    assert "hashpartitioning(__rsum_pid" not in plan
 
 
 def test_wilson_single_pass_no_join(spark):

@@ -245,13 +245,19 @@ def test_rfm_segmentation_no_single_partition_sort(spark):
 
 def test_max_concurrent_no_single_partition_sort(spark):
     # the sweep-line cumulative sum must run on the distributed
-    # global_running_sum: the prefix-sum window is PARTITIONED (by the
-    # range-partition id over the checkpointed frame), never an
-    # empty-partition global window. (The plan's one SinglePartition
-    # exchange is the final scalar max over 32 partial rows — fine.)
+    # global_running_sum: since the r13 opt round that is a MAP-ONLY
+    # Arrow prefix pass over the pre-sorted checkpointed frame — no
+    # window at all, and in particular no second exchange of the full
+    # point set by the range-partition id (the pre-r13 window spelling
+    # paid one because a checkpointed frame reports UnknownPartitioning)
+    # and never an empty-partition global window. (The plan's one
+    # SinglePartition exchange is the final scalar max over 32 partial
+    # rows — fine.)
     plan = _plan(spark, "events_max_concurrent")
     assert "ExistingRDD" in plan
-    assert "windowspecdefinition(__rsum_pid" in plan
+    assert "MapInArrow" in plan
+    assert "windowspecdefinition" not in plan
+    assert "hashpartitioning(__rsum_pid" not in plan
 
 
 def test_ivf_assignment_map_side(spark):

@@ -107,3 +107,94 @@ def test_global_running_sums_matches_two_single_calls(spark):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r13 opt round: the prefix helpers became a map-only Arrow pass over the
+# pre-sorted pinned frame (no Window, no second exchange). These tests pin
+# the internals that rewrite introduced: exact integer/decimal carries
+# across MANY Arrow batches, the window-compatible NULL semantics, and the
+# sum result types the old window spelling produced.
+# ---------------------------------------------------------------------------
+
+
+def test_running_sum_exact_across_arrow_batches(spark):
+    # tiny Arrow batches force the per-batch carry path many times per
+    # partition; bigint values near 2^40 would expose any float detour
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_sums,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "19")
+    try:
+        df = spark.range(0, 700).select(
+            F.col("id"),
+            ((F.col("id") * 7919) % 104729).alias("key"),
+            ((F.col("id") % 5) * F.lit(2**40) + F.col("id")).alias("v"),
+            (F.col("id") * 1000 + 1).cast("decimal(30,0)").alias("d"),
+        )
+        w = Window.orderBy("key", "id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = {
+            r.id: (r.v_cum, r.d_cum)
+            for r in df.withColumn("v_cum", F.sum("v").over(w))
+            .withColumn("d_cum", F.sum("d").over(w))
+            .collect()
+        }
+        out = global_running_sums(df, ["key", "id"], ["v", "d"], num_partitions=8)
+        got = {r.id: (r.v_cum, r.d_cum) for r in out.collect()}
+        assert got == want  # exact, not approx: ints and decimals
+        # schema parity with the window spelling: sum(bigint) -> bigint,
+        # sum(decimal(30,0)) -> decimal(38,0)
+        dt = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+        assert dt["v_cum"] == "bigint"
+        assert dt["d_cum"] == "decimal(38,0)"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_running_sum_null_semantics_match_window(spark):
+    # F.sum's frame semantics: NULL values are skipped, and the output is
+    # NULL until the first non-NULL of the (partition-local) order — on a
+    # single partition that is exactly the unpartitioned window's answer
+    rows = [(0, None), (1, None), (2, 5), (3, None), (4, 7), (5, None)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = [
+        (r.id, r.rs)
+        for r in df.withColumn("rs", F.sum("v").over(w)).orderBy("id").collect()
+    ]
+    got = [
+        (r.id, r.rs)
+        for r in global_running_sum(
+            df, ["id"], "v", out_col="rs", num_partitions=1
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_row_number_carries_across_arrow_batches(spark):
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "23")
+    try:
+        df = _df(spark, 997)
+        got = {
+            r.id: r.rn
+            for r in global_row_number(
+                df, ["key", "id"], out_col="rn", num_partitions=8
+            ).collect()
+        }
+        w = Window.orderBy("key", "id")
+        want = {
+            r.id: r.rn
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
