@@ -395,6 +395,7 @@ def _running_sums_impl(
     # the old literal-map spelling needed a string-cast workaround for
     # decimals past ~1e19, which plain Python Decimals don't)
     offsets: list[dict[int, object]] = []
+    grand_totals: list[object] = []
     in_types = [df.schema[v].dataType for v in value_cols]
     for i, dt in enumerate(in_types):
         acc = Decimal(0) if isinstance(dt, T.DecimalType) else 0
@@ -403,6 +404,7 @@ def _running_sums_impl(
             per[row[pid]] = acc
             acc += row[f"__s{i}"] or 0
         offsets.append(per)
+        grand_totals.append(acc)
     out_dts = [_sum_out_type(dt) for dt in in_types]
     base_fields = [f for f in ranged.schema.fields if f.name != pid]
     out_schema = T.StructType(
@@ -430,7 +432,7 @@ def _running_sums_impl(
             it, keep_idx, names_out, val_idx, out_types, offsets, pid_idx
         )
 
-    return ranged.mapInArrow(_run, out_schema)
+    return ranged.mapInArrow(_run, out_schema), grand_totals
 
 
 def global_running_sum(
@@ -439,7 +441,8 @@ def global_running_sum(
     value_col: str,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+) -> "DataFrame | tuple[DataFrame, object]":
     """Exact global cumulative sum of `value_col` in `order_by` order
     WITHOUT a single-partition window (the sweep-line primitive:
     concurrency counting, running balances, cumulative distributions).
@@ -460,10 +463,21 @@ def global_running_sum(
     The ranged frame is localCheckpoint-materialized (lazily — the
     totals job materializes as it aggregates, see :func:`_global_rank`)
     so the totals job and the prefix-sum job see the SAME partitioning
-    (range boundaries are sampled and not replay-stable)."""
-    return _running_sums_impl(
+    (range boundaries are sampled and not replay-stable).
+
+    With `return_total=True` returns `(df, total)` where `total` is the
+    exact grand total of `value_col` (a native Python int / Decimal /
+    float assembled from the per-partition totals the offsets collect
+    already paid for): callers that need the scalar total — Pareto
+    shares, normalizations — get it for FREE instead of re-executing
+    the prefix pass's lineage with a second aggregate (the prefix
+    output is not pinned; each consumer re-runs the Arrow pass)."""
+    out, tots = _running_sums_impl(
         df, order_by, [value_col], [out_col], num_partitions, "__rsum_pid"
     )
+    if return_total:
+        return out, tots[0]
+    return out
 
 
 def global_ntile(
@@ -585,7 +599,7 @@ def global_running_sums(
     :func:`global_running_sum` this is ONE full-data shuffle (sort
     folded in) + a map-only Arrow prefix pass — no per-column windows,
     no second exchange (r13 opt round)."""
-    return _running_sums_impl(
+    out, _tots = _running_sums_impl(
         df,
         order_by,
         list(value_cols),
@@ -593,3 +607,4 @@ def global_running_sums(
         num_partitions,
         "__rsums_pid",
     )
+    return out

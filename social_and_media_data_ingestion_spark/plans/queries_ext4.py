@@ -1052,20 +1052,27 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("rev4").cast("decimal(38,0)").alias("rev4"))
     )
-    run = global_running_sum(
+    # the prefix pass hands back the exact grand total for FREE (it is
+    # the last per-partition offset its bounded collect already
+    # computed) — the pre-r13 spelling re-scanned and re-aggregated
+    # lineitem for `tot` (a second full pass over the fact table at
+    # 100 TB) and crossJoined the 1-row frame back on (guide §2.4).
+    # NULL-total edge: an all-NULL rev4 column gave the old SQL sum a
+    # NULL total where this gives Decimal(0) — every output expression
+    # involving t is NULL in both spellings there (cum4 and the class
+    # sums are NULL), so results are identical.
+    run, tot_val = global_running_sum(
         rev,
         order_by=[F.desc("rev4"), F.asc("l_partkey")],
         value_col="rev4",
         out_col="cum4",
+        return_total=True,
     )
-    # grand total from the prefix-sum's pinned frame, NOT from `rev`:
-    # `rev`'s lineage re-scans and re-aggregates lineitem (a second full
-    # pass over the fact table at 100 TB), while `run` reads the
-    # localCheckpoint blocks global_running_sum already materialized —
-    # same exact decimal(38,0) sum, one scan fewer (r13 opt round,
-    # guide §2.4)
-    tot = run.agg(F.sum("rev4").alias("t"))
-    cls = run.crossJoin(F.broadcast(tot)).withColumn(
+    # decimal totals past ~1e19 don't survive the plain lit() py4j
+    # path — ship as a string literal cast back (bit-exact)
+    cls = run.withColumn(
+        "t", F.lit(str(tot_val)).cast("decimal(38,0)")
+    ).withColumn(
         "pareto_class",
         F.when(F.col("cum4").cast("double") / F.col("t") <= 0.80, "A")
         .when(F.col("cum4").cast("double") / F.col("t") <= 0.95, "B")
