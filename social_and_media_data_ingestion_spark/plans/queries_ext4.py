@@ -870,19 +870,32 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     def ranked(name, out):
-        w = Window.orderBy(F.desc(f"bm25_{name}"), F.asc("doc_id"))
-        return (
-            scored.filter(F.col(f"match_{name}"))
-            .select("doc_id", F.row_number().over(w).alias(out))
+        # r13 opt round: the rank used to be an UNPARTITIONED window —
+        # a single-task sort of the whole match set (fine at sf0.1,
+        # a funnel at scale). global_row_number is the distributed
+        # spelling (one range shuffle + a map-only Arrow rank pass) and
+        # the (bm25 DESC, doc_id) total order makes it deterministic.
+        # Only the two columns the rank needs cross the Python boundary.
+        from social_and_media_data_ingestion_spark.operators.scale import (
+            global_row_number,
         )
+
+        return global_row_number(
+            scored.filter(F.col(f"match_{name}")).select(
+                "doc_id", f"bm25_{name}"
+            ),
+            [F.desc(f"bm25_{name}"), F.asc("doc_id")],
+            out_col=out,
+        ).select("doc_id", out)
 
     ra = ranked("a", "rank_a")
     rb = ranked("b", "rank_b")
     # outer-merge via union + hash-agg (max of the at-most-one non-null
     # rank per side): one exchange on doc_id, no sort-merge join
+    # (ranks are bigint since the global_row_number rewrite)
     merged = (
-        ra.withColumn("rank_b", F.lit(None).cast("int"))
-        .unionByName(rb.withColumn("rank_a", F.lit(None).cast("int")))
+        ra.withColumn("rank_b", F.lit(None).cast("bigint"))
+        .unionByName(rb.withColumn("rank_a", F.lit(None).cast("bigint")))
         .groupBy("doc_id")
         .agg(F.max("rank_a").alias("rank_a"), F.max("rank_b").alias("rank_b"))
     )

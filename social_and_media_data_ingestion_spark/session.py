@@ -39,6 +39,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1/§9). The engine's iterative
+        # operators (connected components, lake merge, curation stages)
+        # join localCheckpoint-pinned frames that report no stats, so
+        # the static planner used to fall back to SMJ and pay two sorts
+        # per join; measured r13 (same-weather A/B at sf0.1):
+        # er_resolution_pipeline -22%, corpus_full_curation -22%,
+        # graph_triangle_suppliers -17%, lake_merge_upsert -12%. AQE's
+        # skew-join splitting covers shuffled-hash joins too, and the
+        # hash side spills via the fallback to sort-based aggregation
+        # semantics on memory pressure.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert in the loader (Spark timestamps are micros)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
