@@ -1311,12 +1311,17 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("m_cents"),
     )
-    # order-preserving LONG embeddings of the three sort keys (DATE ->
-    # days since epoch; frequency/m_cents are already LONG); NULL keys
-    # stay NULL and sort last under desc_nulls_last, exactly as in the
-    # per-key ntile orders they replace
+    # order-preserving LONG embeddings of the three sort keys
+    # (last_order -> epoch MICROS via a timestamp cast, NOT epoch days:
+    # the ingestion contract allows o_orderdate to arrive as a full
+    # timestamp, and a day-granular embedding would collapse same-day
+    # instants into ties the original per-key ntile order never had —
+    # caught by the r13 orders fuzz seeds 1013/2013;
+    # frequency/m_cents are already LONG); NULL keys stay NULL and sort
+    # last under desc_nulls_last, exactly as in the per-key ntile
+    # orders they replace
     tags = [
-        (1, F.datediff(F.col("last_order"), F.lit("1970-01-01")).cast("long")),
+        (1, F.unix_micros(F.col("last_order").cast("timestamp"))),
         (2, F.col("frequency").cast("long")),
         (3, F.col("m_cents").cast("long")),
     ]

@@ -357,3 +357,14 @@ def test_repin_entry_spread_gate_is_per_entry(monkeypatch, tmp_path, capsys):
     assert anchor["queries"]["q1"] == 0.05  # tight entry pinned
     assert anchor["queries"]["q0"] == 0.0500001  # loose entry skipped
     assert "skipped, own-spread>1.10" in err and "q0" in err
+
+
+def test_noop_twins_resolve_to_headliners():
+    # every +noop twin must shadow a real headliner (the twin times the
+    # SAME query under the noop sink), and twin names must never collide
+    # with registry names (no '+' in real headliner names)
+    import bench
+
+    assert set(bench.NOOP_TWINS) <= set(bench.HEADLINE)
+    assert not any("+" in n for n in bench.HEADLINE)
+    assert len(set(bench.NOOP_TWINS)) == len(bench.NOOP_TWINS)
