@@ -174,6 +174,17 @@ def _timed_action(df, noop: bool) -> int:
     return df.count()
 
 
+def _effective_cpus(spark) -> int | None:
+    """The session's ACTUAL parallelism (local[N] => N), echoed into the
+    stdout line so the driver's scaling probe reads it instead of
+    guessing (r13 verdict: `suspect_cpus_ignored` was a false positive).
+    Tolerant of the fake sessions the bench unit tests inject."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        return None
+
+
 def _label_job(spark, desc: str | None) -> None:
     """setJobDescription (guide §1.5), tolerant of the fake sessions the
     bench unit tests inject."""
@@ -389,7 +400,12 @@ def main() -> None:
         for i, a in enumerate(sys.argv)
         if a == "--repin-entry" and i + 1 < len(sys.argv)
     ]
-    unknown = [q for q in repin if q not in HEADLINE]
+    # twins are measurement entries too (r13 carried item: --repin-entry
+    # used to validate against HEADLINE only, so the 12 +noop twins could
+    # never get anchor entries and stayed invisible to the suspect/rescue
+    # machinery)
+    repinnable = set(HEADLINE) | {f"{n}+noop" for n in NOOP_TWINS}
+    unknown = [q for q in repin if q not in repinnable]
     if unknown:
         print(f"# --repin-entry: not headliners: {unknown}", file=sys.stderr)
         sys.exit(2)
@@ -476,7 +492,11 @@ def main() -> None:
             rs.append(round(time.time() - t0, 3))
         runs[name] = rs
         times[name] = min(rs)
-        print(f"# {name}: {n} rows in {times[name]}s (runs: {rs})", file=sys.stderr)
+        # noop-sink twins have no row count (the sink discards rows); the
+        # count-timed entries keep theirs as a sanity signal (r13 ADVICE:
+        # "-1 rows" was a confusing artifact line)
+        rows_note = "noop sink" if noop else f"{n} rows"
+        print(f"# {name}: {rows_note} in {times[name]}s (runs: {rs})", file=sys.stderr)
     _label_job(spark, None)
 
     # Pollution detector (round-5 verdict item 2): a shared machine can
@@ -716,6 +736,10 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in times.items()},
         "sf": sf_val,
+        # the EFFECTIVE core count the session ran with (r13 verdict:
+        # the driver's scaling probe guessed, and mis-flagged the bench
+        # as ignoring $SPARK_GRAFT_CPUS — echo it so it never has to)
+        "cpus": _effective_cpus(spark),
     }
     if "vs_anchor_total" in full:
         compact["vs_anchor_total"] = full["vs_anchor_total"]

@@ -40,16 +40,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Let the planner pick shuffled-hash over sort-merge when its
-        # size conditions hold (guide §3.1/§9). The engine's iterative
-        # operators (connected components, lake merge, curation stages)
-        # join localCheckpoint-pinned frames that report no stats, so
-        # the static planner used to fall back to SMJ and pay two sorts
-        # per join; measured r13 (same-weather A/B at sf0.1):
-        # er_resolution_pipeline -22%, corpus_full_curation -22%,
-        # graph_triangle_suppliers -17%, lake_merge_upsert -12%. AQE's
-        # skew-join splitting covers shuffled-hash joins too, and the
-        # hash side spills via the fallback to sort-based aggregation
-        # semantics on memory pressure.
+        # size conditions hold (guide §3.1/§9): measured r13 (same-
+        # weather A/B at sf0.1) er_resolution_pipeline -22%,
+        # corpus_full_curation -22%, graph_triangle_suppliers -17%,
+        # lake_merge_upsert -12%. Failure mode (r13 ADVICE): unlike SMJ,
+        # ShuffledHashJoinExec's build-side hash relation does NOT
+        # spill — an oversized or skewed build partition OOMs the task.
+        # The exposure is bounded, not zero: the planner only prefers
+        # SHJ when the build side's ESTIMATED size is under
+        # autoBroadcastJoinThreshold * shuffle.partitions AND 3x smaller
+        # than the probe side (so stats-less pinned frames keep SMJ —
+        # their iterative joins are steered per-operator with
+        # SHUFFLE_HASH hints where the build side is provably bounded),
+        # and AQE's skew-join splitting covers shuffled-hash joins for
+        # skew it detects. A single giant key it cannot split remains
+        # the residual OOM vector at cluster scale — revalidate at a
+        # larger SF before hardening this default off-local.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert in the loader (Spark timestamps are micros)

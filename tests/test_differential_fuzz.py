@@ -58,6 +58,11 @@ import pytest
 
 from social_and_media_data_ingestion_spark.plans.queries import registry
 
+# Whole-registry sweep: minutes per test, deselected by default (see
+# pytest.ini). Run with -m "slow or not slow" after any closure edit
+# and before round close.
+pytestmark = pytest.mark.slow
+
 from test_numeric_extremes import _tolerance_sweep, _view
 from test_skew_stress import _single_table_queries
 
