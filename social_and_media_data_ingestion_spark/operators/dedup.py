@@ -428,11 +428,24 @@ def connected_components(
     Iterative min-label propagation: each round every node takes the min
     label among itself and its neighbors; converges in <= diameter rounds
     (near-dup clusters are small and dense, so diameter is tiny in
-    practice). Each round is one shuffle (join + groupBy on node id);
-    lineage is truncated per round so plans stay flat regardless of
-    iteration count. Early-stops when no label changes; if max_iter is
+    practice). Early-stops when no label changes; if max_iter is
     exhausted first, a warning is logged and the (possibly split) labels
     are returned — raise max_iter for graphs of diameter > max_iter.
+
+    Per-iteration shape (r14 opt round): ONE join + ONE aggregate. The
+    doubled edge set carries a SELF-LOOP per node, so the neighbor-min
+    aggregate folds the node's own label in for free, and the old
+    left-join of labels against the neighbor mins disappears; the
+    convergence probe rides the same aggregate (old label = the
+    self-loop's contribution, `min(when(t == s))`), replacing the
+    pre-r14 third join (new labels against old labels) with a map-only
+    filter over the already-pinned frame. 3 joins/round -> 1. The
+    labels side of the surviving join is SHUFFLE_HASH-hinted: both
+    sides are pinned ExistingRDD scans with no stats, so the static
+    planner would otherwise SortMergeJoin every round (two sorts of
+    the edge set per iteration) and AQE never revisits pinned
+    segments; the build side is the label frame — node-scale, the
+    smaller side by construction (|V| vs |2E + V|).
 
     Checkpointing: by default rounds truncate lineage via localCheckpoint
     (executor-stored blocks, no FS round-trip — right for local / interactive
@@ -481,40 +494,55 @@ def connected_components(
             return F.col(c).cast("long")
         return F.col(c).cast("string") if to_string else F.col(c)
 
-    bi = _truncate(
+    # the doubled edge set is pinned FIRST and everything else derives
+    # from the pinned blocks: the caller's edge lineage (LSH candidates
+    # -> Jaccard verify -> shingle scans) executes exactly twice (the
+    # two union branches), as pre-r14 — deriving nodes/self-loops from
+    # an UNPINNED doubled frame re-executed it four times (measured 2x
+    # wall-clock on corpus_full_curation before this pin was hoisted)
+    doubled = _truncate(
         edges.select(_id(src).alias("s"), _id(dst).alias("t"))
         .union(edges.select(_id(dst).alias("s"), _id(src).alias("t")))
         .distinct()
     )
-    labels = bi.select(F.col("s").alias("id")).distinct().withColumn(
-        "label", F.col("id")
+    labels = _truncate(
+        doubled.select("s")
+        .distinct()
+        .select(F.col("s").alias("id"), F.col("s").alias("label"))
     )
-    labels = _truncate(labels)
+    # self-loops: each node's own label reaches the neighbor-min
+    # aggregate through the same join — no separate labels left-join.
+    # The self-loop side is the PINNED initial label frame (the node
+    # set), so `bi` itself stays unpinned: every iteration reads it as
+    # a map-side union of two pinned block sets — no shuffle, no
+    # re-derivation, and no dedup needed (a duplicate self-loop from a
+    # (x, x) input edge only feeds the same value to min() twice)
+    init = labels
+    bi = doubled.union(
+        init.select(F.col("id").alias("s"), F.col("id").alias("t"))
+    )
     converged = False
     for _ in range(max_iter):
-        nbr = (
+        stepped = _truncate(
             bi.join(
-                labels.select(F.col("id").alias("t"), F.col("label").alias("t_label")),
+                labels.hint("shuffle_hash").select(
+                    F.col("id").alias("t"), F.col("label").alias("t_label")
+                ),
                 "t",
             )
             .groupBy("s")
-            .agg(F.min("t_label").alias("nbr_label"))
-        )
-        new_labels = _truncate(
-            labels.join(nbr, labels.id == nbr.s, "left").select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+            .agg(
+                F.min("t_label").alias("label"),
+                # the self-loop's contribution IS the node's old label —
+                # the convergence probe needs no second join
+                F.min(
+                    F.when(F.col("t") == F.col("s"), F.col("t_label"))
+                ).alias("__old"),
             )
         )
-        changed = (
-            new_labels.select("id", F.col("label").alias("new_label"))
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-        )
-        done = changed.isEmpty()
-        labels = new_labels
+        # map-only filter over the pinned blocks (no join, no shuffle)
+        done = stepped.filter(F.col("label") != F.col("__old")).isEmpty()
+        labels = stepped.select(F.col("s").alias("id"), "label")
         if done:
             converged = True
             break

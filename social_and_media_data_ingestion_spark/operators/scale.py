@@ -141,17 +141,25 @@ def _global_rank(
     out_col: str,
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
-    """Exact global 1-based row_number WITHOUT a single-partition sort.
+    """Exact global 1-based row_number WITHOUT a single-partition sort,
+    plus the total row count (free: the offsets collect already paid
+    for it).
 
     `Window.orderBy(...)` with no partition moves the whole table through
     ONE task — correct at sf0.1, a funnel at 100 TB. This is the
-    distributed spelling (the same trick as RDD.zipWithIndex):
+    distributed spelling (the same trick as RDD.zipWithIndex), and since
+    the r14 opt round it is the same ONE-shuffle shape as
+    :func:`global_running_sum`:
 
-    1. range-partition on the sort key (sampled boundaries, all-parallel);
+    1. range-partition on the sort key with the sort FOLDED INTO the
+       shuffle, pin (see :func:`_ranged_sorted_pin`);
     2. count rows per range partition — a bounded collect of one row per
        partition (like a PQ codebook: O(partitions) driver state);
-    3. rank locally inside each partition and add the partition's global
-       offset via a literal map.
+    3. a MAP-ONLY Arrow pass emits offset + position within the
+       pre-sorted pinned partition. The pre-r14 spelling windowed over
+       Window.partitionBy(pid), and because a checkpointed frame
+       reports UnknownPartitioning, Catalyst inserted a SECOND full
+       Exchange (hash on pid) + Sort into the downstream job.
 
     Determinism: RangePartitioner's sampled boundaries are NOT stable
     across the two jobs (AQE can re-plan the upstream stage between runs,
@@ -159,74 +167,18 @@ def _global_rank(
     localCheckpoint — both the count job and the rank job read the same
     blocks. This also means the expensive upstream plan executes once,
     not twice. The checkpoint is LAZY (eager=False): the count job —
-    the first action — materializes the blocks as it counts, saving one
-    full pass over the frame vs an eager checkpoint; the rank job then
-    reads the pinned blocks. (On a cluster where executor loss matters,
-    swap localCheckpoint for a reliable checkpoint dir — the same trade
-    documented for connected components in operators/dedup.py.)
+    the first action — materializes the blocks as it counts. `order_by`
+    must be a total order for deterministic output. (On a cluster where
+    executor loss matters, swap localCheckpoint for a reliable
+    checkpoint dir — the same trade documented for connected components
+    in operators/dedup.py.)
     Returns (df with `out_col`, total row count).
     """
-    from pyspark.sql import Window
-
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    spark = df.sparkSession
-    n_parts = num_partitions or _default_partitions(spark)
-    pid = "__rank_pid"
-    ranged = (
-        df.repartitionByRange(n_parts, *cols)
-        .withColumn(pid, F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    counts = sorted(
-        ranged.groupBy(pid).count().collect(), key=lambda r: r[pid]
-    )
-    offsets: list[int] = []
-    acc = 0
-    for row in counts:
-        offsets.append(acc)
-        acc += row["count"]
-    off_map = F.create_map(
-        *[
-            F.lit(v)
-            for row, off in zip(counts, offsets)
-            for v in (row[pid], off)
-        ]
-    )
-    w = Window.partitionBy(pid).orderBy(*cols)
-    out = (
-        ranged.withColumn(
-            out_col,
-            (F.row_number().over(w) + F.element_at(off_map, F.col(pid))).cast(
-                "long"
-            ),
-        )
-        .drop(pid)
-    )
-    return out, acc
-
-
-def global_row_number(
-    df: DataFrame,
-    order_by: Sequence[Column | str],
-    out_col: str = "rn",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Exact global row_number over `order_by` with no global-sort funnel
-    (see :func:`_global_rank`). `order_by` must be a total order
-    (include a unique tie-break column) for deterministic output.
-
-    r13 opt round: same one-shuffle shape as :func:`global_running_sum`
-    — the sort rides the range shuffle, the per-partition COUNTS are a
-    bounded collect, and the rank column is a map-only Arrow pass
-    (offset + position within the pre-sorted pinned partition) instead
-    of a Window.partitionBy(pid) that re-exchanged the whole frame."""
     from pyspark.sql import types as T
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    spark = df.sparkSession
-    n_parts = num_partitions or _default_partitions(spark)
-    pid = "__rn_pid"
-    ranged = _ranged_sorted_pin(df, cols, n_parts, pid)
+    pid = "__rank_pid"
+    ranged = _ranged_sorted_pin(df, cols, num_partitions, pid)
     counts = sorted(
         ranged.groupBy(pid).count().collect(), key=lambda r: r[pid]
     )
@@ -245,6 +197,7 @@ def global_row_number(
     names_out = [names_in[i] for i in keep_idx] + [out_col]
 
     def _rank(it):
+        import numpy as np
         import pyarrow as pa
 
         pos = None  # next 1-based rank within this partition's order
@@ -253,17 +206,38 @@ def global_row_number(
                 continue
             if pos is None:
                 pos = offsets.get(rb.column(pid_idx)[0].as_py(), 0) + 1
-            rn = pa.array(range(pos, pos + rb.num_rows), type=pa.int64())
+            # np.arange -> zero-copy Arrow, vs a per-element Python range
+            rn = pa.array(np.arange(pos, pos + rb.num_rows, dtype=np.int64))
             pos += rb.num_rows
             yield pa.RecordBatch.from_arrays(
                 [rb.column(i) for i in keep_idx] + [rn], names=names_out
             )
 
-    return ranged.mapInArrow(_rank, out_schema)
+    return ranged.mapInArrow(_rank, out_schema), acc
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over `order_by` with no global-sort funnel
+    (see :func:`_global_rank` — this is that primitive minus the total).
+    `order_by` must be a total order (include a unique tie-break column)
+    for deterministic output.
+
+    One full-data shuffle (r13 opt round; unified with `_global_rank` in
+    r14): the sort rides the range shuffle, the per-partition COUNTS are
+    a bounded collect, and the rank column is a map-only Arrow pass
+    (offset + position within the pre-sorted pinned partition) instead
+    of a Window.partitionBy(pid) that re-exchanged the whole frame."""
+    out, _n = _global_rank(df, order_by, out_col, num_partitions)
+    return out
 
 
 def _ranged_sorted_pin(
-    df: DataFrame, cols: Sequence[Column], n_parts: int, pid: str
+    df: DataFrame, cols: Sequence[Column], n_parts: int | None, pid: str
 ) -> DataFrame:
     """Range-partition on the sort key, SORT WITHIN each partition, tag
     the partition id, and pin via lazy localCheckpoint. Shared by the
@@ -273,19 +247,41 @@ def _ranged_sorted_pin(
     the sort to a Window.partitionBy(pid), and because a checkpointed
     frame reports UnknownPartitioning, Catalyst inserted a SECOND full
     Exchange (hash on pid) plus the sort into the downstream job. One
-    full-data shuffle per call instead of two (guide §2.4)."""
-    return (
+    full-data shuffle per call instead of two (guide §2.4).
+
+    Partition-count sizing (r14): with `n_parts=None` the range shuffle
+    is left UN-sized, so AQE coalesces it from the map stage's ACTUAL
+    output bytes (advisoryPartitionSizeInBytes) — scale-adaptive by
+    construction: a few-MB local frame collapses to 1-2 partitions
+    (fewer per-task Python round-trips for the Arrow prefix pass, a
+    measured ~2x on sub-second queries), a 100 TB frame gets
+    advisory-sized partitions, and no constant is tuned for either.
+    AQE's coalescing merges ADJACENT shuffle partitions, so the global
+    range order survives and the pid column (stamped AFTER the
+    coalesced read) still enumerates partitions in sort order. An
+    explicit `n_parts` (tests; callers needing a floor) pins the count
+    and disables coalescing, as before."""
+    ranged = (
         df.repartitionByRange(n_parts, *cols)
-        .sortWithinPartitions(*cols)
+        if n_parts is not None
+        else df.repartitionByRange(*cols)
+    )
+    return (
+        ranged.sortWithinPartitions(*cols)
         .withColumn(pid, F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
 
 
 def _sum_out_type(dt: "types.DataType") -> "types.DataType":
-    """Result type of Spark's SUM over a column of type `dt` (what the
-    old window spelling produced for the running column — kept so the
-    map-only spelling is schema-identical)."""
+    """Result type of Spark's plain SUM over a column of type `dt`.
+
+    NOTE (r13 ADVICE): for decimals this is decimal(min(p+10,38), s) —
+    Spark's SUM result type — which is ONE digit narrower than what the
+    pre-r13 window spelling emitted (its sum-plus-offset ADD produced
+    decimal(min(p+11,38), s)). Both in-repo callers use p>=30 where the
+    two cap at 38 and coincide; a new caller with p<=27 decimals gets
+    the SUM type, not the old ADD type."""
     from pyspark.sql import types as T
 
     if isinstance(dt, T.DecimalType):
@@ -308,7 +304,14 @@ def _prefix_sum_batches(
     and the offset is added LAST, per row, exactly as `sum OVER w +
     element_at(off_map, pid)` did. NULL values are skipped (the
     running value stays whatever it was) and the output is NULL until
-    the first non-NULL value, matching F.sum's frame semantics.
+    the partition's first non-NULL value. That NULL-until-first-non-NULL
+    window is PARTITION-LOCAL (r13 ADVICE): a row before its range
+    partition's first non-NULL yields NULL even when earlier partitions
+    contributed non-NULL totals (NULL + non-NULL offset was NULL in the
+    pre-r13 Window.partitionBy(pid) spelling too — bit-compatible with
+    what this replaced, though both diverge from a single-window global
+    running sum on that edge; pinned by
+    test_running_sum_null_prefix_is_partition_local).
     Integers ride Python ints and decimals Python Decimals (both
     exact); doubles reproduce the window's sequential IEEE adds.
     Null-free integer batches take a vectorized numpy cumsum (exact in
@@ -381,9 +384,7 @@ def _running_sums_impl(
     from pyspark.sql import types as T
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    spark = df.sparkSession
-    n_parts = num_partitions or _default_partitions(spark)
-    ranged = _ranged_sorted_pin(df, cols, n_parts, pid)
+    ranged = _ranged_sorted_pin(df, cols, num_partitions, pid)
     totals = sorted(
         ranged.groupBy(pid)
         .agg(*[F.sum(v).alias(f"__s{i}") for i, v in enumerate(value_cols)])
@@ -504,6 +505,22 @@ def global_ntile(
     return ranked.withColumn(out_col, bucket.cast("long")).drop(rn)
 
 
+def _min2(a, b):
+    """NaN-aware, NULL-skipping binary min matching F.least / F.min:
+    NULLs are skipped (None only when both sides are None), and NaN
+    sorts ABOVE every non-NaN value (Spark's ordering), unlike plain
+    Python `<` which makes every NaN comparison False."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if isinstance(a, float) and a != a:
+        return b
+    if isinstance(b, float) and b != b:
+        return a
+    return a if a <= b else b
+
+
 def global_running_min(
     df: DataFrame,
     order_by: Sequence[Column | str],
@@ -517,67 +534,125 @@ def global_running_min(
     (skyline/Pareto membership, best-so-far tracking, descending-bound
     pruning).
 
-    Same two-job shape as :func:`global_running_sum`: range-partition on
-    the sort key, collect per-partition MINIMA (bounded O(partitions)
-    driver state), then each partition computes a local window min and
-    folds in the prefix-min of all predecessor partitions as an offset
-    via a literal map. With `exclusive=True` the local frame is
-    (unbounded preceding, -1) — a STRICT prefix: each row sees the min
+    Same ONE-shuffle shape as :func:`global_running_sum` (migrated r14
+    opt round): range-partition with the sort folded into the shuffle,
+    pin, collect per-partition MINIMA (bounded O(partitions) driver
+    state), then a MAP-ONLY Arrow pass emits each row's running min
+    combined with the prefix-min of all predecessor partitions — no
+    Window.partitionBy(pid), so no second full Exchange (the pre-r14
+    spelling paid one because the pinned frame reports
+    UnknownPartitioning). With `exclusive=True` each row sees the min
     over rows strictly before it, and the globally-first row gets NULL
     (there is no predecessor). `order_by` should be a total order for
     deterministic output.
 
+    Exactness contract (bit-compatible with the window spelling it
+    replaced): NULL values are skipped and the output is NULL until the
+    first non-NULL of the global order, exactly like
+    `least(min(v) OVER w, offset)` with least's NULL-skip; NaN doubles
+    sort above every non-NaN (``_min2``); values accumulate by Python
+    comparison, which agrees with Spark's ordering for the orderable
+    types (int / float / Decimal / str / date / timestamp — str because
+    UTF-8 byte order equals code-point order). The output column keeps
+    `value_col`'s own type (what F.min produced; the old literal-map
+    offset could in principle widen fractional decimals through
+    least(min, lit) unification — no in-repo caller hit that).
+
     The ranged frame is localCheckpoint-materialized (lazily) so the
-    minima job and the window job see the SAME sampled range boundaries
+    minima job and the prefix job see the SAME sampled range boundaries
     (see :func:`_global_rank` for why)."""
-    from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    spark = df.sparkSession
-    n_parts = num_partitions or _default_partitions(spark)
     pid = "__rmin_pid"
-    ranged = (
-        df.repartitionByRange(n_parts, *cols)
-        .withColumn(pid, F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    ranged = _ranged_sorted_pin(df, cols, num_partitions, pid)
     minima = sorted(
         ranged.groupBy(pid).agg(F.min(value_col).alias("m")).collect(),
         key=lambda r: r[pid],
     )
-    # offset for partition p = min over partitions < p (None for the first)
-    entries: list[tuple[int, object]] = []
+    # offset for partition p = min over partitions < p (absent for the
+    # first partition and for an all-NULL prefix)
+    offsets: dict[int, object] = {}
     acc = None
     for row in minima:
         if acc is not None:
-            entries.append((row[pid], acc))
+            offsets[row[pid]] = acc
         m = row["m"]
         if m is not None and (acc is None or m < acc):
             acc = m
-    off_expr = (
-        F.element_at(
-            F.create_map(*[F.lit(v) for p, off in entries for v in (p, off)]),
-            F.col(pid),
-        )
-        if entries
-        else F.lit(None)
-    )
-    end = -1 if exclusive else Window.currentRow
-    w = (
-        Window.partitionBy(pid)
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, end)
-    )
-    # least() skips NULLs, so a NULL local min (first row under
-    # exclusive) falls back to the predecessor-partition offset, and a
-    # missing offset (first partition) falls back to the local min.
-    return (
-        ranged.withColumn(
-            out_col,
-            F.least(F.min(value_col).over(w), off_expr),
-        )
-        .drop(pid)
-    )
+    in_dt = df.schema[value_col].dataType
+    base_fields = [f for f in ranged.schema.fields if f.name != pid]
+    out_schema = T.StructType(base_fields + [T.StructField(out_col, in_dt)])
+    names_in = [f.name for f in ranged.schema.fields]
+    keep_idx = [i for i, n in enumerate(names_in) if n != pid]
+    pid_idx = names_in.index(pid)
+    val_idx = names_in.index(value_col)
+    names_out = [names_in[i] for i in keep_idx] + [out_col]
+
+    def _run(it):
+        import numpy as np
+        import pyarrow as pa
+
+        run = None  # running min within this partition (NULLs skipped)
+        off = None  # min over all predecessor partitions
+        first = True
+        for rb in it:
+            if rb.num_rows == 0:
+                continue
+            if first:
+                off = offsets.get(rb.column(pid_idx)[0].as_py())
+                first = False
+            arr = rb.column(val_idx)
+            # Vectorized fast path: null-free INTEGER batches take a
+            # numpy cumulative min (int64 exact; NaN/NULL semantics
+            # don't arise). Exclusive mode needs a predecessor for
+            # row 0, so its first batch per partition (run is None)
+            # stays on the exact per-row loop.
+            if (
+                pa.types.is_integer(arr.type)
+                and arr.null_count == 0
+                and (off is None or isinstance(off, int))
+                and (run is None or isinstance(run, int))
+                and not (exclusive and run is None)
+            ):
+                v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+                acc = np.minimum.accumulate(v)
+                if run is not None:
+                    acc = np.minimum(acc, run)
+                if exclusive:
+                    shifted = np.empty_like(acc)
+                    shifted[0] = run
+                    shifted[1:] = acc[:-1]
+                    res = shifted
+                else:
+                    res = acc
+                run = int(np.minimum(acc[-1], run)) if run is not None else int(acc[-1])
+                if off is not None:
+                    res = np.minimum(res, off)
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(i) for i in keep_idx]
+                    + [pa.array(res).cast(arr.type)],
+                    names=names_out,
+                )
+                continue
+            out = []
+            if exclusive:
+                for v in arr.to_pylist():
+                    out.append(_min2(run, off))
+                    if v is not None:
+                        run = _min2(run, v)
+            else:
+                for v in arr.to_pylist():
+                    if v is not None:
+                        run = _min2(run, v)
+                    out.append(_min2(run, off))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in keep_idx]
+                + [pa.array(out, type=arr.type)],
+                names=names_out,
+            )
+
+    return ranged.mapInArrow(_run, out_schema)
 
 
 def global_running_sums(

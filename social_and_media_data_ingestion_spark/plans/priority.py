@@ -24,6 +24,74 @@ from __future__ import annotations
 # the local gate (tools/verify_local.py runs all 167 with the identical
 # oracle mechanism).
 PRIORITY_HEAD = [
+    # ================= round-14 head =================
+    # Composition, in rotation-policy order:
+    #   1. every query whose closure changed in the r14 OPTIMIZATION
+    #      round (20): the 3 direct users of the newly one-shuffle
+    #      _global_rank/global_ntile/global_running_min
+    #      (window_ntile_quartiles, docs_quality_deciles,
+    #      part_price_skyline) plus the 8 prefix/rank riders of the
+    #      unified global_row_number; the 5 connected_components users
+    #      (self-loop fold: 1 join/iteration instead of 3); the 2
+    #      Aho-Corasick 5k-keyword queries and multimodal_image_dim_sniff
+    #      (single-split scan parallelized, jpeg-style guard);
+    #      text_shingle_novelty (join-back -> first-seen aggregate);
+    #   2. fill to 50 with the oldest-evidence re-proofs (r5 TPC-H,
+    #      the r6 batch, ledger order).
+    "docs_quality_deciles",
+    "window_ntile_quartiles",
+    "part_price_skyline",
+    "events_max_concurrent",
+    "lineitem_abc_pareto",
+    "stats_kruskal_wallis_returnflag",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_status",
+    "stats_spearman_qty_price",
+    "supplier_revenue_gini",
+    "text_rrf_fusion",
+    "dedup_canonical_selection",
+    "dedup_near_dup_clusters",
+    "er_entity_clusters",
+    "er_resolution_pipeline",
+    "corpus_full_curation",
+    "f2_keyword_substring_5k",
+    "f3_keyword_word_5k",
+    "multimodal_image_dim_sniff",
+    "text_shingle_novelty",
+    "q11_important_parts",
+    "q12_priority_by_flag",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_banded_revenue",
+    "q20_excess_shippers",
+    "q22_idle_balances",
+    "agg_bitwise_masks",
+    "agg_collect_sorted",
+    "agg_percentiles",
+    "customer_segment_mix",
+    "dedup_ngram_jaccard",
+    "docs_topk_per_source",
+    "events_audience_overlap",
+    "events_hour_profile",
+    "events_repeat_runs",
+    "events_value_histogram",
+    "explode_token_topk",
+    "lineitem_ship_latency",
+    "orders_size_distribution",
+    "scalar_date_arithmetic",
+    "scalar_levenshtein",
+    "sql_passthrough_agg",
+    "supplier_part_coverage",
+    "text_boilerplate_fraction",
+    "text_shingles_3gram",
+    "window_dense_rank_parts",
+    "window_percentile_standing",
+    "array_set_ops",
+]
+
+
+_ROUND13_HEAD = [
     # ================= round-13 head =================
     # Composition, in rotation-policy order:
     #   1. every query whose closure changed in r13 (38): the two

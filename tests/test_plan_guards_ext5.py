@@ -319,12 +319,16 @@ def test_skyline_uses_distributed_prefix_min(spark):
 
     df = part_price_skyline(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the prefix-min window must be partitioned on the range-partition
-    # id — a global (empty-partition) window spec would funnel the
-    # whole frame through one task. (The upstream rangepartitioning is
-    # hidden behind the localCheckpoint's ExistingRDD scan.)
-    assert "windowspecdefinition(__rmin_pid" in plan
-    assert "windowspecdefinition(p_retailprice" not in plan
+    # the prefix-min must be the map-only Arrow pass over the pre-sorted
+    # pinned frame (r14 opt round): no window node at all — neither a
+    # global (empty-partition) spec that would funnel the frame through
+    # one task, nor the pre-r14 Window.partitionBy(pid) whose
+    # UnknownPartitioning input forced a SECOND full Exchange. (The
+    # upstream rangepartitioning is hidden behind the localCheckpoint's
+    # ExistingRDD scan.)
+    assert "MapInArrow" in plan
+    assert "windowspecdefinition" not in plan
+    assert "hashpartitioning(__rmin_pid" not in plan
 
 
 def test_global_running_min_matches_window_spelling(spark):
@@ -452,7 +456,7 @@ def test_gini_uses_distributed_rank(spark):
     # never an empty-partition global window
     assert "MapInArrow" in plan
     assert "windowspecdefinition" not in plan
-    assert "hashpartitioning(__rn_pid" not in plan
+    assert "hashpartitioning(__rank_pid" not in plan  # r14: shared pid
 
 
 def test_reconciliation_single_pass_reduction(spark):

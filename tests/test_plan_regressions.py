@@ -231,10 +231,15 @@ def test_ntile_quartiles_no_single_partition_sort(spark):
     # (range partition + offsets over a checkpointed frame), never an
     # unpartitioned ntile window that funnels the table through one task.
     # The range exchange lives in the checkpoint sub-job; the final plan
-    # reads the materialized blocks (ExistingRDD).
+    # reads the materialized blocks (ExistingRDD). Since the r14 opt
+    # round the rank is a map-only Arrow pass over the pre-sorted pinned
+    # frame — no window node, no pid re-exchange.
     plan = _plan(spark, "window_ntile_quartiles")
     assert "SinglePartition" not in plan
     assert "ExistingRDD" in plan
+    assert "MapInArrow" in plan
+    assert "windowspecdefinition" not in plan
+    assert "hashpartitioning(__rank_pid" not in plan
 
 
 def test_rfm_segmentation_no_single_partition_sort(spark):

@@ -198,3 +198,178 @@ def test_row_number_carries_across_arrow_batches(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_running_sum_null_prefix_is_partition_local(spark):
+    """r13 ADVICE: the NULL-until-first-non-NULL window is PARTITION-
+    LOCAL — a row before its range partition's first non-NULL yields
+    NULL even when earlier partitions contributed non-NULL totals
+    (NULL + non-NULL offset was NULL in the pre-r13 window spelling
+    too). This pins the map-only pass bit-compatible with the OLD
+    spelling — and documents that both deliberately diverge from a
+    single-window global running sum on this edge (which would emit the
+    predecessor partitions' total instead of NULL)."""
+    # ids 0..99 non-NULL, ids 100..199 NULL: with 4 range partitions on
+    # id, partition >= 2 starts with a NULL prefix after non-NULL mass
+    rows = [(i, 1 if i < 100 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {
+        r.id: r.rs
+        for r in global_running_sum(
+            df, ["id"], "v", out_col="rs", num_partitions=4
+        ).collect()
+    }
+    # every row at or past the first NULL is NULL in SOME partition-local
+    # window; rows in the same partition as non-NULL mass keep summing
+    assert got[0] == 1 and got[99] == 100
+    # the tail partitions hold only NULLs -> NULL output (the
+    # single-window oracle would say 100 here; divergence documented)
+    assert got[199] is None
+    # bit-compat with the pre-r13 Window.partitionBy(pid) spelling
+    from pyspark.sql import Window as W
+
+    pid = "__pid_chk"
+    ranged = (
+        df.repartitionByRange(4, F.col("id"))
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    offs = {r[0]: r[1] for r in _prefix_offsets(ranged, pid)}
+    w = (
+        W.partitionBy(pid)
+        .orderBy("id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    off_map = F.create_map(
+        *[F.lit(x) for p, o in sorted(offs.items()) for x in (p, o)]
+    )
+    want = {
+        r.id: r.rs
+        for r in ranged.withColumn(
+            "rs",
+            F.sum("v").over(w) + F.element_at(off_map, F.col(pid)),
+        ).collect()
+    }
+    assert got == want
+
+
+def _prefix_offsets(ranged, pid):
+    rows = sorted(
+        ranged.groupBy(pid).agg(F.sum("v").alias("s")).collect(),
+        key=lambda r: r[pid],
+    )
+    acc = 0
+    out = []
+    for r in rows:
+        out.append((r[pid], acc))
+        acc += r["s"] or 0
+    return out
+
+
+def test_running_min_matches_window_with_nulls_multi_batch(spark):
+    """r14: global_running_min's map-only Arrow pass must reproduce the
+    window spelling exactly — NULL skipping, inclusive AND exclusive
+    frames, carries across forced-small Arrow batches."""
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_min,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "19")
+    try:
+        rows = [
+            (i, None if i % 7 in (0, 3) else (i * 37) % 101)
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, v bigint")
+        for excl, end in ((False, 0), (True, -1)):
+            w = Window.orderBy("id").rowsBetween(
+                Window.unboundedPreceding, end
+            )
+            want = {
+                r.id: r.m
+                for r in df.withColumn("m", F.min("v").over(w)).collect()
+            }
+            got = {
+                r.id: r.m
+                for r in global_running_min(
+                    df,
+                    ["id"],
+                    "v",
+                    out_col="m",
+                    num_partitions=8,
+                    exclusive=excl,
+                ).collect()
+            }
+            assert got == want, f"exclusive={excl}"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_running_min_nan_doubles_match_window(spark):
+    """NaN sorts above every non-NaN in Spark's min/least; the Arrow
+    pass must reproduce that (plain Python `<` would freeze the running
+    value once a NaN leads)."""
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_min,
+    )
+
+    rows = [
+        (
+            i,
+            None
+            if i % 11 == 5
+            else (
+                float("nan")
+                if i % 13 == 7
+                else float((i * 37) % 101) - 50.0
+            ),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.m for r in df.withColumn("m", F.min("v").over(w)).collect()
+    }
+    got = {
+        r.id: r.m
+        for r in global_running_min(
+            df, ["id"], "v", out_col="m", num_partitions=8
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        g, x = got[k], want[k]
+        assert g == x or (g != g and x != x), (k, g, x)
+
+
+def test_running_min_decimal_and_string_types(spark):
+    """The Arrow pass keeps value_col's own type and ordering for
+    non-numeric orderable types (Decimal exactness; str UTF-8 order)."""
+    from decimal import Decimal
+
+    from social_and_media_data_ingestion_spark.operators.scale import (
+        global_running_min,
+    )
+
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    dfc = spark.createDataFrame(
+        [(i, Decimal((i * 37) % 101) / Decimal(4)) for i in range(300)],
+        "id bigint, v decimal(12,2)",
+    )
+    got = global_running_min(dfc, ["id"], "v", out_col="m", num_partitions=8)
+    assert dict(got.dtypes)["m"] == "decimal(12,2)"
+    assert {r.id: r.m for r in got.collect()} == {
+        r.id: r.m for r in dfc.withColumn("m", F.min("v").over(w)).collect()
+    }
+    dfs = spark.createDataFrame(
+        [(i, f"s{(i * 53) % 97:03d}") for i in range(300)],
+        "id bigint, v string",
+    )
+    assert {
+        r.id: r.m
+        for r in global_running_min(
+            dfs, ["id"], "v", out_col="m", num_partitions=8
+        ).collect()
+    } == {r.id: r.m for r in dfs.withColumn("m", F.min("v").over(w)).collect()}
