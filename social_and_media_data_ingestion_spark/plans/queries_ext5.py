@@ -2597,21 +2597,48 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from social_and_media_data_ingestion_spark.operators.dedup import word_shingles
+    from social_and_media_data_ingestion_spark.operators.dedup import (
+        _shingle_array,
+        word_shingles,
+    )
 
     docs = t(spark, sf_dir, "documents")
+    # r14 opt round (guide §2.3 "aggregate before you shuffle"): the old
+    # spelling joined the exploded (doc, shingle) stream BACK onto its
+    # own per-shingle min — the full shingle stream crossed a second
+    # exchange (and the explode subtree executed twice: once under the
+    # aggregate, once as the join probe). The join is unnecessary:
+    #   n_novel(doc)   = how many shingles have first_doc = doc — a
+    #                    COUNT over the (shingle -> min doc) aggregate,
+    #                    i.e. doc-grain rows, never the stream again;
+    #   n_shingles(doc)= the doc's distinct-shingle count — computed
+    #                    ROW-LOCALLY from the shingle array (map-only,
+    #                    no shuffle at all).
+    # The only full-stream exchange left is the per-shingle min itself
+    # (map-side combinable); everything after is doc-grain. Same rows,
+    # hash-identical (A/B parity-checked at sf0.1; oracle at 3 SFs);
+    # measured 1.03 -> 0.51 s same-session.
     sh = word_shingles(docs, "doc_id", "text", n=3).withColumnRenamed(
         "id", "doc_id"
     )
-    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    j = sh.join(first_seen, "shingle")
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
     )
-    return j.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"),
-        novel.cast("bigint").alias("n_novel"),
-        _r(novel / F.count("*").cast("double"), 6).alias("novelty"),
+    n_sh = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(_shingle_array("text", 3)))
+        .cast("bigint")
+        .alias("n_shingles"),
+    ).filter(F.col("n_shingles") > 0)
+    nov = F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint"))
+    return n_sh.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        nov.alias("n_novel"),
+        _r(nov / F.col("n_shingles").cast("double"), 6).alias("novelty"),
     )
 
 
