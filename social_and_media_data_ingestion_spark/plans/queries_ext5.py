@@ -2597,27 +2597,36 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from social_and_media_data_ingestion_spark.operators.dedup import (
-        _shingle_array,
-        word_shingles,
-    )
+    from social_and_media_data_ingestion_spark.operators.dedup import word_shingles
 
     docs = t(spark, sf_dir, "documents")
     # r14 opt round (guide §2.3 "aggregate before you shuffle"): the old
     # spelling joined the exploded (doc, shingle) stream BACK onto its
     # own per-shingle min — the full shingle stream crossed a second
     # exchange (and the explode subtree executed twice: once under the
-    # aggregate, once as the join probe). The join is unnecessary:
+    # aggregate, once as the join probe). The join-back is unnecessary:
     #   n_novel(doc)   = how many shingles have first_doc = doc — a
     #                    COUNT over the (shingle -> min doc) aggregate,
     #                    i.e. doc-grain rows, never the stream again;
-    #   n_shingles(doc)= the doc's distinct-shingle count — computed
-    #                    ROW-LOCALLY from the shingle array (map-only,
-    #                    no shuffle at all).
-    # The only full-stream exchange left is the per-shingle min itself
-    # (map-side combinable); everything after is doc-grain. Same rows,
-    # hash-identical (A/B parity-checked at sf0.1; oracle at 3 SFs);
-    # measured 1.03 -> 0.51 s same-session.
+    #   n_shingles(doc)= a COUNT over the distinct stream — partial
+    #                    aggregation reduces it to doc-grain partials
+    #                    map-side, so its exchange carries docs-scale
+    #                    rows, not the stream. (NOT row-local array
+    #                    math: duplicate doc_id rows must union their
+    #                    shingle sets to one output row — the r14 fuzz
+    #                    caught a row-local spelling emitting one row
+    #                    per INPUT row, 39 vs 35 on the dup-PK mix.)
+    # Both aggregates partially combine map-side, so what they exchange
+    # is doc-grain (or shingle-grain partial-min) rows, never the raw
+    # stream — the join-back shipped the FULL stream. The shared
+    # distinct subtree stays UNPINNED and computes once per consumer: a
+    # localCheckpoint pin measured SLOWER (1.06 vs 0.74 s — the pinned
+    # frame reports UnknownPartitioning, so both consumers re-exchange
+    # the whole stream, plus the block-store write), and at 100 TB a
+    # corpus-scale pinned stream is an executor-storage liability the
+    # two combined aggregates don't justify. Same rows, hash-identical
+    # (oracle at 3 SFs; dup-PK fuzz); measured 1.03 -> 0.74 s
+    # same-session.
     sh = word_shingles(docs, "doc_id", "text", n=3).withColumnRenamed(
         "id", "doc_id"
     )
@@ -2627,12 +2636,9 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_novel"))
     )
-    n_sh = docs.select(
-        "doc_id",
-        F.size(F.array_distinct(_shingle_array("text", 3)))
-        .cast("bigint")
-        .alias("n_shingles"),
-    ).filter(F.col("n_shingles") > 0)
+    n_sh = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
     nov = F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint"))
     return n_sh.join(novel, "doc_id", "left").select(
         "doc_id",
